@@ -1,0 +1,130 @@
+"""Scalar parsers as Catalyst Column expressions (SURVEY.md §2.2).
+
+Semantics match the reference's row-level Python parsers, but expressed
+as pure Column expressions so they stay inside whole-stage codegen and
+Catalyst can fold/push them — no Python executes per row anywhere here.
+
+Reference parity (cites into /root/reference):
+- create_id       src/dso_import/bagh/batch.py:20-21
+- create_ids      src/dso_import/bagh/batch.py:24-32
+- int_or_none     src/dso_import/bagh/batch.py:35-39
+- parse_date      src/dso_import/batch/csv.py:21-26
+- parse_date_time src/dso_import/batch/csv.py:12-18
+- parse_yesno     src/dso_import/batch/csv.py:29-30
+- date-range      src/dso_import/batch/csv.py:33-34
+- empty→NULL      pervasive ``r[...] or None`` (bagh/batch.py:159 etc.)
+- pipe-split      bagh/batch.py:547,556-558
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def empty_to_null(col: Column | str) -> Column:
+    """'' → NULL (the reference's ``value or None`` coalescing)."""
+    c = _col(col)
+    return F.when(c == "", F.lit(None)).otherwise(c)
+
+
+def create_id(identificatie: Column | str, volgnummer: Column | str) -> Column:
+    """Surrogate key ``{identificatie}_{volgnummer:03d}``, NULL-propagating.
+
+    Mirrors ``create_id`` (bagh/batch.py:20-21): None identificatie →
+    None id. volgnummer is zero-padded to width 3.
+    """
+    ident, volg = _col(identificatie), _col(volgnummer)
+    return F.when(
+        ident.isNotNull() & volg.isNotNull(),
+        F.format_string("%s_%03d", ident, volg.cast("int")),
+    )
+
+
+def create_ids(id_list: Column | str, volg_list: Column | str, sep: str = r"\|") -> Column:
+    """Pipe-delimited id/volgnummer lists → array of surrogate keys.
+
+    Mirrors ``create_ids`` (bagh/batch.py:24-32): split both columns on
+    '|', zip pairwise, map each pair through ``create_id``. Divergence
+    (documented in SURVEY.md §7): the reference would IndexError when the
+    volgnummer list is shorter; we zip-to-longest with NULL fill, and a
+    NULL on either side yields a NULL element (then compacted out).
+    """
+    ids = F.split(_col(id_list), sep)
+    volgs = F.split(_col(volg_list), sep)
+    zipped = F.arrays_zip(ids.alias("i"), volgs.alias("v"))
+    mapped = F.transform(
+        zipped,
+        lambda p: F.when(
+            p["i"].isNotNull()
+            & (p["i"] != "")
+            & p["v"].isNotNull()
+            & (p["v"] != ""),
+            F.format_string("%s_%03d", p["i"], p["v"].cast("int")),
+        ),
+    )
+    return F.filter(mapped, lambda x: x.isNotNull())
+
+
+def int_or_none(col: Column | str) -> Column:
+    """Digits-only string → int, else NULL (bagh/batch.py:35-39).
+
+    ``v.isdigit()`` in the reference accepts only [0-9]+ — so '-3',
+    '1.5', 'abc', '' all map to NULL. ``try_cast`` would accept '-3';
+    the rlike guard keeps exact parity.
+    """
+    c = _col(col)
+    return F.when(c.rlike("^[0-9]+$"), c.cast("int"))
+
+
+def parse_date(col: Column | str) -> Column:
+    """ISO date from the first 10 chars; '' → NULL (batch/csv.py:21-26)."""
+    c = empty_to_null(_col(col))
+    return F.to_date(F.substring(c, 1, 10), "yyyy-MM-dd")
+
+
+def parse_date_time(col: Column | str) -> Column:
+    """len>10 → ISO timestamp, else midnight of ISO date (batch/csv.py:12-18).
+
+    The reference returns datetime.date for short strings and
+    datetime.datetime for long ones; a DataFrame column must be one
+    type, so we unify to TimestampType (midnight for bare dates) —
+    divergence documented in SURVEY.md §1.3.
+    """
+    c = empty_to_null(_col(col))
+    return F.when(F.length(c) > 10, F.to_timestamp(c)).otherwise(
+        F.to_timestamp(F.to_date(c, "yyyy-MM-dd"))
+    )
+
+
+def parse_yesno_boolean(col: Column | str) -> Column:
+    """Tri-state boolean: 'J'/'Y' → true, 'N' → false, else NULL.
+
+    (batch/csv.py:29-30). NULL must stay NULL — do not collapse to
+    false (SURVEY.md §7 hard part (d)).
+    """
+    c = _col(col)
+    return F.when(c.isin("J", "Y"), F.lit(True)).when(c == "N", F.lit(False))
+
+
+def valid_date_range(begin: Column | str, end: Column | str) -> Column:
+    """Row-validity predicate: end is NULL or begin <= end.
+
+    ``is_valid_date_range`` (batch/csv.py:33-34) as applied at
+    bagh/batch.py:160-164 — rows failing it are dropped (gate Q3).
+    A NULL begin passes (open start).
+    """
+    b, e = _col(begin), _col(end)
+    return e.isNull() | b.isNull() | (b <= e)
+
+
+def pipe_split(col: Column | str) -> Column:
+    """Pipe-list → array; ''/NULL → empty array (bagh/batch.py:547,556-558)."""
+    c = _col(col)
+    return F.when(c.isNull() | (c == ""), F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\|")
+    )

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five tiers, cheapest to most expensive (run in this order at scale —
+each tier shrinks the candidate set for the next):
+
+1. exact_dedup            hash groupBy on a normalization key; one shuffle
+2. simhash fingerprints   narrow projection (functions.text.simhash32)
+3. minhash_lsh_pairs      Spark ML MinHashLSH banding → bucket join
+4. ngram_jaccard_pairs    exact Jaccard on a blocked candidate set
+5. embedding near-dup     cosine over blocked pairs (operators.similarity)
+
+Scale notes: everything shuffles at most once on a dedup/band key.
+The pairwise joins are always *blocked* (LSH band, label, language) —
+never an unblocked O(n²) cross join. At 100 TB you'd additionally
+salt hot bands and cap per-bucket fan-out; the band-hash keyspace is
+uniform by construction so skew is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.text import bow_fingerprint, simhash32, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup: keep the min-id row per key (deterministic keeper).
+
+    Returns (key..., keeper_id, n_dups). One hash-aggregation shuffle;
+    map-side partial aggregation makes this robust to duplicate-heavy
+    inputs (the common case in web-scale corpora).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the bag-of-words md5 fingerprint (case/order-proof)."""
+    return exact_dedup(
+        df.withColumn("fingerprint", bow_fingerprint(text_col)),
+        ["fingerprint"],
+        id_col,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via SimHash banding + Hamming verify.
+
+    A 32-bit simhash is split into ``n_bands`` 8-bit bands; docs
+    sharing any band collide into a candidate bucket (guaranteed to
+    catch all pairs with < n_bands differing bits). Candidates are then
+    verified with an exact popcount. Join is on (band_idx, band_value)
+    — bounded buckets, no cross join.
+    """
+    from dso_import_spark.functions.text import hamming32
+
+    band_bits = 32 // n_bands
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash32(text_col).alias("simhash")
+    )
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("value"),
+                ),
+            )
+        ).alias("bv"),
+    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.value").alias("value"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn(
+        "hamming", hamming32(F.col("sh_a"), F.col("sh_b"))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity over blocked candidate pairs.
+
+    explode distinct tokens → self-join on (token, block) → per-pair
+    intersection count → |A∩B| / (|A|+|B|-|A∩B|). The block columns
+    bound the join fan-out; at scale you block on an LSH band instead
+    of metadata. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    block_cols = block_cols or []
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    words = toks.select(
+        "id", "n_toks", *block_cols, F.explode("toks").alias("word")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    join_cond = (F.col("a.word") == F.col("b.word")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    shared = (
+        a.join(b, join_cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via Spark ML MinHashLSH.
+
+    tokens → HashingTF binary vectors → MinHashLSH.approxSimilarityJoin.
+    The LSH banding turns the O(n²) similarity join into a bucketed
+    equi-join — the standard web-scale dedup shape. Deterministic for a
+    fixed seed. Returns (id_a, id_b, jaccard_distance).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
+    feat = tf.transform(docs)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(F.col("dist"), 4).alias("jaccard_distance"),
+        )
+    )

@@ -1,0 +1,158 @@
+"""SCD2-style incremental merge engine (SURVEY.md §2.4 J4-J6, §2.1 S10).
+
+The reference merges a staged temp table into the target with three SQL
+statements inside one transaction (bagh/batch.py:97-132):
+
+- J4 delete-detection: history must never lose rows — any existing id
+  absent from staging aborts the load (``:97-110``).
+- J5 insert-new: staged ids absent from existing are appended
+  (``:112-120``).
+- J6 update-changed: rows whose *whole tuple* differs (NULL-safe,
+  Postgres ``t IS DISTINCT FROM e``) get every non-PK column updated
+  (``:121-130``).
+
+Spark-first re-expression: one full-outer-shaped plan built from
+anti/inner joins on ``id`` producing (inserted, updated, unchanged)
+plus a MergeResult of counts, then an atomic overwrite of the target.
+NULL-safe whole-row comparison uses ``eqNullSafe`` over structs of the
+non-key columns — array columns included (struct equality recurses).
+
+Scale notes: both sides shuffle on ``id`` once; the three outputs are
+derived from the same joined relation so Catalyst reuses the exchange.
+At 100 TB the target would be a partitioned/bucketed table on ``id``
+so the merge join is co-located; with Delta available this whole module
+becomes ``MERGE INTO`` — the gate semantics (J4 as a pre-check) stay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MergePlan:
+    """Lazy merge outputs; nothing is executed until an action runs."""
+
+    inserted: DataFrame  # staged rows with no existing id (J5)
+    updated: DataFrame  # staged rows whose tuple differs from existing (J6)
+    unchanged: DataFrame  # existing rows identical in staging
+    deleted: DataFrame  # existing ids missing from staging (J4) — must be empty
+    merged: DataFrame  # the post-merge table contents
+
+
+def plan_merge(existing: DataFrame, staged: DataFrame, key: str = "id") -> MergePlan:
+    """Build the insert-new / update-changed / never-delete merge plan.
+
+    Column sets of both sides must match (enforced). The merged output
+    is existing-unchanged ∪ staged-changed ∪ staged-new — i.e. exactly
+    what Postgres holds after the reference's transaction.
+
+    The staged side is renamed (``__s_`` prefix) before joining, so the
+    plan stays unambiguous even when ``staged`` is derived from
+    ``existing`` itself (a self-join lineage Spark otherwise rejects).
+    """
+    if set(existing.columns) != set(staged.columns):
+        raise ValueError(
+            f"column mismatch: existing={sorted(existing.columns)} "
+            f"staged={sorted(staged.columns)}"
+        )
+    cols = existing.columns
+    non_key = [c for c in cols if c != key]
+    s = staged.select([F.col(c).alias(f"__s_{c}") for c in cols])
+    skey = F.col(f"__s_{key}")
+
+    inserted = s.join(existing, skey == existing[key], "left_anti").select(
+        [F.col(f"__s_{c}").alias(c) for c in cols]
+    )
+    deleted = existing.join(s, existing[key] == skey, "left_anti")
+
+    matched = s.join(existing, skey == existing[key], "inner")
+    # NULL-safe whole-tuple compare — Postgres `t IS DISTINCT FROM e`
+    # (bagh/batch.py:127); struct eqNullSafe recurses into arrays.
+    changed = ~F.struct(*[F.col(f"__s_{c}") for c in non_key]).eqNullSafe(
+        F.struct(*[F.col(c) for c in non_key])
+    )
+    updated = matched.filter(changed).select(
+        [F.col(f"__s_{c}").alias(c) for c in cols]
+    )
+    unchanged = matched.filter(~changed).select(cols)
+
+    merged = unchanged.unionByName(updated).unionByName(inserted)
+    return MergePlan(
+        inserted=inserted,
+        updated=updated,
+        unchanged=unchanged,
+        deleted=deleted,
+        merged=merged,
+    )
+
+
+@dataclass
+class MergeResult:
+    inserted: int
+    updated: int
+    deleted: int
+
+
+def execute_merge(
+    existing: DataFrame,
+    staged: DataFrame,
+    key: str = "id",
+    allow_delete: bool = False,
+) -> tuple[DataFrame, MergeResult]:
+    """Run the merge; raise on the never-delete invariant like the reference.
+
+    Returns (merged DataFrame, counts). The caller owns persisting
+    ``merged`` — when the target is also an input (overwrite-in-place),
+    write to a fresh location or checkpoint first (SURVEY.md §7 hard
+    part (c)): Spark reads lazily, so overwriting the files you are
+    reading corrupts the plan.
+    """
+    plan = plan_merge(existing, staged, key)
+    n_deleted = plan.deleted.count()
+    if n_deleted and not allow_delete:
+        raise ValueError(
+            f"gate Q4 failed: {n_deleted} existing rows missing from staging "
+            "(history table must never lose rows; bagh/batch.py:97-110)"
+        )
+    result = MergeResult(
+        inserted=plan.inserted.count(),
+        updated=plan.updated.count(),
+        deleted=n_deleted,
+    )
+    return plan.merged, result
+
+
+def replace_table(staged: DataFrame) -> DataFrame:
+    """S10 truncate-replace semantics (M:N bridge, bagh/batch.py:390-392).
+
+    In Spark the "transaction" is the atomic ``mode('overwrite')`` write
+    the caller performs; the operator itself is the identity over the
+    staged relation.
+    """
+    return staged
+
+
+def bridge_rows(
+    vbo: DataFrame,
+    id_col: str = "id",
+    array_col: str = "pand_ids",
+) -> DataFrame:
+    """X1: explode an id-array into M:N bridge rows (bagh/batch.py:396-431).
+
+    Output schema mirrors bagh_verblijfsobjectpandrelatie
+    (bagh_create.sql:325-333): surrogate ``id = {vbo_id}_{pand_id}``.
+    The reference buffers rows in a driver-side defaultdict and flushes
+    50k batches; here it is a narrow explode — no shuffle at all.
+    """
+    return vbo.select(
+        F.col(id_col).alias("verblijfsobject_id"),
+        F.explode(F.col(array_col)).alias("pand_id"),
+    ).select(
+        F.concat_ws("_", "verblijfsobject_id", "pand_id").alias("id"),
+        "verblijfsobject_id",
+        "pand_id",
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 extension).
+
+Two tiers:
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Query set × corpus join; fine when the query side is small or the
+  corpus is blocked. All math is Column expressions (functions.vectors).
+- ivf_topk: IVF-style scale path — k-means-ish coarse quantization
+  using per-label centroids (or computed centroids), broadcast to
+  prune the corpus to one cell per query before the exact rerank.
+  At 100 TB the corpus is partitioned by cell id, the centroid table
+  broadcasts, and each query scans ~1/n_cells of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.functions.vectors import as_double, cosine, dot, norm
+
+
+def _with_unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Pre-normalize: unit vector + keep norm; cosine becomes a dot."""
+    v = as_double(F.col(vec_col))
+    return df.withColumn(out, F.transform(v, lambda x: x / norm(v)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Deterministic rank: (rounded cosine desc, neighbor id asc).
+    Returns (query_id, rank, neighbor_id, cos_sim). Self-matches
+    (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def centroids_by_label(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector: posexplode → avg per (label, pos) → re-collect.
+
+    Two narrow aggregations; output is n_labels rows (broadcastable).
+    """
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 6,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: route each query to its nearest
+    centroid cell, exact-rerank only within that cell.
+
+    The centroid table broadcasts; the corpus joins on its own cell id
+    (label), so the expensive exact cosine runs against ~1/n_cells of
+    the corpus. Recall vs brute force is checked in tests against the
+    fixture's cluster labels.
+    """
+    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cent_sim").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "label")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    pairs = routed.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Blocked self-join (never unblocked O(n²)); returns
+    (id_a, id_b, cos_sim) with rounded cos_sim >= threshold.
+    """
+    cols = [F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_scale)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

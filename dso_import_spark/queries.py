@@ -1,0 +1,63 @@
+"""Named query registry: every operator exposed to the driver harness.
+
+Each entry pairs a Spark DataFrame callable ``(spark, sf_dir) -> DF``
+with an equivalent DuckDB ``oracle`` SQL string (or None for
+non-SQL-expressible operators, which get a weaker rows-only check).
+
+Determinism rules (the driver hash-compares values order-insensitively
+but exactly):
+- alias every computed column identically on both sides;
+- ROUND floating aggregates to a fixed scale on both sides (double
+  summation order differs between Spark partitions and DuckDB);
+- cast timestamps to DATE or strings where the value is date-like;
+- break ties deterministically (min/row_number with full ORDER BY).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL over pre-registered fixture views
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame callable."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+# importing the modules below populates REGISTRY via the decorator
+from dso_import_spark.queries_pkg import (  # noqa: E402,F401
+    core,
+    dedup,
+    ref_semantics,
+    similarity,
+    text,
+    windows,
+)

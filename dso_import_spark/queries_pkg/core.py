@@ -1,0 +1,443 @@
+"""Core relational operator queries (SURVEY.md §2.10 native-Spark surface).
+
+Scans, aggregations, joins (inner/semi/anti), set ops, rollup/cube,
+pivot, percentile, range join, JSON extraction — the query surface the
+reference lacks but our engine provides natively via Catalyst.
+
+Scale notes: every query here is pure DataFrame/SQL — filters and
+projections push to the parquet scan; small sides (region, nation,
+supplier, band literals) broadcast; aggregations get map-side partial
+aggregation. No Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan → filter → hash agg.",
+)
+def q01_pricing_summary(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, revenue, o_orderdate
+    FROM (
+      SELECT o.o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             CAST(o.o_orderdate AS DATE)                           AS o_orderdate,
+             row_number() OVER (
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                        o.o_orderkey
+             ) AS rn
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ) WHERE rn <= 10
+    """,
+    doc="TPC-H Q3-style: 3-way join → agg → deterministic top-10.",
+)
+def q03_top_revenue_orders(spark, sf_dir):
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    agg = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q05_nation_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="TPC-H Q5-style 6-table join; nation/region/supplier broadcast.",
+)
+def q05_nation_revenue(spark, sf_dir):
+    cust, orders, li, supp, nation, region = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10
+    """,
+    doc="TPC-H Q6-style: scan with pushed predicate → scalar agg.",
+)
+def q06_forecast_revenue(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "conditional_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                              AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_f_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregation (manual pivot) over order status.",
+)
+def conditional_agg_pivot(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    flag = lambda s: F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).cast(
+        "long"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        flag("F").alias("n_f"),
+        flag("O").alias("n_o"),
+        flag("P").alias("n_p"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+        ).alias("avg_f_price"),
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multiple count-distinct in one aggregation (expand-based plan).",
+)
+def distinct_agg(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_custs
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="EXISTS → left_semi join (J1 shape on TPC-H data).",
+)
+def semi_join_big_spenders(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+@query(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_custs
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="NOT EXISTS → left_anti join (J4/J5 shape).",
+)
+def anti_join_no_orders(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+@query(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'cust_only' AS which, n_nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'both' AS which, n_nationkey
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="EXCEPT / INTERSECT / UNION ALL set operations.",
+)
+def set_ops_nations(spark, sf_dir):
+    cust, supp = tables(spark, sf_dir, "customer", "supplier")
+    c = cust.select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = supp.select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    cust_only = c.exceptAll(s).withColumn("which", F.lit("cust_only"))
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    return cust_only.unionByName(both).select("which", "n_nationkey")
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT * 2 + grouping(l_linestatus)::INT AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping id disambiguating the NULL subtotal rows.",
+)
+def rollup_lineitem(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)::INT * 2 + grouping(o_orderpriority)::INT AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions with grouping id.",
+)
+def cube_orders(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot on linestatus (explicit value list → no extra pass).",
+)
+def pivot_returnflag(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select("l_returnflag", F.col("F"), F.col("O"))
+
+
+@query(
+    "percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (matches quantile_cont).",
+)
+def percentile_quantity(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0),
+             ('high', 1200.0, 1700.0), ('lux', 1700.0, 100000.0)
+    )
+    SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="Range (non-equi) join against a broadcast literal band table.",
+)
+def range_join_price_bands(spark, sf_dir):
+    (part,) = tables(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 500.0),
+            ("mid", 500.0, 1200.0),
+            ("high", 1200.0, 1700.0),
+            ("lux", 1700.0, 100000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON scalar extraction from the events.props string column.",
+)
+def json_extract_events(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "string_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8))            AS name8,
+           length(p_name)                         AS name_len,
+           round(sqrt(p_retailprice), 6)          AS price_sqrt,
+           round(ln(p_retailprice + 1), 6)        AS price_ln,
+           p_partkey % 7                          AS key_mod,
+           abs(p_size - 25)::BIGINT               AS size_dev,
+           concat(p_brand, '#', p_type)           AS brand_type
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    doc="Scalar string/math function surface in one projection.",
+)
+def string_math_funcs(spark, sf_dir):
+    (part,) = tables(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )

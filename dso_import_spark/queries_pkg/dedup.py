@@ -1,0 +1,134 @@
+"""Deduplication queries over the documents table (north-star surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.text import simhash32
+from dso_import_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique_texts,
+           (count(*) - count(DISTINCT text))::BIGINT AS n_exact_dups,
+           count(DISTINCT md5(text)) AS n_unique_hashes
+    FROM documents
+    """,
+    doc="Exact dedup summary: hash-groupBy duplicate detection.",
+)
+def dedup_exact_stats(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("n_exact_dups"),
+        F.countDistinct(F.md5("text")).alias("n_unique_hashes"),
+    )
+
+
+@query(
+    "dedup_prefix_groups",
+    oracle="""
+    SELECT fp, min(doc_id) AS keeper_id, count(*)::BIGINT AS n_dups
+    FROM (SELECT doc_id,
+                 lower(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+          FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+    doc="Normalized exact dedup: 5-word-prefix fingerprint groups with "
+    "deterministic min-id keeper (exact_dedup operator).",
+)
+def dedup_prefix_groups(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    fp = F.lower(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)))
+    groups = exact_dedup(docs.withColumn("fp", fp), ["fp"], "doc_id")
+    return groups.filter(F.col("n_dups") > 1).select(
+        "fp", "keeper_id", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sample_docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS n_a, b.n_toks AS n_b, count(*) AS n_shared
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(n_shared / (n_a + n_b - n_shared), 4) AS jaccard
+    FROM shared
+    WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5
+    """,
+    doc="Exact n-gram (word-set) Jaccard near-dup pairs, language-blocked "
+    "(ngram_jaccard_pairs operator).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_pairs(
+        sample, "text", "doc_id", block_cols=["lang"], threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 10 = 0),
+    raw_words AS (
+      SELECT doc_id, unnest(t) AS word FROM toks),
+    words AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      FROM raw_words),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM words, (SELECT unnest(generate_series(0, 31)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id, simhash FROM fp
+    """,
+    doc="32-bit SimHash document fingerprints (md5-derived word hashes; "
+    "functions.text.simhash32 — pure Column expressions, no shuffle).",
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", simhash32("text").alias("simhash"))
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # LSH banding is engine-specific; driver does rows-only check
+    doc="MinHash-LSH approximate near-dup pairs (Spark ML MinHashLSH, "
+    "seed=42; banding turns O(n²) into a bucketed equi-join).",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_pairs(sample, max_jaccard_distance=0.7)

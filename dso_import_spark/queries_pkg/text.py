@@ -1,0 +1,154 @@
+"""Text-analysis queries over the documents table (north-star surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.text import (
+    STOPWORDS,
+    avg_word_len,
+    bow_fingerprint,
+    bpe_token_estimate,
+    stopword_ratio,
+    token_count,
+)
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(ceil(length(text) / 4.0))::BIGINT AS est_bpe_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Whitespace token counting + BPE-ish estimate per language.",
+)
+def text_token_stats(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(bpe_token_estimate("text")).alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_ch
+      FROM documents WHERE doc_id % 25 = 0),
+    m AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_tokens,
+             round(len(list_filter(toks, w -> lower(w) IN ({_STOP_SQL})))
+                   / greatest(len(toks), 1), 4) AS stop_ratio,
+             round((n_ch - len(toks) + 1) / greatest(len(toks), 1)::DOUBLE, 4)
+               AS avg_word_len
+      FROM t)
+    SELECT doc_id, n_tokens, stop_ratio, avg_word_len,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + stop_ratio * 0.3
+                 + least(avg_word_len / 10.0, 1.0) * 0.2, 4) AS quality
+    FROM m
+    """,
+    doc="Composite quality score: length, stopword ratio, avg word length.",
+)
+def text_quality_scores(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 25 == 0)
+    n_tokens = token_count("text")
+    stop = F.round(stopword_ratio("text"), 4)
+    awl = F.round(
+        (F.length("text") - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        4,
+    )
+    m = sample.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop.alias("stop_ratio"),
+        awl.alias("avg_word_len"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.col("stop_ratio") * 0.3
+        + F.least(F.col("avg_word_len") / 10.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return m.withColumn("quality", quality)
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'and', 'of', 'a')))::BIGINT AS s_en,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('el', 'la', 'de', 'y')))::BIGINT   AS s_es,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('der', 'die', 'das', 'und')))::BIGINT AS s_de
+      FROM documents)
+    SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
+           count(*) AS n
+    FROM f GROUP BY 1, 2
+    """,
+    doc="n-gram/stopword-profile language-ID heuristic (deterministic "
+    "argmax with fixed tie-break order).",
+)
+def lang_id_heuristic(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("long")
+
+    f = docs.select(
+        "lang",
+        score(("the", "and", "of", "a")).alias("s_en"),
+        score(("el", "la", "de", "y")).alias("s_es"),
+        score(("der", "die", "das", "und")).alias("s_de"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return (
+        f.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    doc="Bag-of-words md5 document fingerprint (order-invariant identity).",
+)
+def doc_fingerprints(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", bow_fingerprint("text").alias("fingerprint"))
+    )

@@ -1,0 +1,190 @@
+"""Window / sessionization / as-of / time-bucket queries (SURVEY.md §2.10).
+
+All single-shuffle window formulations: partition by the entity key,
+sort by event time with full deterministic tie-breaks. The as-of join
+uses the union+last_value(IGNORE NULLS) pattern — the formulation that
+scales (one shuffle, no per-key loops, no range cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3 AND o_custkey % 10 = 0
+    """,
+    doc="Top-k per group via row_number (deterministic tie-break).",
+)
+def window_topk_per_group(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") % 10 == 0))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+    FROM lineitem WHERE l_suppkey % 25 = 0
+    """,
+    doc="Cumulative sum per supplier ordered by ship date.",
+)
+def running_sum(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.filter(F.col("l_suppkey") % 25 == 0)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_extendedprice").over(w), 2).alias("running_rev"),
+        )
+    )
+
+
+@query(
+    "lag_lead_delta",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_us / 1000000.0), 2) AS avg_gap_sec,
+           max(gap_us) AS max_gap_us
+    FROM (SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events)
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="lag/lead inter-event deltas per user (microsecond epochs).",
+)
+def lag_lead_delta(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        events.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg(F.col("gap_us") / 1000000.0), 2).alias("avg_gap_sec"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           sum(new_session)::BIGINT AS n_sessions,
+           count(*) AS n_events,
+           round(count(*) / sum(new_session)::DOUBLE, 4) AS avg_events_per_session
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap — the batch "
+    "formulation of session_window (streaming variant in streaming/).",
+)
+def sessionize_events(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.count(F.lit(1)) / F.sum("new_session").cast("double"), 4
+            ).alias("avg_events_per_session"),
+        )
+    )
+
+
+@query(
+    "tumbling_hour_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows (batch; streaming twin in "
+    "streaming_tumbling_hour).",
+)
+def tumbling_hour_window(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    bucket = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return events.groupBy(bucket.alias("bucket"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "asof_join_last_signup",
+    oracle="""
+    SELECT event_id AS error_id, user_id, asof_signup_id
+    FROM (SELECT event_id, user_id, event_type,
+                 last_value(CASE WHEN event_type = 'signup' THEN event_id END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+          FROM events)
+    WHERE event_type = 'error'
+    """,
+    doc="As-of join (error → most recent prior signup per user) via the "
+    "single-shuffle last_value(IGNORE NULLS) pattern.",
+)
+def asof_join_last_signup(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.last(
+        F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        events.withColumn("asof_signup_id", asof)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id", "asof_signup_id")
+    )
