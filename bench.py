@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative slice of the engine (scan/agg, multi-join,
+windows, sessionization, merge, dedup, JSON) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (forces materialization
+of every partition without driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dso_import_spark.queries import spark_queries  # noqa: E402
+from dso_import_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_revenue",
+    "q06_forecast_revenue",
+    "distinct_agg",
+    "window_topk_per_group",
+    "sessionize_events",
+    "tumbling_hour_window",
+    "temporal_overlap",
+    "merge_insert_update",
+    "fk_validation",
+    "explode_bridge",
+    "dedup_prefix_groups",
+    "dedup_ngram_jaccard",
+    "text_token_stats",
+    "json_extract_events",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("dso_import_spark_bench")
+    queries = spark_queries()
+    # warm up the JVM/scan path once so per-query numbers measure the
+    # engine, not first-touch classloading
+    queries["q06_forecast_revenue"](spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
