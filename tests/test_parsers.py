@@ -1,0 +1,178 @@
+"""Unit tests for scalar parsers (P2-P10) and WKT coercion (G1) against
+the exact edge cases visible in the reference code (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.geometry import coerce_wkt_value
+from dso_import_spark.functions.parsers import (
+    create_id,
+    create_ids,
+    int_or_none,
+    parse_date,
+    parse_date_time,
+    parse_yesno_boolean,
+    pipe_split,
+    valid_date_range,
+)
+
+
+def _eval(spark, col, data: list[tuple], schema: str):
+    df = spark.createDataFrame(data, schema)
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+def test_create_id(spark):
+    out = _eval(
+        spark,
+        create_id(F.col("i"), F.col("v")),
+        [("A1", 1), ("A1", 42), (None, 1), ("A1", None), ("A1", 1234)],
+        "i string, v int",
+    )
+    assert out == ["A1_001", "A1_042", None, None, "A1_1234"]
+
+
+def test_create_ids_zip(spark):
+    col = create_ids(F.col("ids"), F.col("volgs"))
+    out = _eval(
+        spark,
+        col,
+        [
+            ("X|Y", "1|2"),
+            ("X", "7"),
+            (None, None),
+            ("", ""),
+            ("X|Y", "1"),  # shorter volg list: zip-to-null, element dropped
+        ],
+        "ids string, volgs string",
+    )
+    assert out[0] == ["X_001", "Y_002"]
+    assert out[1] == ["X_007"]
+    assert out[2] is None or out[2] == []
+    assert out[3] == []
+    assert out[4] == ["X_001"]
+
+
+def test_int_or_none(spark):
+    out = _eval(
+        spark,
+        int_or_none(F.col("s")),
+        [("123",), ("0",), ("-3",), ("1.5",), ("abc",), ("",), (None,)],
+        "s string",
+    )
+    assert out == [123, 0, None, None, None, None, None]
+
+
+def test_parse_date(spark):
+    out = _eval(
+        spark,
+        parse_date(F.col("s")),
+        [("2020-01-31",), ("2020-01-31T12:00:00",), ("",), (None,)],
+        "s string",
+    )
+    assert [str(x) if x else x for x in out] == ["2020-01-31", "2020-01-31", None, None]
+
+
+def test_parse_date_time(spark):
+    out = _eval(
+        spark,
+        parse_date_time(F.col("s")),
+        [("2020-01-31",), ("2020-01-31T12:34:56",), ("",)],
+        "s string",
+    )
+    assert str(out[0]) == "2020-01-31 00:00:00"
+    assert str(out[1]) == "2020-01-31 12:34:56"
+    assert out[2] is None
+
+
+def test_parse_yesno_boolean(spark):
+    out = _eval(
+        spark,
+        parse_yesno_boolean(F.col("s")),
+        [("J",), ("Y",), ("N",), ("",), ("x",), (None,)],
+        "s string",
+    )
+    assert out == [True, True, False, None, None, None]
+
+
+def test_valid_date_range(spark):
+    out = _eval(
+        spark,
+        valid_date_range(F.to_date("b"), F.to_date("e")),
+        [
+            ("2020-01-01", "2020-06-01"),
+            ("2020-01-01", "2020-01-01"),
+            ("2020-06-01", "2020-01-01"),
+            ("2020-01-01", None),
+            (None, "2020-01-01"),
+        ],
+        "b string, e string",
+    )
+    assert out == [True, True, False, True, True]
+
+
+def test_pipe_split(spark):
+    out = _eval(
+        spark,
+        pipe_split(F.col("s")),
+        [("a|b",), ("a",), ("",), (None,)],
+        "s string",
+    )
+    assert out == [["a", "b"], ["a"], [], []]
+
+
+# --- G1 WKT coercion decision table (geo.py:52-78) ---
+
+POLY = "POLYGON((0 0, 0 1, 1 1, 0 0))"
+POLY_HOLES = "POLYGON((0 0, 0 9, 9 9, 0 0),(1 1, 1 2, 2 2, 1 1))"
+MPOLY = "MULTIPOLYGON(((0 0, 0 1, 1 1, 0 0)))"
+POINT = "POINT(4.5 -52.1)"
+LINE = "LINESTRING(0 0, 1 1)"
+MLINE = "MULTILINESTRING((0 0, 1 1))"
+
+
+@pytest.mark.parametrize(
+    "wkt,geotype,expected",
+    [
+        (POLY, "multipolygon", "MULTIPOLYGON(((0 0, 0 1, 1 1, 0 0)))"),
+        (POLY_HOLES, "multipolygon",
+         "MULTIPOLYGON(((0 0, 0 9, 9 9, 0 0),(1 1, 1 2, 2 2, 1 1)))"),
+        (MPOLY, "multipolygon", MPOLY),
+        (POINT, "multipolygon", None),  # reject wrong type
+        (LINE, "multipolygon", None),
+        (POLY, "polygon", POLY),
+        (MPOLY, "polygon", None),
+        (POINT, "point", POINT),
+        (POLY, "point", None),
+        (LINE, "multiline", "MULTILINESTRING((0 0, 1 1))"),
+        (MLINE, "multiline", MLINE),
+        (POINT, "multiline", None),
+        (POLY, "bogus_geotype", None),
+        ("", "multipolygon", None),
+        (None, "multipolygon", None),
+        ("POLYGON((0 0, 0 1", "multipolygon", None),  # unbalanced parens
+        ("POLYGON((0 0, banana))", "multipolygon", None),  # junk coords
+        ("FOO((0 0))", "multipolygon", None),  # unknown type
+    ],
+)
+def test_coerce_wkt_value(wkt, geotype, expected):
+    assert coerce_wkt_value(wkt, geotype) == expected
+
+
+def test_merge_nullsafe_array_compare(spark):
+    """J6: NULL-safe whole-row change detection includes array columns."""
+    from dso_import_spark.operators.merge import plan_merge
+
+    schema = "id string, tags array<string>, n int"
+    existing = spark.createDataFrame(
+        [("a", ["x"], 1), ("b", None, None), ("c", ["y"], 2)], schema
+    )
+    staged = spark.createDataFrame(
+        [("a", ["x"], 1), ("b", None, None), ("c", ["y", "z"], 2)], schema
+    )
+    plan = plan_merge(existing, staged)
+    assert plan.updated.count() == 1  # only c (array changed)
+    assert plan.unchanged.count() == 2  # NULL == NULL is not a change
+    assert plan.inserted.count() == 0
