@@ -1,0 +1,247 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media travel through the engine as an opaque ``binary`` payload column
+plus a typed metadata struct — the same shape a 100 TB training-data
+pipeline uses (parquet binary columns, per-row codec metadata). The
+reference has no media surface; this extends SURVEY.md §2.10's
+north-star inventory.
+
+Design for scale:
+- payload synthesis / metadata are pure Column expressions (JVM-side,
+  whole-stage codegen);
+- decode / feature-extract / frame-sample are Arrow-batched
+  ``mapInPandas`` / ``pandas_udf`` transforms — one Python roundtrip
+  per batch, never per row;
+- frame sampling explodes rows, so it is ``mapInPandas`` (schema- and
+  cardinality-changing), not a scalar UDF.
+
+Real codec decode (PIL / librosa / ffmpeg) is NOT available in this
+environment. ``decode_media`` therefore raises ``NotImplementedError``
+unless ``allow_fake=True``, in which case a deterministic fake decoder
+parses the synthetic ``DSO1`` header written by ``synthesize_media``.
+Everything around the stub — schema, batching, partitioning, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"DSO1"
+
+# unified metadata struct: nullable per-modality fields
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def media_type_expr(doc_id):
+    """Deterministic modality assignment for fixture docs (id mod 3)."""
+    return (
+        F.when(doc_id % 3 == 0, "image")
+        .when(doc_id % 3 == 1, "audio")
+        .otherwise("video")
+    )
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media rows from the ``documents`` fixture.
+
+    payload = ``DSO1`` magic + 1 media-type byte + the utf-8 text bytes.
+    All column expressions — stays inside whole-stage codegen; the
+    binary column is opaque to everything downstream, exactly like a
+    real jpeg/wav/mp4 blob would be.
+    """
+    doc_id = F.col("doc_id")
+    mt = media_type_expr(doc_id)
+    type_byte = (
+        F.when(mt == "image", F.lit(b"\x01"))
+        .when(mt == "audio", F.lit(b"\x02"))
+        .otherwise(F.lit(b"\x03"))
+    )
+    body = F.encode(F.col("text"), "UTF-8")
+    n = F.octet_length(body)
+    meta = F.struct(
+        F.when(mt == "image", F.pmod(doc_id, F.lit(64)).cast("int") + 16)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("width"),
+        F.when(mt == "image", F.pmod(doc_id, F.lit(48)).cast("int") + 16)
+        .otherwise(F.lit(None).cast("int"))
+        .alias("height"),
+        F.when(mt == "image", F.lit(3)).otherwise(F.lit(None).cast("int")).alias(
+            "channels"
+        ),
+        F.when(mt == "audio", F.lit(16000))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("sample_rate"),
+        F.when(mt == "video", (F.pmod(doc_id, F.lit(8)) + 2).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("n_frames"),
+    )
+    return documents.select(
+        doc_id,
+        mt.alias("media_type"),
+        F.concat(F.lit(MAGIC), type_byte, body).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+_TYPE_BYTES = {1: "image", 2: "audio", 3: "video"}
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Parse the synthetic DSO1 header; vectorized over one Arrow batch."""
+    out = {
+        "doc_id": pdf["doc_id"].astype("int64"),
+        "media_type": [],
+        "width": [],
+        "height": [],
+        "payload_bytes": [],
+        "mean_byte": [],
+    }
+    for payload in pdf["payload"]:
+        b = bytes(payload)
+        if b[:4] != MAGIC:
+            out["media_type"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["payload_bytes"].append(len(b))
+            out["mean_byte"].append(None)
+            continue
+        mt = _TYPE_BYTES.get(b[4])
+        body = b[5:]
+        out["media_type"].append(mt)
+        # fake "decode": derive dims from body length deterministically
+        out["width"].append(len(body) % 64 + 16 if mt == "image" else None)
+        out["height"].append(len(body) % 48 + 16 if mt == "image" else None)
+        out["payload_bytes"].append(len(b))
+        out["mean_byte"].append(
+            round(sum(body) / len(body), 6) if body else None
+        )
+    return pd.DataFrame(out)
+
+
+def decode_media(media: DataFrame, *, allow_fake: bool = False) -> DataFrame:
+    """Decode payloads to per-media stats via Arrow-batched mapInPandas.
+
+    Real codecs are not installed in this container; pass
+    ``allow_fake=True`` to use the deterministic DSO1 fake decoder.
+    The mapInPandas plumbing (schema, batch shape, projection pushdown
+    of only doc_id+payload) is identical for a real decoder.
+    """
+    try:  # real decode path, unavailable here by design
+        import PIL  # noqa: F401
+
+        have_codecs = True
+    except ImportError:
+        have_codecs = False
+    if not have_codecs and not allow_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/ffmpeg) not installed; "
+            "pass allow_fake=True for the deterministic stub decoder"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_decode_batch(pdf)
+
+    return media.select("doc_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def byte_histogram(payload: pd.Series) -> pd.Series:
+    """16-bin normalized byte histogram — a stand-in feature extractor.
+
+    Arrow-batched scalar pandas UDF: binary in, array<float> out; the
+    exact signature a real embedding/feature model would use.
+    """
+    import numpy as np
+
+    def hist(b) -> list[float]:
+        arr = np.frombuffer(bytes(b), dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * 16
+        h, _ = np.histogram(arr, bins=16, range=(0, 256))
+        return (h / arr.size).astype("float32").tolist()
+
+    return payload.map(hist)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """payload → 16-dim feature vector (JVM→Arrow→numpy→Arrow→JVM)."""
+    return media.select(
+        "doc_id", "media_type", byte_histogram(F.col("payload")).alias("features")
+    )
+
+
+def sample_frames(media: DataFrame, n_frames_default: int = 4) -> DataFrame:
+    """Split each video payload into evenly-sized frame slices.
+
+    Cardinality-changing (1 row → n frames) → ``mapInPandas``.
+    Frame i of n covers bytes [floor(i*L/n), floor((i+1)*L/n)).
+    Deterministic, so it is differentially testable against a SQL
+    substring oracle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_index": [], "frame": []}
+            for doc_id, payload, n in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                b = bytes(payload)
+                k = int(n) if n and n > 0 else n_frames_default
+                size = len(b)
+                for i in range(k):
+                    lo = i * size // k
+                    hi = (i + 1) * size // k
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_index"].append(i)
+                    rows["frame"].append(b[lo:hi])
+            yield pd.DataFrame(rows)
+
+    vids = media.filter(F.col("media_type") == "video").select(
+        "doc_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+    return vids.mapInPandas(gen, FRAME_SCHEMA)

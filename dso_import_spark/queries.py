@@ -56,6 +56,7 @@ def oracle_queries() -> dict[str, str]:
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     core,
     dedup,
+    multimodal,
     ref_semantics,
     similarity,
     text,

@@ -1,0 +1,128 @@
+"""Multimodal-column queries: binary payloads + typed metadata.
+
+Media synthesized deterministically from the ``documents`` fixture
+(payload = ``DSO1`` magic + type byte + utf-8 text — see
+operators/multimodal.py). The fixture text is pure ASCII, so DuckDB
+VARCHAR oracles can reproduce the byte-level semantics exactly
+(1 char == 1 byte) while Spark operates on true ``binary`` columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# payload reproduced as VARCHAR: 'DSO1' + chr(type) + text (ASCII-only)
+_ORACLE_PAYLOAD = """
+    'DSO1' || chr(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END)
+           || text
+"""
+
+
+@query(
+    "multimodal_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           length(text) + 5 AS payload_bytes,
+           sha256({_ORACLE_PAYLOAD}) AS payload_sha,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 16 END AS width,
+           CASE WHEN doc_id % 3 = 1 THEN 16000 END AS sample_rate
+    FROM documents
+    """,
+    doc="Opaque binary payload + typed metadata struct: length, sha-256 "
+    "content hash, per-modality metadata fields. All JVM-side column "
+    "expressions (synthesize_media operator).",
+)
+def multimodal_metadata(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.sample_rate").cast("long").alias("sample_rate"),
+    )
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CASE WHEN doc_id % 3 = 0 THEN length(text) % 64 + 16 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN length(text) % 48 + 16 END AS height,
+           length(text) + 5 AS payload_bytes
+    FROM documents
+    """,
+    doc="Arrow-batched mapInPandas decode (stub codec behind "
+    "allow_fake=True — real PIL/ffmpeg not in container): parses the "
+    "payload header, emits per-media decoded dimensions.",
+)
+def multimodal_decode_stats(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs), allow_fake=True)
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "payload_bytes",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, {_ORACLE_PAYLOAD} AS payload,
+             doc_id % 8 + 2 AS k, length(text) + 5 AS size
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT v.doc_id, g.i::INT AS frame_index,
+           lower(hex(substring(v.payload, (g.i * v.size // v.k)::INT + 1,
+                 ((g.i + 1) * v.size // v.k - g.i * v.size // v.k)::INT)))
+               AS frame_hex
+    FROM v JOIN generate_series(0, 9) g(i) ON g.i < v.k
+    """,
+    doc="Video frame sampling: 1 row → n_frames byte slices via "
+    "mapInPandas (cardinality-changing; sample_frames operator). "
+    "Frames hex-encoded for engine-neutral comparison.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs))
+    return frames.select(
+        "doc_id", "frame_index", F.lower(F.hex("frame")).alias("frame_hex")
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # numpy-histogram features; cross-checked in tests/
+    doc="Feature extraction: binary payload → 16-dim byte-histogram "
+    "vector via Arrow-batched scalar pandas UDF (byte_histogram), the "
+    "signature a real embedding model plugs into.",
+)
+def multimodal_features(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+        F.round(F.array_max("features").cast("double"), 4).alias("feature_max"),
+    )

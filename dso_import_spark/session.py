@@ -48,4 +48,7 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from dso_import_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
     return spark

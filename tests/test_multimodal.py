@@ -1,0 +1,97 @@
+"""Multimodal operator tests: binary payload plumbing, stubbed decode,
+Arrow-batched feature extraction, cardinality-changing frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dso_import_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from dso_import_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synthesize_media(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_payload_layout(media, spark, sf_dir):
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf_dir, "documents").collect()}
+    rows = media.collect()
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        b = bytes(r["payload"])
+        assert b[:4] == b"DSO1"
+        assert b[5:] == docs[r["doc_id"]].encode()
+        assert b[4] == {"image": 1, "audio": 2, "video": 3}[r["media_type"]]
+
+
+def test_metadata_typed_per_modality(media):
+    img = media.filter("media_type = 'image'").select("meta.*").collect()
+    assert all(r["width"] >= 16 and r["channels"] == 3 for r in img)
+    aud = media.filter("media_type = 'audio'").select("meta.*").collect()
+    assert all(r["sample_rate"] == 16000 and r["width"] is None for r in aud)
+    vid = media.filter("media_type = 'video'").select("meta.*").collect()
+    assert all(2 <= r["n_frames"] <= 9 for r in vid)
+
+
+def test_decode_requires_explicit_fake_optin(media):
+    with pytest.raises(NotImplementedError, match="allow_fake"):
+        decode_media(media).collect()
+
+
+def test_fake_decode_matches_python(media):
+    decoded = {r["doc_id"]: r for r in
+               decode_media(media, allow_fake=True).collect()}
+    for r in media.limit(30).collect():
+        b = bytes(r["payload"])
+        d = decoded[r["doc_id"]]
+        assert d["media_type"] == r["media_type"]
+        assert d["payload_bytes"] == len(b)
+        assert d["mean_byte"] == pytest.approx(
+            round(sum(b[5:]) / len(b[5:]), 6))
+
+
+def test_byte_histogram_matches_numpy(media):
+    feats = {r["doc_id"]: r["features"] for r in
+             extract_features(media).collect()}
+    for r in media.limit(20).collect():
+        arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        h, _ = np.histogram(arr, bins=16, range=(0, 256))
+        expect = (h / arr.size).astype("float32")
+        got = np.array(feats[r["doc_id"]], dtype="float32")
+        assert np.allclose(got, expect)
+        assert got.sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_frame_sample_reassembles_payload(media):
+    frames = sample_frames(media).collect()
+    vids = {r["doc_id"]: r for r in
+            media.filter("media_type = 'video'").collect()}
+    by_doc: dict[int, list] = {}
+    for f in frames:
+        by_doc.setdefault(f["doc_id"], []).append(f)
+    assert set(by_doc) == set(vids)
+    for doc_id, fs in by_doc.items():
+        fs.sort(key=lambda f: f["frame_index"])
+        assert len(fs) == vids[doc_id]["meta"]["n_frames"]
+        joined = b"".join(bytes(f["frame"]) for f in fs)
+        assert joined == bytes(vids[doc_id]["payload"])
+
+
+def test_payload_sha_stable(media):
+    got = media.select(
+        "doc_id", F.sha2("payload", 256).alias("sha")).limit(10).collect()
+    raw = {r["doc_id"]: bytes(r["payload"])
+           for r in media.limit(10).collect()}
+    for r in got:
+        assert r["sha"] == hashlib.sha256(raw[r["doc_id"]]).hexdigest()
