@@ -1,0 +1,209 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference is batch-only (SURVEY.md §2.10: no streaming surface);
+this is the north-star extension expressed the Spark-native way:
+``readStream`` source → watermarked event-time transformations →
+``writeStream`` sink. Every operator here is the streaming twin of a
+batch registry query (tumbling_hour_window, sessionize_events,
+running_sum), and tests assert stream/batch parity by draining the
+stream with ``trigger(availableNow=True)`` — the replay-a-table mode
+that also backfills historical data on a real cluster.
+
+Scale notes:
+- watermarks bound state: an unbounded ``groupBy(window(...))`` would
+  otherwise accumulate state forever at 100 TB/day rates;
+- ``applyInPandasWithState`` keys state by user and processes Arrow
+  batches — per-group state lives on executors, never the driver;
+- file sources use ``maxFilesPerTrigger`` for ingest back-pressure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
+# (like the batch one, sources/registry.py) reads it as long under
+# nanosAsLong and truncates to microseconds.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file stream source requires a *directory* (new files land
+    there over time). The fixture is a single read-only parquet file,
+    so stage a directory of symlinks next to it in tmp."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dso-stream-{abs(hash(os.path.abspath(path)))%10**10}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(path), link)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events parquet as an unbounded stream (file source).
+
+    On a real deployment the path is a landing directory that new
+    files arrive into; ``availableNow`` replays what exists today.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation.
+
+    Streaming twin of the ``tumbling_hour_window`` batch query: the
+    watermark lets Spark finalize+evict window state once event time
+    passes window_end + watermark — bounded state at any scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session-window aggregation (session_window gap
+    semantics identical to the batch ``sessionize_events`` query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTAL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches via ``applyInPandasWithState``.
+
+    State (count, sum) is keyed by user and partitioned across
+    executors; each trigger emits one updated row per user seen in the
+    batch. This is the Spark-native form of a keyed accumulator that a
+    hand-rolled engine would implement as a stateful operator.
+    """
+
+    def update(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts": [last_ts],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_to_memory(
+    stream: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DF to completion with availableNow → memory sink.
+
+    Test/backfill harness: processes everything currently in the
+    source, then stops. Returns a batch DF over the sink table.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

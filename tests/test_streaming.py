@@ -1,0 +1,92 @@
+"""Structured Streaming tests: stream/batch parity via availableNow.
+
+Each streaming operator is drained with trigger(availableNow=True)
+into a memory sink and compared against the equivalent batch
+DataFrame computation over the same events fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.sources.registry import load_table
+from dso_import_spark.streaming.events import (
+    drain_to_memory,
+    read_events_stream,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_counts_parity(spark, sf_dir, batch_events):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    got = drain_to_memory(stream, "t_tumbling", "complete")
+    expect = (
+        batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert _rows(got, "window_start", "event_type") == _rows(
+        expect, "window_start", "event_type"
+    )
+
+
+def test_session_counts_parity(spark, sf_dir, batch_events):
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    got = drain_to_memory(stream, "t_sessions", "complete")
+    expect = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert _rows(got, "session_start", "user_id") == _rows(
+        expect, "session_start", "user_id"
+    )
+
+
+def test_running_user_totals_stateful(spark, sf_dir, batch_events):
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    got = drain_to_memory(stream, "t_totals", "update")
+    # update-mode sink: keep the LAST emitted row per user (final state)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    expect = batch_events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _rows(final, "user_id") == _rows(expect, "user_id")
+
+
+def test_watermark_in_plan(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
