@@ -98,10 +98,11 @@ def q03_top_revenue_orders(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # global top-k via TakeOrderedAndProject (per-partition heaps +
+    # driver merge of k rows) — never a single-partition Window
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", "revenue", "o_orderdate")
     )
 
