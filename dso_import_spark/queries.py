@@ -58,6 +58,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     dedup,
     multimodal,
     ref_semantics,
+    scale,
     similarity,
     text,
     windows,

@@ -152,3 +152,54 @@ def doc_fingerprints(spark, sf_dir):
         docs.filter(F.col("doc_id") % 25 == 0)
         .select("doc_id", bow_fingerprint("text").alias("fingerprint"))
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rnk
+    FROM (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3 AND doc_id % 50 = 0
+    """,
+    doc="Exact TF-IDF (tf * ln(N/df)) with top-3 terms per sampled doc. "
+    "Document frequency is one broadcastable agg over exploded tokens; "
+    "no MLlib fit step, pure DataFrame ops.",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the one driver-side value allowed
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 50 == 0))
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
