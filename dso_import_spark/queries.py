@@ -60,6 +60,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     ref_semantics,
     scale,
     similarity,
+    streaming_queries,
     text,
     windows,
 )

@@ -1,0 +1,116 @@
+"""Streaming operators exposed to the differential harness.
+
+Each query builds a real Structured Streaming DAG (readStream file
+source → watermarked stateful transform), drains it with
+``trigger(availableNow=True)`` into a memory sink, and returns the
+sink as a batch DataFrame — so the streaming engine's results are
+hash-compared against DuckDB oracles exactly like batch queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.queries import query
+from dso_import_spark.ship import ensure_shipped
+from dso_import_spark.streaming.events import (
+    drain_to_memory,
+    read_events_stream,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _stream(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_shipped(spark)
+    return read_events_stream(spark, sf_dir)
+
+
+@query(
+    "stream_tumbling_hour",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming watermarked tumbling window (complete "
+    "mode, availableNow replay) — same result as the batch "
+    "tumbling_hour_window formulation.",
+)
+def stream_tumbling_hour(spark, sf_dir):
+    out = drain_to_memory(
+        tumbling_counts(_stream(spark, sf_dir)), "q_stream_tumbling", "complete"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Structured Streaming session_window (30-minute gap) — the "
+    "gaps-and-islands batch SQL is the oracle.",
+)
+def stream_session_windows(spark, sf_dir):
+    out = drain_to_memory(
+        session_counts(_stream(spark, sf_dir)), "q_stream_sessions", "complete"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState "
+    "keyed running totals, update mode); final state per user equals "
+    "the batch aggregate.",
+)
+def stream_user_totals(spark, sf_dir):
+    out = drain_to_memory(
+        running_user_totals(_stream(spark, sf_dir)), "q_stream_totals", "update"
+    )
+    # update-mode sink holds one row per (user, trigger); keep the final
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_events",
+            "total_value",
+        )
+    )
