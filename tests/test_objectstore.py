@@ -1,0 +1,51 @@
+"""Object-store fetch utility: freshness cache + mtime restore."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from dso_import_spark.sources.objectstore import fetch, is_fresh
+
+
+def _make_src(tmp_path, name="data.csv", content=b"a;b\n1;2\n"):
+    src = tmp_path / "remote" / name
+    src.parent.mkdir(exist_ok=True)
+    src.write_bytes(content)
+    return src
+
+
+def test_fetch_downloads_and_restores_mtime(tmp_path):
+    src = _make_src(tmp_path)
+    old = time.time() - 90000  # remote object is ~25h old
+    os.utime(src, (old, old))
+    dest = tmp_path / "data"
+    local = fetch(src.as_uri(), str(dest))
+    assert open(local, "rb").read() == b"a;b\n1;2\n"
+    assert abs(os.path.getmtime(local) - old) < 2  # mtime restored
+
+
+def test_fresh_copy_skips_download(tmp_path):
+    src = _make_src(tmp_path)
+    dest = tmp_path / "data"
+    local = fetch(src.as_uri(), str(dest), restore_mtime=False)
+    src.write_bytes(b"CHANGED")
+    # fresh local copy → no re-download, old content kept
+    assert fetch(src.as_uri(), str(dest), restore_mtime=False) == local
+    assert open(local, "rb").read() == b"a;b\n1;2\n"
+
+
+def test_stale_copy_refetches(tmp_path):
+    src = _make_src(tmp_path)
+    dest = tmp_path / "data"
+    local = fetch(src.as_uri(), str(dest), restore_mtime=False)
+    old = time.time() - 90000
+    os.utime(local, (old, old))
+    src.write_bytes(b"CHANGED")
+    assert not is_fresh(local)
+    fetch(src.as_uri(), str(dest), restore_mtime=False)
+    assert open(local, "rb").read() == b"CHANGED"
+
+
+def test_is_fresh_missing_file(tmp_path):
+    assert not is_fresh(str(tmp_path / "nope.csv"))
