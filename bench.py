@@ -42,6 +42,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_token_stats",
     "json_extract_events",
+    "q04_order_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "text_tfidf_top_terms",
+    "doc_chunking",
+    "salted_join_revenue",
+    "ann_brute_force_topk",
+    "multimodal_decode_stats",
 ]
 
 

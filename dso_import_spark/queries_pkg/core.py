@@ -442,3 +442,85 @@ def string_math_funcs(spark, sf_dir):
         F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
     )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style: EXISTS decorrelated to a left-semi join with a "
+    "non-equi residual predicate.",
+)
+def q04_order_priority(spark, sf_dir):
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_limit
+    """,
+    doc="TPC-H Q17-style: correlated scalar subquery decorrelated to a "
+    "per-part aggregate joined back (broadcast both small sides).",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    limits = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(F.broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18-style: group-having as the build side of the join "
+    "(aggregate before join shrinks the shuffle).",
+)
+def q18_large_orders(spark, sf_dir):
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 300)
+    )
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )

@@ -203,3 +203,49 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 50 == 0))
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id % 10 = 0),
+    starts AS (
+      SELECT doc_id, words, n, unnest(range(1, n + 1, 25)) AS start FROM w)
+    SELECT doc_id, ((start - 1) / 25)::INT AS chunk_index,
+           least(50, n - start + 1)::BIGINT AS n_words,
+           md5(array_to_string(words[start : least(start + 49, n)], ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    doc="Overlapping sliding-window document chunking (50-word chunks, "
+    "25-word stride) for training-data prep — pure expressions "
+    "(split/sequence/posexplode/slice), no Python per row.",
+)
+def doc_chunking(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("words"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    starts = w.select(
+        "doc_id",
+        "words",
+        "n",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(25))).alias(
+            "chunk_index", "start"
+        ),
+    )
+    return starts.select(
+        "doc_id",
+        "chunk_index",
+        F.least(F.lit(50), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_words"),
+        F.md5(F.concat_ws(" ", F.slice("words", F.col("start"), 50))).alias(
+            "chunk_md5"
+        ),
+    )
