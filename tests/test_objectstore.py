@@ -49,3 +49,16 @@ def test_stale_copy_refetches(tmp_path):
 
 def test_is_fresh_missing_file(tmp_path):
     assert not is_fresh(str(tmp_path / "nope.csv"))
+
+
+def test_read_wkt_file(spark, tmp_path):
+    """S3: pipe-delimited (id, wkt) scan (reference batch/geo.py:20-32)."""
+    from dso_import_spark.sources.csv import read_wkt_file
+
+    p = tmp_path / "geo.dat"
+    p.write_text("A1|POINT (1 2)\nA2|POLYGON ((0 0, 1 0, 1 1, 0 0))\n")
+    rows = {r["id"]: r["wkt"] for r in read_wkt_file(spark, str(p)).collect()}
+    assert rows == {
+        "A1": "POINT (1 2)",
+        "A2": "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+    }

@@ -1,0 +1,86 @@
+"""Physical-plan quality assertions.
+
+Correctness tests prove the right rows come out; these prove the right
+PLAN produces them — pushed filters, pruned scans, broadcast joins,
+partial aggregation, whole-stage codegen. A regression here is a
+100 TB problem long before it is a local failure.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dso_import_spark.queries import spark_queries
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return spark_queries()
+
+
+def test_q06_pushes_filters_and_prunes_columns(spark, sf_dir, qs):
+    plan = plan_of(qs["q06_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters", 1)[1][:400]
+    # scan reads only the three needed columns, not the full table
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" in read and "l_shipdate" not in read
+
+
+def test_q01_has_partial_aggregation_and_codegen(spark, sf_dir, qs):
+    df = qs["q01_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    # map-side partial + final: two HashAggregate nodes around the shuffle
+    assert plan.count("HashAggregate") >= 2
+    # AQE finalizes the plan only on execution; codegen is visible after
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" marks whole-stage-codegen stages; partial_sum proves
+    # map-side combine before the shuffle
+    assert "*(1)" in executed and "partial_sum" in executed
+
+
+def test_fk_validation_uses_broadcast_semi_join(spark, sf_dir, qs):
+    plan = plan_of(qs["fk_validation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_broadcast(spark, sf_dir, qs):
+    plan = plan_of(qs["anti_join_no_orders"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_doc_chunking_has_no_shuffle(spark, sf_dir, qs):
+    # chunking is embarrassingly parallel: explode must not repartition
+    plan = plan_of(qs["doc_chunking"](spark, sf_dir))
+    assert "Generate" in plan  # posexplode
+    assert "Exchange" not in plan
+
+
+def test_q05_broadcasts_all_dimensions(spark, sf_dir, qs):
+    plan = plan_of(qs["q05_nation_revenue"](spark, sf_dir))
+    # supplier, nation, region all broadcast — no shuffle join for dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, qs):
+    plan = plan_of(qs["q03_top_revenue_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # and no single-partition window for the global top-k
+    assert "Window" not in plan
+
+
+def test_tfidf_df_side_is_broadcast(spark, sf_dir, qs):
+    plan = plan_of(qs["text_tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
