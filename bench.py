@@ -43,8 +43,10 @@ HEADLINE = [
     "text_token_stats",
     "json_extract_events",
     "q04_order_priority",
+    "q08_market_share",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "text_tfidf_top_terms",
     "doc_chunking",
     "salted_join_revenue",

@@ -62,5 +62,6 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     similarity,
     streaming_queries,
     text,
+    tpch_rest,
     windows,
 )

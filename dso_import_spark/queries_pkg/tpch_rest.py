@@ -1,0 +1,646 @@
+"""Remaining TPC-H query shapes (Q2, Q7-Q16, Q19-Q22), adapted.
+
+The driver fixtures are TPC-H-ish but reduced: no ``partsupp`` table,
+and several columns (l_commitdate/l_receiptdate, l_shipmode,
+p_container, c_phone, comments) are absent. Each query below keeps the
+*plan shape* of its TPC-H namesake — the joins, correlation pattern,
+and aggregation structure that stress the optimizer — re-targeted at
+the columns that exist. Where the original needs partsupp, the
+(l_partkey, l_suppkey) pairs from lineitem stand in as the
+part-supplier catalog.
+
+Scale notes (100 TB posture):
+- every decorrelated scalar subquery (Q11, Q14, Q15, Q22) becomes an
+  aggregate joined back via broadcast — one extra stage, no driver
+  collect;
+- min/arg-min selections (Q2, Q15) use per-group aggregation + a
+  broadcast join back, not a global window;
+- the fact table is always the probe side; dimension/derived sides
+  broadcast while small and flip to shuffle joins via AQE statistics
+  at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH catalog AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), ranked AS (
+      SELECT p.p_partkey, p.p_type, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM part p
+      JOIN catalog c ON c.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_type, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+    doc="TPC-H Q2-style arg-max selection: for each qualifying part pick "
+    "the best supplier (acctbal stands in for ps_supplycost; the "
+    "distinct lineitem pair-set stands in for partsupp).",
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    part, supp, li = tables(spark, sf_dir, "part", "supplier", "lineitem")
+    catalog = li.select("l_partkey", "l_suppkey").distinct()
+    qualifying = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_type")
+    joined = (
+        catalog.join(F.broadcast(qualifying), catalog.l_partkey == qualifying.p_partkey)
+        .join(F.broadcast(supp), catalog.l_suppkey == supp.s_suppkey)
+    )
+    # per-part arg-max: window over the (small) qualifying subset; the
+    # partition key is the part key so the shuffle is on the group key,
+    # never a single global partition
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_type", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+    )
+
+
+@query(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::INT AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7-style bidirectional nation-pair trade volume by year; "
+    "both nation aliases broadcast, disjunctive pair filter after.",
+)
+def q07_volume_shipping(spark, sf_dir):
+    li, orders, cust, supp, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == supp.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == cust.c_nationkey)
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate)::INT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) GROUP BY o_year
+    """,
+    doc="TPC-H Q8-style market share: one nation's fraction of regional "
+    "order volume for a part type, per year (conditional-sum ratio).",
+)
+def q08_market_share(spark, sf_dir):
+    li, orders, cust, supp, nation, region, part = tables(
+        spark,
+        sf_dir,
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "nation",
+        "region",
+        "part",
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA")
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = (
+        li.join(F.broadcast(econ), econ.p_partkey == li.l_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n2), F.col("n2_key") == cust.c_nationkey)
+        .join(F.broadcast(asia), asia.r_regionkey == F.col("n2_region"))
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == supp.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _revenue().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q09_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9-style profit by supplier nation and year for parts "
+    "matching a name pattern (no ps_supplycost in fixtures; revenue "
+    "stands in for profit).",
+)
+def q09_product_type_profit(spark, sf_dir):
+    li, part, supp, nation, orders = tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders"
+    )
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    return (
+        li.join(F.broadcast(red), red.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, n_name
+    FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             row_number() OVER (
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                        c.c_custkey) AS rn
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) WHERE rn <= 20
+    """,
+    doc="TPC-H Q10-style: top-20 customers by returned-item revenue in a "
+    "quarter; deterministic tie-break, TakeOrderedAndProject top-k.",
+)
+def q10_returned_items(spark, sf_dir):
+    cust, orders, li, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(window_orders, window_orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == window_orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "q11_important_balances",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name, sum(s.s_acctbal) AS bal
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, round(bal, 2) AS bal
+    FROM nat, (SELECT sum(s_acctbal) AS total FROM supplier) t
+    WHERE bal > 0.04 * t.total
+    """,
+    doc="TPC-H Q11-style 'important stock': groups whose share exceeds a "
+    "fraction of the global total (scalar subquery → broadcast join).",
+)
+def q11_important_balances(spark, sf_dir):
+    supp, nation = tables(spark, sf_dir, "supplier", "nation")
+    nat = (
+        supp.join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("bal"))
+    )
+    total = supp.agg(F.sum("s_acctbal").alias("total"))
+    return (
+        nat.join(F.broadcast(total))
+        .filter(F.col("bal") > 0.04 * F.col("total"))
+        .select("n_name", F.round("bal", 2).alias("bal"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12-style: late shipments (shipdate > orderdate + 60d "
+    "stands in for receipt/commit dates) split by order priority.",
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13-style customer order-count histogram: left outer join "
+    "with a join-side filter, then a second aggregation over counts.",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            orders.o_custkey == cust.c_custkey,
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14-style promo revenue percentage in one month "
+    "(conditional-sum ratio; part side broadcast).",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        month.join(F.broadcast(part.select("p_partkey", "p_type")), month.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
+                )
+                / F.sum(_revenue()),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15-style top supplier: revenue view + scalar-max "
+    "subquery decorrelated to an aggregate broadcast-joined back.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue == F.col("max_rev"))
+        .join(F.broadcast(supp), supp.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH catalog AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT c.l_suppkey) AS supplier_cnt
+    FROM catalog c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND c.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16-style supplier counts per part attribute with a "
+    "NOT-IN exclusion (anti-join against flagged suppliers; the "
+    "distinct lineitem pair-set stands in for partsupp).",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    li, part, supp = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    catalog = li.select("l_partkey", "l_suppkey").distinct()
+    wanted = part.filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        catalog.join(F.broadcast(wanted), wanted.p_partkey == catalog.l_partkey)
+        .join(F.broadcast(flagged), flagged.s_suppkey == catalog.l_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19-style disjunctive multi-band predicate across the "
+    "join (brand/size/quantity bands; container/shipmode absent).",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == li.l_partkey,
+    )
+    band = lambda brand, szlo, szhi, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(szlo, szhi)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return j.filter(
+        band("Brand#1", 1, 5, 1, 11)
+        | band("Brand#2", 1, 10, 10, 20)
+        | band("Brand#3", 1, 15, 20, 30)
+    ).agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (
+        SELECT 1 FROM shipped sh
+        JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE sh.l_suppkey = s.s_suppkey
+          AND p.p_type = 'PROMO'
+          AND sh.qty > 50
+      )
+    """,
+    doc="TPC-H Q20-style: suppliers who moved significant volume of "
+    "promo parts in a year, in selected nations (nested EXISTS over an "
+    "aggregate → semi-join chain).",
+)
+def q20_part_promotion_suppliers(spark, sf_dir):
+    li, supp, nation, part = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "part"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    movers = (
+        shipped.filter(F.col("qty") > 50)
+        .join(F.broadcast(promo), promo.p_partkey == shipped.l_partkey)
+        .select("l_suppkey")
+    )
+    nations = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    return (
+        supp.join(movers, movers.l_suppkey == supp.s_suppkey, "left_semi")
+        .join(F.broadcast(nations), nations.n_nationkey == supp.s_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    ), multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ), sole_late AS (
+      SELECT l_orderkey FROM late
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN multi m     ON m.l_orderkey = late.l_orderkey
+    JOIN sole_late x ON x.l_orderkey = late.l_orderkey
+    JOIN supplier s  ON s.s_suppkey = late.l_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21-style 'suppliers who kept orders waiting': the only "
+    "late supplier on multi-supplier finished orders (exists + "
+    "not-exists re-expressed as per-order distinct-supplier counts — "
+    "two aggregates instead of two correlated self-joins).",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li, orders, supp = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(finished, finished.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy(F.col("l_orderkey").alias("lo"))
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("lo")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(sole_late, sole_late.lo == late.l_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == late.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22-style: well-funded customers with no orders, per "
+    "nation (scalar avg broadcast + anti-join; phone prefix absent).",
+)
+def q22_idle_customers(spark, sf_dir):
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, orders.o_custkey == cust.c_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
