@@ -56,6 +56,7 @@ def oracle_queries() -> dict[str, str]:
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     core,
     dedup,
+    extras,
     multimodal,
     ref_semantics,
     scale,

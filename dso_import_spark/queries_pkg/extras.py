@@ -1,0 +1,226 @@
+"""Gap-closing queries: geometry coercion (G1), date parsers (P5/P6),
+deterministic train/test hash split, and near-dup cluster components.
+
+- ``wkt_coerce_geometries`` runs the real pandas-UDF WKT coercion
+  (functions/geometry.py, reference batch/geo.py:52-78) over
+  deterministically synthesized WKT; the DuckDB oracle hand-codes the
+  G1 decision table, so this is a true differential check of the UDF.
+- ``date_parse_variants`` exercises parse_date / parse_date_time
+  (reference batch/csv.py:12-26) on round-tripped strings.
+- ``hash_split_train_test`` is the LLM-pipeline 80/10/10 split: a pure
+  arithmetic hash both engines compute identically — at 100 TB this is
+  a stateless map, no shuffle, and the split is stable across runs and
+  engines (the property that matters for dataset reproducibility).
+- ``dedup_cluster_components`` turns near-dup *pairs* into canonical
+  clusters via iterative min-label propagation (the step LSH dedup
+  needs before it can drop rows). Oracle = DuckDB recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.geometry import coerce_wkt, wkt_geometry_type
+from dso_import_spark.functions.parsers import parse_date, parse_date_time
+from dso_import_spark.operators.dedup import ngram_jaccard_pairs
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# deterministic WKT synthesis: one case per p_partkey % 5 —
+# wrap-polygon / keep-multipolygon / reject-point / reject-malformed / NULL
+_WKT_CASES = [
+    "POLYGON((0 0,1 0,1 1,0 0))",
+    "MULTIPOLYGON(((0 0,2 0,2 2,0 0)))",
+    "POINT(1 2)",
+    "POLYGON((0 0,1 0,1 1,0 0)",  # unbalanced parens → structurally invalid
+    None,
+]
+
+
+@query(
+    "wkt_coerce_geometries",
+    oracle="""
+    WITH raw AS (
+      SELECT p_partkey,
+             CASE p_partkey % 5
+               WHEN 0 THEN 'POLYGON((0 0,1 0,1 1,0 0))'
+               WHEN 1 THEN 'MULTIPOLYGON(((0 0,2 0,2 2,0 0)))'
+               WHEN 2 THEN 'POINT(1 2)'
+               WHEN 3 THEN 'POLYGON((0 0,1 0,1 1,0 0)'
+             END AS wkt
+      FROM part WHERE p_partkey % 10 < 5
+    )
+    SELECT p_partkey,
+           CASE WHEN wkt IS NULL THEN NULL
+                ELSE upper(regexp_extract(trim(wkt), '^([A-Za-z]+)', 1)) END AS gtype,
+           CASE p_partkey % 5
+             WHEN 0 THEN 'MULTIPOLYGON(((0 0,1 0,1 1,0 0)))'
+             WHEN 1 THEN 'MULTIPOLYGON(((0 0,2 0,2 2,0 0)))'
+           END AS geom_multipolygon,
+           CASE p_partkey % 5 WHEN 2 THEN 'POINT(1 2)' END AS geom_point
+    FROM raw
+    """,
+    doc="G1 WKT type coercion (batch/geo.py:52-78 decision table): wrap "
+    "bare POLYGON under multipolygon, keep MULTIPOLYGON, reject "
+    "wrong-type and malformed input; NULL passes through.",
+)
+def wkt_coerce_geometries(spark, sf_dir):
+    (part,) = tables(spark, sf_dir, "part")
+    wkt = F.element_at(
+        F.array(*[F.lit(c) for c in _WKT_CASES]), (F.col("p_partkey") % 5 + 1).cast("int")
+    )
+    raw = part.filter(F.col("p_partkey") % 10 < 5).select("p_partkey", wkt.alias("wkt"))
+    return raw.select(
+        "p_partkey",
+        F.when(F.col("wkt").isNotNull(), wkt_geometry_type("wkt")).alias("gtype"),
+        coerce_wkt("wkt", "multipolygon").alias("geom_multipolygon"),
+        coerce_wkt("wkt", "point").alias("geom_point"),
+    )
+
+
+@query(
+    "date_parse_variants",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                  WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d')
+                  ELSE '' END AS s
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT event_id, s AS raw_str,
+           CASE WHEN s = '' THEN NULL
+                ELSE strftime(strptime(substr(s, 1, 10), '%Y-%m-%d'), '%Y-%m-%d')
+           END AS parsed_date,
+           CASE WHEN s = '' THEN NULL
+                WHEN length(s) > 10 THEN strftime(strptime(s, '%Y-%m-%d %H:%M:%S'),
+                                                 '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(strptime(s, '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S')
+           END AS parsed_ts
+    FROM raw
+    """,
+    doc="P5/P6 scalar date parsers (batch/csv.py:12-26): substring-to-10 "
+    "date parse; len>10 chooses timestamp vs midnight-of-date; '' → "
+    "NULL. Round-tripped through strings for a stable cross-engine "
+    "comparison.",
+)
+def date_parse_variants(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    s = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd"))
+        .otherwise(F.lit(""))
+    )
+    raw = events.filter(F.col("event_id") % 50 == 0).select(
+        "event_id", s.alias("raw_str")
+    )
+    return raw.select(
+        "event_id",
+        "raw_str",
+        F.date_format(parse_date("raw_str"), "yyyy-MM-dd").alias("parsed_date"),
+        F.date_format(parse_date_time("raw_str"), "yyyy-MM-dd HH:mm:ss").alias(
+            "parsed_ts"
+        ),
+    )
+
+
+@query(
+    "hash_split_train_test",
+    oracle="""
+    SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, n_chars,
+                 (doc_id * 1103515245 + 12345) % 1000 AS b
+          FROM documents)
+    GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test split via an arithmetic "
+    "LCG hash on the document key — reproducible across engines and "
+    "runs, stateless map at any scale.",
+)
+def hash_split_train_test(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * 1103515245 + 12345) % 1000
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test").alias("split")
+    )
+    return docs.groupBy(split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE
+    sample_docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS n_a, b.n_toks AS n_b, count(*) AS n_shared
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+    doc="Near-dup clusters: connected components over n-gram-Jaccard "
+    "pairs via iterative min-label propagation (the canonicalization "
+    "step after LSH). At web scale the same loop runs with "
+    "localCheckpoint-truncated lineage; label count shrinks "
+    "monotonically so it converges in O(log n) rounds on real graphs.",
+)
+def dedup_cluster_components(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 20 == 0)
+    pairs = ngram_jaccard_pairs(
+        sample, "text", "doc_id", block_cols=["lang"], threshold=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    edges = edges.localCheckpoint(eager=True)  # tiny after LSH banding; reused per round
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):  # diameter bound; real graphs converge in a few rounds
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
