@@ -84,3 +84,38 @@ def test_topk_uses_take_ordered(spark, sf_dir, qs):
 def test_tfidf_df_side_is_broadcast(spark, sf_dir, qs):
     plan = plan_of(qs["text_tfidf_top_terms"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_uses_take_ordered(spark, sf_dir, qs):
+    plan = plan_of(qs["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q14_pushes_shipdate_filter(spark, sf_dir, qs):
+    plan = plan_of(qs["q14_promo_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+    assert "BroadcastHashJoin" in plan  # part side broadcast
+
+
+def test_q02_window_is_partitioned_by_group(spark, sf_dir, qs):
+    # the arg-max window must partition by p_partkey, never a global sort
+    plan = plan_of(qs["q02_min_cost_supplier"](spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(p_partkey" in plan
+
+
+def test_q21_aggregates_before_final_join(spark, sf_dir, qs):
+    # multi/sole-late sides reduce to per-order counts before joining back
+    plan = plan_of(qs["q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # two partial+final agg pairs
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcast
+
+
+def test_hash_split_is_single_stage(spark, sf_dir, qs):
+    # stateless map + one aggregation: exactly one shuffle
+    plan = plan_of(qs["hash_split_train_test"](spark, sf_dir))
+    # one Exchange node in the plan tree ("Exchange (n)"); the formatted
+    # detail section repeats the name as "(n) Exchange"
+    assert plan.count("Exchange (") == 1
