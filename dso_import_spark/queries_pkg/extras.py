@@ -224,3 +224,38 @@ def dedup_cluster_components(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# One SQL text, two engines: the string below is executed verbatim by
+# spark.sql over registered fixture views AND by DuckDB as its own
+# oracle — demonstrating the ANSI SQL entry point the reference lacks
+# (SURVEY.md §2.10). Restricted to the shared dialect: TIMESTAMP
+# literals, EXTRACT, CAST, round, count(*), HAVING.
+_SHARED_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+HAVING count(*) > 10
+"""
+
+
+@query(
+    "sql_entry_point",
+    oracle=_SHARED_SQL,
+    doc="ANSI SQL entry point: the identical SQL text runs through "
+    "spark.sql (over registered fixture views) and through DuckDB as "
+    "the oracle — same string, two engines, one result.",
+)
+def sql_entry_point(spark, sf_dir):
+    orders, cust, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    orders.createOrReplaceTempView("orders")
+    cust.createOrReplaceTempView("customer")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(_SHARED_SQL)
