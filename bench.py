@@ -52,6 +52,8 @@ HEADLINE = [
     "salted_join_revenue",
     "ann_brute_force_topk",
     "multimodal_decode_stats",
+    "decontam_ngram_overlap",
+    "seq_packing_bins",
 ]
 
 

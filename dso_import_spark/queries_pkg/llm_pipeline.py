@@ -1,0 +1,154 @@
+"""Training-data pipeline operators beyond dedup/ANN: stratified
+sampling, sequence packing, and benchmark decontamination.
+
+These are the corpus-construction steps an LLM data pipeline runs after
+dedup and before tokenization (reference has no analog; north-star
+extension surface per SURVEY.md §2.10):
+
+- ``stratified_sample_lang``: deterministic per-language downsampling
+  with the same arithmetic LCG hash as ``hash_split_train_test`` — a
+  stateless map at any scale (no shuffle except the reporting agg), and
+  the keep/drop decision is reproducible across engines and runs.
+- ``seq_packing_bins``: token-aware greedy sequence packing — assign
+  documents to fixed-size context windows (2048 tokens) by cumulative
+  token count. Window cumsum partitioned by language; at 100 TB the
+  partition key becomes (lang, shard) so no single window partition
+  exceeds an executor, which changes bin numbering but not the
+  algorithm.
+- ``decontam_ngram_overlap``: test-set decontamination — count distinct
+  8-gram overlaps between each training document and a benchmark set.
+  The benchmark gram set is small by construction (real benchmarks are
+  MBs, not TBs), so the join is a broadcast hash join against the
+  flat-mapped training grams: the 100 TB side never shuffles until the
+  final per-doc aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# same LCG as hash_split_train_test: both engines compute it identically
+# on BIGINT doc_id, unlike engine-specific hash() builtins
+_LCG = "(doc_id * 1103515245 + 12345) % 1000"
+
+
+@query(
+    "stratified_sample_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE b < keep_limit) AS n_kept,
+           coalesce(sum(n_chars) FILTER (WHERE b < keep_limit), 0)::BIGINT
+             AS kept_chars
+    FROM (SELECT lang, n_chars, {_LCG} AS b,
+                 CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 600
+                      ELSE 1000 END AS keep_limit
+          FROM documents)
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling: downsample high-resource "
+    "languages (en→30%, zh→60%) via the portable LCG bucket — a "
+    "stateless, reproducible map; the groupBy exists only to report.",
+)
+def stratified_sample_lang(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * 1103515245 + 12345) % 1000
+    keep_limit = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "zh", 600)
+        .otherwise(1000)
+    )
+    kept = b < keep_limit
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@query(
+    "seq_packing_bins",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                      AS cum
+          FROM t)
+    SELECT lang,
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS bin_tokens
+    FROM c
+    GROUP BY lang, bin
+    """,
+    doc="Token-aware sequence packing: cumulative token count over a "
+    "deterministic doc order assigns each document to a 2048-token "
+    "context bin; per-bin doc/token totals are the packing manifest.",
+)
+def seq_packing_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = docs.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return (
+        c.withColumn(
+            "bin", F.floor((F.col("cum") - F.col("n_tok")) / 2048).cast("long")
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+    SELECT g2.doc_id, count(DISTINCT g2.g)::BIGINT AS n_overlap
+    FROM (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0) g2
+    JOIN bench USING (g)
+    GROUP BY g2.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    "8-gram shingles with a held-out benchmark set (doc_id % 10 = 0 "
+    "stands in for the benchmark). Broadcast the small benchmark gram "
+    "set; the training side stays shuffle-free until the per-doc agg.",
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
+    # explicitly (DuckDB generate_series(1, 0) is empty).
+    grams_arr = F.when(
+        F.size(w) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 7),
+            lambda i: F.array_join(F.slice(w, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_overlap"))
+    )
