@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from dso_import_spark.queries import query
 from dso_import_spark.ship import ensure_shipped
 from dso_import_spark.streaming.events import (
+    dedup_within_watermark,
     drain_to_memory,
     read_events_stream,
     running_user_totals,
@@ -84,6 +85,31 @@ def stream_session_windows(spark, sf_dir):
         ),
         "n_events",
         "sum_value",
+    )
+
+
+@query(
+    "stream_dedup_delivery",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute
+    FROM events
+    """,
+    doc="Streaming exact dedup via dropDuplicatesWithinWatermark: "
+    "collapse at-least-once re-deliveries keyed by (user, type, "
+    "minute); dedup state is watermark-bounded. Surviving key set "
+    "equals batch DISTINCT.",
+)
+def stream_dedup_delivery(spark, sf_dir):
+    ev = _stream(spark, sf_dir).withColumn(
+        "minute", F.date_trunc("minute", F.col("ts"))
+    )
+    deduped = dedup_within_watermark(ev, ["user_id", "event_type", "minute"])
+    out = drain_to_memory(deduped, "q_stream_dedup", "append")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute"),
     )
 
 

@@ -190,6 +190,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same logical
+    event (at-least-once sources re-send) keyed by ``keys``.
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only until the
+    watermark passes each key's event time — bounded state, unlike a
+    plain ``dropDuplicates`` whose key set grows forever on an
+    unbounded stream. Emits only the key columns so the result is
+    deterministic (which duplicate row survives is arrival-order
+    dependent; the surviving *key set* is not).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*[k for k in keys if k != "ts"])
+    )
+
+
 def drain_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
