@@ -119,3 +119,30 @@ def test_hash_split_is_single_stage(spark, sf_dir, qs):
     # one Exchange node in the plan tree ("Exchange (n)"); the formatted
     # detail section repeats the name as "(n) Exchange"
     assert plan.count("Exchange (") == 1
+
+
+def test_decontam_broadcasts_benchmark_grams(spark, sf_dir, qs):
+    # the benchmark gram set is small by construction: its distinct must
+    # broadcast so the flat-mapped training side never shuffles pre-join
+    plan = plan_of(qs["decontam_ngram_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # three non-broadcast shuffles: bench-side distinct, then the
+    # two-phase distinct-count — both of which run on the post-join
+    # (matched-grams-only) side, so the full training gram stream is
+    # never shuffled
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 3
+
+
+def test_stratified_sample_is_single_stage(spark, sf_dir, qs):
+    # keep/drop is a stateless map; only the reporting agg shuffles
+    plan = plan_of(qs["stratified_sample_lang"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_seq_packing_single_shuffle_reused(spark, sf_dir, qs):
+    # window partitioning (lang) and the bin agg share a key: the agg
+    # must reuse the window's hashpartitioning, not re-shuffle
+    plan = plan_of(qs["seq_packing_bins"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("Exchange (") == 1
