@@ -54,6 +54,7 @@ HEADLINE = [
     "multimodal_decode_stats",
     "decontam_ngram_overlap",
     "seq_packing_bins",
+    "merge_counts_scale",
 ]
 
 

@@ -259,3 +259,41 @@ def sql_entry_point(spark, sf_dir):
     cust.createOrReplaceTempView("customer")
     nation.createOrReplaceTempView("nation")
     return spark.sql(_SHARED_SQL)
+
+
+@query(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Custom UDAF surface: an Arrow-batched grouped-aggregate pandas "
+    "UDF (geometric mean) running map-side per partition group — the "
+    "engine's path for aggregates built-ins can't express. The oracle "
+    "is the exp(avg(ln)) identity.",
+)
+def udaf_geometric_mean(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: postponed annotations (PEP 563) in this
+    # module keep pyspark from inferring the eval type from hints
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg(); the row count is a second Arrow-batched UDF so the query
+    # stays a single shuffle
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        n_rows(F.col("l_quantity")).alias("n_items"),
+        F.round(geo_mean(F.col("l_quantity")), 6).alias("geo_mean_qty"),
+    )

@@ -18,7 +18,11 @@ from dso_import_spark.functions.parsers import (
     parse_yesno_boolean,
     valid_date_range,
 )
-from dso_import_spark.operators.merge import bridge_rows, plan_merge
+from dso_import_spark.operators.merge import (
+    bridge_rows,
+    merge_counts_narrow,
+    plan_merge,
+)
 from dso_import_spark.operators.quality import (
     deleted_rows,
     duplicate_open_intervals,
@@ -340,6 +344,60 @@ def merge_insert_update(spark, sf_dir):
         .crossJoin(plan.updated.agg(F.count(F.lit(1)).alias("n_updated")))
         .crossJoin(plan.merged.agg(F.count(F.lit(1)).alias("n_merged")))
     )
+
+
+@query(
+    "merge_counts_scale",
+    oracle="""
+    WITH existing AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+    staged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 101 = 0 THEN 'X-NEW' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders)
+    SELECT
+      (SELECT count(*) FROM staged s
+       WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = s.o_orderkey))
+        AS n_inserted,
+      (SELECT count(*) FROM staged s JOIN existing e USING (o_orderkey)
+       WHERE (s.o_custkey       IS DISTINCT FROM e.o_custkey)
+          OR (s.o_orderstatus   IS DISTINCT FROM e.o_orderstatus)
+          OR (s.o_totalprice    IS DISTINCT FROM e.o_totalprice)
+          OR (s.o_orderdate     IS DISTINCT FROM e.o_orderdate)
+          OR (s.o_orderpriority IS DISTINCT FROM e.o_orderpriority))
+        AS n_updated,
+      (SELECT count(*) FROM existing e
+       WHERE NOT EXISTS (SELECT 1 FROM staged s WHERE s.o_orderkey = e.o_orderkey))
+        AS n_deleted,
+      (SELECT count(*) FROM staged) AS n_merged
+    """,
+    doc="Narrow-shuffle merge counts (merge_counts_narrow): both sides "
+    "project to (key, 64-bit NULL-safe fingerprint) before the shuffle, "
+    "so the exchange carries ~16 bytes/row instead of full width. The "
+    "oracle is the exact IS DISTINCT FROM formulation — fingerprint "
+    "counts must agree with the exact compare.",
+)
+def merge_counts_scale(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 97 != 0)
+    staged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "P", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 101 == 0, "X-NEW")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return merge_counts_narrow(existing, staged, "o_orderkey")
 
 
 @query(

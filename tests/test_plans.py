@@ -146,3 +146,22 @@ def test_seq_packing_single_shuffle_reused(spark, sf_dir, qs):
     plan = plan_of(qs["seq_packing_bins"](spark, sf_dir))
     assert "Window" in plan
     assert plan.count("Exchange (") == 1
+
+
+def test_merge_counts_narrow_shuffles_fingerprints(spark, sf_dir, qs):
+    # both merge sides must reduce to (key, xxhash64 fingerprint)
+    # BEFORE the join shuffle — the full row width never crosses the wire
+    plan = plan_of(qs["merge_counts_scale"](spark, sf_dir))
+    assert "xxhash64" in plan
+    assert "FullOuter" in plan
+    # every pre-join Exchange carries exactly two columns,
+    # (key, fingerprint) — the full row width never crosses the wire
+    fp_exchanges = [
+        blk
+        for blk in plan.split("\n\n")
+        if blk.strip().split("\n")[0].endswith("Exchange")
+        and "__fp_" in blk
+    ]
+    assert len(fp_exchanges) == 2
+    for blk in fp_exchanges:
+        assert "Input [2]:" in blk, blk
