@@ -297,3 +297,40 @@ def udaf_geometric_mean(spark, sf_dir):
         n_rows(F.col("l_quantity")).alias("n_items"),
         F.round(geo_mean(F.col("l_quantity")), 6).alias("geo_mean_qty"),
     )
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    SELECT doc_id, (i - 1)::INT AS sent_idx, parts[i] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts
+          FROM documents WHERE doc_id % 20 = 0),
+         UNNEST(generate_series(1, len(parts))) AS t(i)
+    """,
+    doc="Custom UDTF surface: a Python user-defined table function "
+    "expanded per input row via LATERAL join. Row-at-a-time Python is "
+    "the engine's slow path (doc_chunking's posexplode is the native "
+    "hot path for this shape) — the point here is the surface: "
+    "arbitrary-Python one-row-to-many expansion for logic Column "
+    "expressions can't state.",
+)
+def udtf_sentence_split(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 20 == 0).createOrReplaceTempView(
+        "udtf_docs_in"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM udtf_docs_in d, LATERAL sentence_split(d.text) s
+        """
+    )
