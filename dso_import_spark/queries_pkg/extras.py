@@ -334,3 +334,38 @@ def udtf_sentence_split(spark, sf_dir):
         FROM udtf_docs_in d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "unpivot_melt_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM agg
+    """,
+    doc="Wide-to-long melt via DataFrame.unpivot: per-flag aggregate "
+    "measures become (measure, value) rows. The unpivot itself is a "
+    "narrow Expand node — no shuffle beyond the one the aggregation "
+    "already pays.",
+)
+def unpivot_melt_measures(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

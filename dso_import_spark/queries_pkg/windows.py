@@ -188,3 +188,38 @@ def asof_join_last_signup(spark, sf_dir):
         .filter(F.col("event_type") == "error")
         .select(F.col("event_id").alias("error_id"), "user_id", "asof_signup_id")
     )
+
+
+@query(
+    "ntile_rank_analytics",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution analytics (ntile/percent_rank/cume_dist) per "
+    "priority class. Partitioned window — each priority sorts "
+    "independently, so the sort parallelizes across keys instead of "
+    "collapsing to the single-partition global-ORDER BY plan.",
+)
+def ntile_rank_analytics(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
