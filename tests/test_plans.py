@@ -165,3 +165,17 @@ def test_merge_counts_narrow_shuffles_fingerprints(spark, sf_dir, qs):
     assert len(fp_exchanges) == 2
     for blk in fp_exchanges:
         assert "Input [2]:" in blk, blk
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir, qs):
+    """The melt is an Expand over the aggregate — no extra shuffle."""
+    plan = plan_of(qs["unpivot_melt_measures"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange (") == 1  # only the groupBy's shuffle
+
+
+def test_ntile_window_is_partitioned(spark, sf_dir, qs):
+    """Analytics window sorts per priority class, never globally."""
+    plan = plan_of(qs["ntile_rank_analytics"](spark, sf_dir))
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "SinglePartition" not in plan
