@@ -57,6 +57,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     core,
     dedup,
     extras,
+    layout,
     llm_pipeline,
     multimodal,
     ref_semantics,
