@@ -13,7 +13,7 @@ Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -132,6 +132,78 @@ def ivf_topk(
         as_double(F.col(vec_col)).alias("cv"),
     )
     pairs = routed.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def lsh_bucket(
+    vec_col: Column | str, n_bits: int = 6, scale: int = 1000
+) -> Column:
+    """Signed-random-projection LSH bucket id as a pure Column expression.
+
+    Engine-portable by construction: vectors are quantized to integers
+    (``floor(x*scale + 0.5)``), hyperplane signs come from an arithmetic
+    hash of (bit, dim) — so the bucket id is exact integer math and any
+    engine (the DuckDB oracle included) computes the identical bucket.
+    One bit per hyperplane: sign of the signed-sum of quantized dims;
+    bucket = the n_bits-wide bit pattern. Narrow map, no shuffle.
+    """
+    v = as_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    qi = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)))
+
+    def signer(b: int):
+        # sign of hyperplane b at dim j: portable arithmetic hash of (b, j)
+        return lambda x, j: F.when(
+            ((F.lit(b) * 8191 + j) * F.lit(2654435761)) % 97 < 48, x
+        ).otherwise(-x)
+
+    bucket = F.lit(0).cast("long")
+    for b in range(n_bits):
+        signed = F.zip_with(qi, F.sequence(F.lit(1), F.size(qi)), signer(b))
+        s = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bucket = bucket + F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: exact cosine rerank only within
+    the query's bucket (single-probe).
+
+    The corpus-side bucket is a narrow map fused into the scan; the
+    join keys on (bucket) so each query compares against ~corpus/2^n_bits
+    candidates. At 100 TB the corpus is written bucketed/partitioned by
+    this id and the per-bucket join never sees the other buckets.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    pairs = F.broadcast(q).join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
     scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(

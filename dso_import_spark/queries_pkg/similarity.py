@@ -8,6 +8,7 @@ from dso_import_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    lsh_topk,
 )
 from dso_import_spark.queries import query
 from dso_import_spark.queries_pkg.util import tables
@@ -44,14 +45,93 @@ def ann_brute_force_topk(spark, sf_dir):
 
 @query(
     "ann_ivf_topk",
-    oracle=None,  # IVF routing is engine-specific; recall tested in tests/
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+    e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
+          FROM v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
+          GROUP BY label, u.pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM e GROUP BY label),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id % 101 = 0),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, cent.centroid) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(cent.centroid, cent.centroid)))
+                          DESC, cent.label) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn = 1),
+    scored AS (
+      SELECT r.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(r.qv, c.ve) /
+                   (sqrt(list_dot_product(r.qv, r.qv)) *
+                    sqrt(list_dot_product(c.ve, c.ve))), 6) AS cos_sim
+      FROM routed r JOIN v c ON r.label = c.label AND r.query_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, cos_sim
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5
+    """,
     doc="IVF-bucketed approximate top-5: broadcast per-label centroids, "
-    "route query to nearest cell, exact rerank within cell only.",
+    "route query to nearest cell, exact rerank within cell only. The "
+    "oracle recomputes the same centroids/routing in SQL; routing uses "
+    "unrounded centroid cosine (fixture clusters are well-separated, "
+    "so cross-engine double-summation order cannot flip the argmax).",
 )
 def ann_ivf_topk(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return ivf_topk(queries, emb, k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    WITH z AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qi
+      FROM embeddings),
+    bits AS (
+      SELECT z.vec_id, b.b,
+             CASE WHEN sum(CASE WHEN ((b.b * 8191 + u.pos) * 2654435761) % 97
+                                     < 48
+                                THEN z.qi[u.pos] ELSE -z.qi[u.pos] END) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM z
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b,
+      UNNEST(generate_series(1, len(z.qi))) AS u(pos)
+      GROUP BY z.vec_id, b.b),
+    buckets AS (
+      SELECT vec_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id),
+    v AS (SELECT z.vec_id, z.ve, bk.bucket FROM z JOIN buckets bk USING (vec_id)),
+    q AS (SELECT * FROM v WHERE vec_id % 101 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.ve, c.ve) /
+                   (sqrt(list_dot_product(q.ve, q.ve)) *
+                    sqrt(list_dot_product(c.ve, c.ve))), 6) AS cos_sim
+      FROM q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, rank, neighbor_id, cos_sim
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Signed-random-projection LSH top-5 (lsh_topk operator): "
+    "integer-quantized hyperplane bits make the bucket id exact "
+    "integer math, so Spark and the oracle bucket identically; exact "
+    "cosine rerank runs only inside the query's bucket (~1/64 of the "
+    "corpus per query at 6 bits).",
+)
+def ann_lsh_topk(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return lsh_topk(queries, emb, k=5, n_bits=6)
 
 
 @query(
