@@ -90,3 +90,43 @@ def test_watermark_in_plan(spark, sf_dir):
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     assert stream.isStreaming
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_upsert_latest_incremental(spark, sf_dir, batch_events, tmp_path):
+    """Three micro-batches of thirds of the events table, upserted into
+    a parquet target, must converge to the global latest-per-user state
+    — and must actually process incrementally (3 batches)."""
+    from dso_import_spark.streaming.events import (
+        latest_per_user,
+        stream_upsert_latest,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = batch_events.select(*cols)
+    landing = str(tmp_path / "landing")
+    # land in reverse slice order so arrival order != event-time order
+    for k in (2, 1, 0):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    target = str(tmp_path / "user_state")
+    stream_upsert_latest(stream, target, str(tmp_path / "ckpt"))
+
+    got = _rows(spark.read.parquet(target).select(*cols), "user_id")
+    want = _rows(latest_per_user(ev).select(*cols), "user_id")
+    assert got == want
+    # incremental evidence: the checkpoint committed 3 micro-batches
+    import os
+
+    commits = [
+        f
+        for f in os.listdir(str(tmp_path / "ckpt" / "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) == 3
