@@ -55,6 +55,8 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "seq_packing_bins",
     "merge_counts_scale",
+    "scd2_point_in_time",
+    "ann_lsh_topk",
 ]
 
 
