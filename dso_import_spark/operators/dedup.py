@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dso_import_spark.functions.text import bow_fingerprint, simhash32, tokens
+from dso_import_spark.functions.text import (
+    bow_fingerprint,
+    simhash32,
+    tokens,
+    word_hash32,
+)
 
 
 def exact_dedup(
@@ -192,3 +197,101 @@ def minhash_lsh_pairs(
             F.round(F.col("dist"), 4).alias("jaccard_distance"),
         )
     )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Engine-portable MinHash + LSH banding + exact-Jaccard verify.
+
+    Unlike ``minhash_lsh_pairs`` (Spark ML, engine-specific banding),
+    every step here is reproducible arithmetic, so a SQL oracle can
+    verify the *whole* pipeline, candidates included:
+
+    - word hash: md5-prefix 32-bit (functions.text.word_hash32);
+    - signature i (i < n_hashes): ``min((a_i*x + b_i) % P)`` over the
+      doc's distinct-word hashes, P = 4294967311 (prime > 2^32),
+      a_i = 40503*i + 1, b_i = 12345*i + 7;
+    - bands of ``band_size`` consecutive signature rows; candidate
+      pairs share any band (equi-join on the band tuple — the O(n²)
+      killer, same shape Spark ML uses internally);
+    - candidates are verified with exact word-set Jaccard and kept at
+      ``>= threshold``.
+
+    Scale: one shuffle to build signatures (groupBy doc), one on the
+    band key, and the verify join only touches candidate pairs. Band
+    keys are uniform md5-derived ints, so bucket skew is bounded.
+    Returns (id_a, id_b, jaccard).
+    """
+    P = 4294967311
+    n_bands = n_hashes // band_size
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("word"),
+    ).withColumn("x", word_hash32(F.col("word")))
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(40503 * i + 1) * F.col("x") + F.lit(12345 * i + 7)) % P)
+            .alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"m{j * band_size + k}").alias(f"v{k}")
+                            for k in range(band_size)
+                        ],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.*")
+    vkeys = ["band"] + [f"v{k}" for k in range(band_size)]
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in vkeys]
+            + [F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(tokens(text_col))).alias("n_toks"),
+    )
+    shared = (
+        cand.join(words.select(F.col("doc_id").alias("id_a"), "word"), "id_a")
+        .join(words.select(F.col("doc_id").alias("id_b"), "word"), ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = (
+        shared.join(toks.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("n_a")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                round_scale,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from dso_import_spark.functions.text import simhash32
 from dso_import_spark.operators.dedup import (
     exact_dedup,
+    minhash_band_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
@@ -124,7 +125,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # LSH banding is engine-specific; driver does rows-only check
+    oracle=None,  # Spark ML banding is engine-specific; rows-only check
     doc="MinHash-LSH approximate near-dup pairs (Spark ML MinHashLSH, "
     "seed=42; banding turns O(n²) into a bucketed equi-join).",
 )
@@ -132,3 +133,62 @@ def dedup_minhash_lsh(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % 10 == 0)
     return minhash_lsh_pairs(sample, max_jaccard_distance=0.7)
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle="""
+    WITH sample_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS x,
+             word
+      FROM (SELECT doc_id, unnest(t) AS word FROM toks)),
+    sigs AS (
+      SELECT doc_id,
+             min(((40503*0 + 1) * x + (12345*0 + 7)) % 4294967311) AS m0,
+             min(((40503*1 + 1) * x + (12345*1 + 7)) % 4294967311) AS m1,
+             min(((40503*2 + 1) * x + (12345*2 + 7)) % 4294967311) AS m2,
+             min(((40503*3 + 1) * x + (12345*3 + 7)) % 4294967311) AS m3,
+             min(((40503*4 + 1) * x + (12345*4 + 7)) % 4294967311) AS m4,
+             min(((40503*5 + 1) * x + (12345*5 + 7)) % 4294967311) AS m5,
+             min(((40503*6 + 1) * x + (12345*6 + 7)) % 4294967311) AS m6,
+             min(((40503*7 + 1) * x + (12345*7 + 7)) % 4294967311) AS m7
+      FROM words GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 AS v0, m1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, 1, m2, m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4, m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6, m7 FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.doc_id < b.doc_id),
+    nt AS (SELECT doc_id, len(t)::BIGINT AS n_toks FROM toks),
+    shared AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_shared
+      FROM cand c
+      JOIN words wa ON wa.doc_id = c.id_a
+      JOIN words wb ON wb.doc_id = c.id_b AND wb.word = wa.word
+      GROUP BY c.id_a, c.id_b)
+    SELECT s.id_a, s.id_b,
+           round(s.n_shared / (na.n_toks + nb.n_toks - s.n_shared), 4)
+             AS jaccard
+    FROM shared s
+    JOIN nt na ON na.doc_id = s.id_a
+    JOIN nt nb ON nb.doc_id = s.id_b
+    WHERE round(s.n_shared / (na.n_toks + nb.n_toks - s.n_shared), 4) >= 0.5
+    """,
+    doc="Engine-portable MinHash+banding near-dup pairs "
+    "(minhash_band_pairs operator): md5-derived word hashes, 8 affine "
+    "min-hashes, 4 bands of 2, exact-Jaccard verify — the oracle "
+    "reproduces signatures, candidates, AND the verify step exactly.",
+)
+def dedup_minhash_banded(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_band_pairs(sample, threshold=0.5)
