@@ -179,3 +179,26 @@ def test_ntile_window_is_partitioned(spark, sf_dir, qs):
     plan = plan_of(qs["ntile_rank_analytics"](spark, sf_dir))
     assert "hashpartitioning(o_orderpriority" in plan
     assert "SinglePartition" not in plan
+
+
+def test_scd2_snapshot_two_shuffles_no_global_sort(spark, sf_dir, qs):
+    """Window-lead formulation: one shuffle for the per-key window, one
+    for the final agg — never a global sort or self-join."""
+    plan = plan_of(qs["scd2_point_in_time"](spark, sf_dir))
+    assert plan.count("Exchange (") == 2
+    assert "hashpartitioning(o_custkey" in plan
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan  # the self-join alternative
+
+
+def test_lsh_topk_corpus_never_shuffles_before_join(spark, sf_dir, qs):
+    """The tiny query side broadcasts; the corpus-side bucket is a
+    narrow map fused into the scan. Top-k runs as WindowGroupLimit
+    (partial rank pushdown) before the only hash shuffle."""
+    plan = plan_of(qs["ann_lsh_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # only the post-join per-query window shuffle; corpus scan → join is
+    # narrow ("Exchange (" alone would also match "BroadcastExchange (")
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert "SinglePartition" not in plan
