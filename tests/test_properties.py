@@ -1,0 +1,168 @@
+"""Property-based differential tests (hypothesis).
+
+Two layers:
+- scalar parsers: the engine's Column expressions vs a plain-Python
+  model of the reference's semantics (`src/dso_import/bagh/batch.py:20-39`,
+  `src/dso_import/batch/csv.py:12-34`), over generated inputs — the
+  hand-picked edge cases in test_parsers.py can't cover the input space.
+- merge algebra: partition/completeness/idempotence invariants of
+  plan_merge over random (existing, staged) table pairs.
+
+Each hypothesis example runs one small Spark job; max_examples is kept
+low because the point is input diversity, not iteration count.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.parsers import (
+    create_id,
+    int_or_none,
+    parse_date,
+    parse_yesno_boolean,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+)
+
+
+def _eval(spark, col, data, schema):
+    df = spark.createDataFrame(data, schema)
+    return [r["out"] for r in df.select(col.alias("out")).collect()]
+
+
+@settings(**SETTINGS)
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_int_or_none_matches_isdigit_model(spark, values):
+    """Reference: int(v) if v.isdigit() else None (bagh/batch.py:35-39);
+    ASCII inputs (the unicode-digit divergence is documented in the
+    parser's docstring)."""
+    got = _eval(spark, int_or_none("v"), [(v,) for v in values], "v string")
+    want = [int(v) if v.isdigit() else None for v in values]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.just(""),
+            st.dates(
+                min_value=datetime.date(1, 1, 1),
+                max_value=datetime.date(9999, 12, 31),
+            ).map(lambda d: d.isoformat()),
+            st.datetimes(
+                min_value=datetime.datetime(1, 1, 1),
+                max_value=datetime.datetime(9999, 12, 31, 23, 59, 59),
+            ).map(lambda d: d.isoformat()),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_date_matches_truncate_model(spark, values):
+    """Reference: '' → None, else date.fromisoformat(s[:10])
+    (batch/csv.py:21-26)."""
+    got = _eval(spark, parse_date("v"), [(v,) for v in values], "v string")
+    want = [
+        None if v == "" else datetime.date.fromisoformat(v[:10]) for v in values
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.sampled_from(["J", "Y", "N", "", "j", "n", "X"]), ascii_text),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_yesno_matches_tristate_model(spark, values):
+    """Reference: 'J'/'Y' → True, 'N' → False, else None — case
+    sensitive, never collapsing None to False (batch/csv.py:29-30)."""
+    got = _eval(
+        spark, parse_yesno_boolean("v"), [(v,) for v in values], "v string"
+    )
+    want = [True if v in ("J", "Y") else False if v == "N" else None for v in values]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="0123456789AB", max_size=8)),
+            st.integers(min_value=0, max_value=9999),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_create_id_matches_format_model(spark, pairs):
+    """Reference: f"{ident}_{volg:03}" with NULL propagation
+    (bagh/batch.py:20-21)."""
+    got = _eval(
+        spark,
+        create_id("i", "v"),
+        [(i, v) for i, v in pairs],
+        "i string, v int",
+    )
+    want = [None if i is None else f"{i}_{v:03d}" for i, v in pairs]
+    assert got == want
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key (small space → overlap)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(existing=rows, staged=rows)
+def test_merge_partition_and_idempotence(spark, existing, staged):
+    """plan_merge invariants for any (existing, staged) pair:
+    - inserted/updated/unchanged partition the staged side exactly;
+    - deleted = existing keys absent from staging;
+    - merged = staged contentwise (keys unique);
+    - re-merging merged into itself changes nothing (idempotence)."""
+    from dso_import_spark.operators.merge import plan_merge
+
+    schema = "id int, x int, y string"
+    e = spark.createDataFrame(existing, schema)
+    s = spark.createDataFrame(staged, schema)
+    plan = plan_merge(e, s, key="id")
+
+    e_keys = {r[0] for r in existing}
+    s_keys = {r[0] for r in staged}
+    n_ins = plan.inserted.count()
+    n_upd = plan.updated.count()
+    n_unch = plan.unchanged.count()
+    assert n_ins == len(s_keys - e_keys)
+    assert n_ins + n_upd + n_unch == len(s_keys)
+    assert plan.deleted.count() == len(e_keys - s_keys)
+    assert sorted(map(tuple, plan.merged.collect())) == sorted(staged)
+
+    replay = plan_merge(plan.merged, plan.merged, key="id")
+    assert replay.inserted.count() == 0
+    assert replay.updated.count() == 0
+    assert replay.deleted.count() == 0
