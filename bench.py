@@ -56,6 +56,7 @@ HEADLINE = [
     "seq_packing_bins",
     "merge_counts_scale",
     "scd2_point_in_time",
+    "corpus_pipeline_stats",
     "ann_lsh_topk",
 ]
 

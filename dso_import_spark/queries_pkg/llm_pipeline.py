@@ -27,8 +27,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dso_import_spark.functions.text import (
+    STOPWORDS,
+    bow_fingerprint,
+    stopword_ratio,
+    token_count,
+)
 from dso_import_spark.queries import query
 from dso_import_spark.queries_pkg.util import tables
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # same LCG as hash_split_train_test: both engines compute it identically
 # on BIGINT doc_id, unlike engine-specific hash() builtins
@@ -151,4 +159,86 @@ def decontam_ngram_overlap(spark, sf_dir):
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").cast("long").alias("n_overlap"))
+    )
+
+
+@query(
+    "corpus_pipeline_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' '))::BIGINT AS n_tokens,
+             round(len(list_filter(string_split(text, ' '),
+                                   w -> lower(w) IN ({_STOP_SQL})))
+                   / greatest(len(string_split(text, ' ')), 1), 4)
+               AS stop_ratio,
+             round((length(text) - len(string_split(text, ' ')) + 1)
+                   / greatest(len(string_split(text, ' ')), 1)::DOUBLE, 4)
+               AS avg_word_len,
+             md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents),
+    scored AS (
+      SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.5
+                      + stop_ratio * 0.3
+                      + least(avg_word_len / 10.0, 1.0) * 0.2, 4) AS quality
+      FROM base),
+    filt AS (SELECT * FROM scored WHERE quality >= 0.4),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM filt)
+    SELECT lang,
+           count(*)::BIGINT AS n_candidates,
+           count(*) FILTER (rn = 1)::BIGINT AS n_kept,
+           coalesce(sum(n_tokens) FILTER (rn = 1), 0)::BIGINT AS kept_tokens,
+           round(avg(quality) FILTER (rn = 1), 4) AS avg_quality_kept
+    FROM ranked GROUP BY lang
+    """,
+    doc="End-to-end corpus construction in one DAG: quality scoring → "
+    "threshold filter → global exact dedup (bag-of-words fingerprint, "
+    "keep lowest doc_id) → per-language manifest. The stages an LLM "
+    "data pipeline chains before tokenization, composed from the same "
+    "operators the individual queries verify. Two shuffles total "
+    "(fingerprint window, language agg); the quality filter runs "
+    "before the dedup shuffle so rejected docs never shuffle.",
+)
+def corpus_pipeline_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    stop = F.round(stopword_ratio("text"), 4)
+    awl = F.round(
+        (F.length("text") - n_tokens + 1)
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        4,
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop.alias("stop_ratio"),
+        awl.alias("avg_word_len"),
+        bow_fingerprint("text").alias("fp"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.col("stop_ratio") * 0.3
+        + F.least(F.col("avg_word_len") / 10.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    filt = base.withColumn("quality", quality).filter(F.col("quality") >= 0.4)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = filt.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.round(F.avg(F.when(kept, F.col("quality"))), 4).alias(
+            "avg_quality_kept"
+        ),
     )
