@@ -1,0 +1,79 @@
+"""Table-maintenance operators: small-files compaction and
+schema-evolution reads.
+
+Neither has a reference analog (Postgres hides physical layout;
+`bagh_create.sql` fixes schemas forever) — but a parquet warehouse at
+100 TB lives or dies by them:
+
+- every micro-batch / task append creates files; thousands of KB-sized
+  files turn listing and scan startup into the bottleneck (each file
+  is a task + a footer read). ``compact`` rewrites a directory to
+  ~``target_bytes`` files with the same two-phase-swap discipline as
+  the BAGH sink, so readers never see a half-compacted table.
+- landed data drifts: new extract versions add columns. ``read_evolved``
+  reads a union of parquet directories with ``mergeSchema``, yielding
+  the superset schema with NULLs for pre-drift files — the batch
+  equivalent of the schema-registry-driven models the reference builds
+  at job start (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory."""
+    n, b = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") or (
+                f.startswith("part-") and not f.endswith(".crc")
+            ):
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+    return n, b
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target_bytes files.
+
+    Returns the new file count. Uses the measured on-disk size (not row
+    count) so the heuristic holds for wide and narrow tables alike.
+    ``coalesce`` (not ``repartition``) keeps the rewrite shuffle-free —
+    it only merges read-splits, which is exactly what compaction wants.
+    Two-phase: write to ``<path>.compacting``, then atomic directory
+    swap, so a crash mid-compaction leaves the original intact.
+    """
+    n_files, total = dir_stats(path)
+    n_target = max(1, math.ceil(total / target_bytes))
+    if n_target >= n_files:
+        return n_files  # already compact enough; don't rewrite
+    tmp = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).coalesce(n_target).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return dir_stats(path)[0]
+
+
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet directories written under drifting schemas.
+
+    ``mergeSchema`` unions the footers: columns absent in older files
+    come back NULL, same-named columns must be castable. Explicitly
+    opt-in (it reads every footer) — at 100 TB, evolve once and rewrite
+    rather than paying merge on every read.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

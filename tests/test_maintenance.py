@@ -1,0 +1,50 @@
+"""Compaction and schema-evolution maintenance operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.operators.maintenance import (
+    compact,
+    dir_stats,
+    read_evolved,
+)
+from dso_import_spark.sources.registry import load_table
+
+
+def test_compact_reduces_files_preserves_content(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    p = str(tmp_path / "fragmented")
+    orders.repartition(40).write.parquet(p)  # simulate append fragmentation
+    n_before, total = dir_stats(p)
+    assert n_before == 40
+
+    n_after = compact(spark, p, target_bytes=max(total // 3, 1))
+    assert n_after < n_before
+    back = spark.read.parquet(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def test_compact_noop_when_already_compact(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    p = str(tmp_path / "tight")
+    orders.coalesce(1).write.parquet(p)
+    assert compact(spark, p, target_bytes=128 * 1024 * 1024) == 1
+
+
+def test_read_evolved_merges_drifted_schemas(spark, tmp_path):
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id int, name string, score double"
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+    merged = read_evolved(spark, p1, p2)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {tuple(r) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # pre-drift rows surface NULL score; filters on the new column work
+    assert merged.filter(F.col("score").isNotNull()).count() == 1
