@@ -68,6 +68,32 @@ def compact(
     return dir_stats(path)[0]
 
 
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int = 8,
+) -> None:
+    """Range-clustered parquet write — the plain-parquet analog of
+    Z-ordering on one key (SURVEY.md §1.2: "partitioning/Z-order if
+    Delta").
+
+    ``repartitionByRange`` gives each output file a disjoint key range;
+    ``sortWithinPartitions`` orders rows inside, so every parquet
+    row group carries tight min/max statistics on ``col``. Point and
+    range predicates then skip whole row groups (and effectively whole
+    files) at scan time — data skipping without any table format.
+    ``tests/test_maintenance.py`` asserts the written files' footer
+    stats are actually disjoint.
+    """
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     """Read parquet directories written under drifting schemas.
 

@@ -48,3 +48,51 @@ def test_read_evolved_merges_drifted_schemas(spark, tmp_path):
     assert rows == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
     # pre-drift rows surface NULL score; filters on the new column work
     assert merged.filter(F.col("score").isNotNull()).count() == 1
+
+
+def test_cluster_write_yields_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must put disjoint o_orderkey ranges in each
+    file, with tight row-group min/max stats — that's what lets the
+    parquet reader skip row groups on point/range predicates."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dso_import_spark.operators.maintenance import cluster_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    p = str(tmp_path / "clustered")
+    cluster_write(orders, p, "o_orderkey", n_files=4)
+
+    spans = []
+    for f in os.listdir(p):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) == 4
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next  # disjoint: skipping can eliminate files
+
+    # content survives clustering
+    back = spark.read.parquet(p)
+    assert back.count() == orders.count()
+    # and a point predicate is pushed to the scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("o_orderkey") == 7).explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
