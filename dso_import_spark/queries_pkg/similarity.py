@@ -135,6 +135,56 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "embedding_near_dup_lsh",
+    oracle="""
+    WITH z AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qi
+      FROM embeddings WHERE vec_id % 4 = 0),
+    bits AS (
+      SELECT z.vec_id, b.b,
+             CASE WHEN sum(CASE WHEN ((b.b * 8191 + u.pos) * 2654435761) % 97
+                                     < 48
+                                THEN z.qi[u.pos] ELSE -z.qi[u.pos] END) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM z
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b,
+      UNNEST(generate_series(1, len(z.qi))) AS u(pos)
+      GROUP BY z.vec_id, b.b),
+    buckets AS (
+      SELECT vec_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id),
+    v AS (SELECT z.vec_id, z.ve, bk.bucket FROM z JOIN buckets bk USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ve, b.ve) /
+                 (sqrt(list_dot_product(a.ve, a.ve)) *
+                  sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.ve, b.ve) /
+                (sqrt(list_dot_product(a.ve, a.ve)) *
+                 sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.9
+    """,
+    doc="Embedding near-dup pairs blocked by the portable LSH bucket "
+    "instead of the label column — the scale path: bucket count grows "
+    "with corpus size (2^n_bits tunable) where label blocks grow "
+    "linearly, so per-block pair blowup stays bounded. Near-identical "
+    "vectors land in the same signed-projection bucket with high "
+    "probability; the oracle reproduces buckets exactly (integer math).",
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    from dso_import_spark.operators.similarity import lsh_bucket
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "bucket", lsh_bucket("embedding", n_bits=6)
+    )
+    return embedding_near_dup_pairs(
+        sample, threshold=0.9, block_col="bucket"
+    )
+
+
+@query(
     "embedding_near_dup",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings
