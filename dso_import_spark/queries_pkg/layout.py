@@ -87,10 +87,23 @@ def scd2_point_in_time(spark, sf_dir):
 
 
 def partitioned_events_path(sf_dir: str) -> str:
-    """Deterministic local path for the day-partitioned events copy."""
+    """Deterministic local path for the day-partitioned events copy.
+
+    Keyed by the source file's (mtime, size) so a regenerated fixture
+    invalidates the cached copy instead of silently serving stale data.
+    """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
     return os.path.join(
-        tempfile.gettempdir(), "dso_import_spark_layout", tag, "events_by_day"
+        tempfile.gettempdir(),
+        "dso_import_spark_layout",
+        f"{tag}-{stamp}",
+        "events_by_day",
     )
 
 
