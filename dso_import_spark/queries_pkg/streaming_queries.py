@@ -140,3 +140,47 @@ def stream_user_totals(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "stream_upsert_state",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           round(value, 6) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Streaming upsert sink (foreachBatch + two-phase-swap parquet "
+    "target): replay the events stream with availableNow, maintain "
+    "latest-event-per-user state in the target table, return the final "
+    "state. Order-independent merge (max (ts, event_id) across sides), "
+    "so the result equals the batch latest-per-user regardless of "
+    "micro-batch boundaries.",
+)
+def stream_upsert_state(spark, sf_dir):
+    import tempfile
+
+    from dso_import_spark.streaming.events import stream_upsert_latest
+
+    d = tempfile.mkdtemp(prefix="dso-upsert-")
+    target = f"{d}/state"
+    stream_upsert_latest(
+        _stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        target,
+        f"{d}/ckpt",
+    )
+    out = spark.read.parquet(target)
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round("value", 6).alias("last_value"),
+    )
