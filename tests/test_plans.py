@@ -202,3 +202,47 @@ def test_lsh_topk_corpus_never_shuffles_before_join(spark, sf_dir, qs):
     # narrow ("Exchange (" alone would also match "BroadcastExchange (")
     assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
     assert "SinglePartition" not in plan
+
+
+# Queries whose RESULT is a global scalar (or a scalar-subquery
+# threshold): a map-side partial aggregate followed by a 1-row combine
+# is the correct plan — the SinglePartition exchange carries partial
+# states, not data.
+_SCALAR_RESULT_QUERIES = {
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
+    "dedup_exact_stats",
+    "merge_counts_scale",
+    "merge_insert_update",
+    "q06_forecast_revenue",
+    "q11_important_balances",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+}
+
+
+def test_no_query_plans_a_cartesian_or_rogue_single_partition(
+    spark, sf_dir, qs
+):
+    """Engine-wide guardrail: no registered query may plan a
+    CartesianProduct (unbounded pair blowup) or funnel non-scalar data
+    through a SinglePartition exchange (a one-task bottleneck at any
+    scale). Streaming queries drain sinks and are covered by their own
+    parity tests."""
+    offenders_cart, offenders_single = [], []
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        plan = plan_of(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "Exchange SinglePartition" in plan
+            and name not in _SCALAR_RESULT_QUERIES
+        ):
+            offenders_single.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_single, offenders_single
