@@ -43,24 +43,36 @@ def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~target_bytes files.
 
     Returns the new file count. Uses the measured on-disk size (not row
     count) so the heuristic holds for wide and narrow tables alike.
-    ``coalesce`` (not ``repartition``) keeps the rewrite shuffle-free —
-    it only merges read-splits, which is exactly what compaction wants.
+
+    Unpartitioned: ``coalesce`` (not ``repartition``) keeps the rewrite
+    shuffle-free — it only merges read-splits, which is exactly what
+    compaction wants. Hive-partitioned directories MUST pass
+    ``partition_by`` (the partition columns): the rewrite then
+    ``repartition``\\ s on them (one shuffle) so each partition
+    directory collapses to one file — without it the partition layout
+    would silently flatten.
+
     Two-phase: write to ``<path>.compacting``, then atomic directory
     swap, so a crash mid-compaction leaves the original intact.
     """
     n_files, total = dir_stats(path)
-    n_target = max(1, math.ceil(total / target_bytes))
-    if n_target >= n_files:
-        return n_files  # already compact enough; don't rewrite
+    df = spark.read.parquet(path)
+    if partition_by:
+        rewritten = df.repartition(*partition_by)
+        writer = rewritten.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        n_target = max(1, math.ceil(total / target_bytes))
+        if n_target >= n_files:
+            return n_files  # already compact enough; don't rewrite
+        writer = df.coalesce(n_target).write.mode("overwrite")
     tmp = path.rstrip("/") + ".compacting"
-    spark.read.parquet(path).coalesce(n_target).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    writer.parquet(tmp)
     old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(tmp, path)

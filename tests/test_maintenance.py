@@ -96,3 +96,27 @@ def test_cluster_write_yields_disjoint_ranges(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter(F.col("o_orderkey") == 7).explain("formatted")
     assert "PushedFilters" in buf.getvalue()
+
+
+def test_compact_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    """Partition-aware compaction: each dt= directory collapses toward
+    one file, the hive layout and content survive."""
+    import os
+
+    from dso_import_spark.operators.maintenance import compact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("dt")
+    )
+    p = str(tmp_path / "part_frag")
+    ev.repartition(8).write.partitionBy("dt").parquet(p)  # 8 files per day
+    n_before, _ = dir_stats(p)
+    days_before = {d for d in os.listdir(p) if d.startswith("dt=")}
+
+    n_after = compact(spark, p, partition_by=["dt"])
+    assert n_after < n_before
+    days_after = {d for d in os.listdir(p) if d.startswith("dt=")}
+    assert days_after == days_before  # layout preserved
+    back = spark.read.parquet(p)
+    assert back.count() == ev.count()
+    assert dict(back.dtypes)["dt"] == "date"
