@@ -86,6 +86,102 @@ def scd2_point_in_time(spark, sf_dir):
     )
 
 
+D1 = "1996-01-01"
+D2 = SNAPSHOT  # 1997-06-15
+
+
+@query(
+    "scd2_change_feed",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(o_orderdate AS DATE) AS begin_d,
+             lead(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS eind_d
+      FROM orders
+    ),
+    per_key AS (
+      SELECT o_custkey,
+        max(CASE WHEN begin_d <= DATE '{D1}'
+                  AND (eind_d IS NULL OR eind_d > DATE '{D1}')
+             THEN o_orderkey END) AS k1,
+        max(CASE WHEN begin_d <= DATE '{D2}'
+                  AND (eind_d IS NULL OR eind_d > DATE '{D2}')
+             THEN o_orderkey END) AS k2,
+        max(CASE WHEN begin_d <= DATE '{D1}'
+                  AND (eind_d IS NULL OR eind_d > DATE '{D1}')
+             THEN o_totalprice END) AS p1,
+        max(CASE WHEN begin_d <= DATE '{D2}'
+                  AND (eind_d IS NULL OR eind_d > DATE '{D2}')
+             THEN o_totalprice END) AS p2
+      FROM v
+      GROUP BY o_custkey
+    )
+    SELECT CASE WHEN k1 IS NULL THEN 'insert'
+                WHEN k1 = k2 THEN 'unchanged'
+                ELSE 'update' END AS change_type,
+           count(*)::BIGINT AS n_keys,
+           round(sum(coalesce(p2, 0) - coalesce(p1, 0)), 2) AS price_delta
+    FROM per_key
+    WHERE k1 IS NOT NULL OR k2 IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="SCD2 change-data-feed: classify every natural key as "
+    "insert/update/unchanged between two snapshot dates in ONE keyed "
+    "pass — window lead derives validity intervals, then conditional "
+    "aggregation picks the version covering each date. The window and "
+    "the groupBy share the o_custkey hash partitioning, so the whole "
+    "diff costs a single shuffle; the naive formulation (two "
+    "point-in-time snapshots full-outer-joined on key) shuffles the "
+    "table three times. This is how a 100 TB SCD2 warehouse emits a "
+    "downstream CDC stream without rereading itself twice.",
+)
+def scd2_change_feed(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    begin = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(begin.asc(), F.col("o_orderkey").asc())
+    v = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        begin.alias("begin_d"),
+        F.lead(begin).over(w).alias("eind_d"),
+    )
+
+    def covers(d: str):
+        lit = F.lit(d).cast("date")
+        return (F.col("begin_d") <= lit) & (
+            F.col("eind_d").isNull() | (F.col("eind_d") > lit)
+        )
+
+    per_key = v.groupBy("o_custkey").agg(
+        F.max(F.when(covers(D1), F.col("o_orderkey"))).alias("k1"),
+        F.max(F.when(covers(D2), F.col("o_orderkey"))).alias("k2"),
+        F.max(F.when(covers(D1), F.col("o_totalprice"))).alias("p1"),
+        F.max(F.when(covers(D2), F.col("o_totalprice"))).alias("p2"),
+    )
+    change = F.when(F.col("k1").isNull(), F.lit("insert")).otherwise(
+        F.when(F.col("k1") == F.col("k2"), F.lit("unchanged")).otherwise(
+            F.lit("update")
+        )
+    )
+    return (
+        per_key.filter(F.col("k1").isNotNull() | F.col("k2").isNotNull())
+        .groupBy(change.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("p2"), F.lit(0.0))
+                    - F.coalesce(F.col("p1"), F.lit(0.0))
+                ),
+                2,
+            ).alias("price_delta"),
+        )
+    )
+
+
 def partitioned_events_path(sf_dir: str) -> str:
     """Deterministic local path for the day-partitioned events copy.
 

@@ -111,3 +111,15 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         assert rows == expected
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_scd2_change_feed_shares_key_shuffle(spark, sf_dir):
+    """The CDC diff costs ONE o_custkey shuffle: the interval window and
+    the per-key conditional agg reuse the same hash partitioning. Only
+    the final tiny change_type rollup adds a second exchange."""
+    from dso_import_spark.queries_pkg.layout import scd2_change_feed
+
+    plan = plan_of(scd2_change_feed(spark, sf_dir))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 2, plan
+    assert "CartesianProduct" not in plan
