@@ -73,7 +73,13 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     InjectRuntimeFilter should add a bloom_filter_agg on the selective
     dimension side and probe it on the fact side before the shuffle."""
     conf = spark.conf
-    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+    ]
+    saved = {k: conf.get(k) for k in keys}
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
@@ -110,7 +116,11 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         }
         assert rows == expected
     finally:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        # restore EVERY touched key — a leaked
+        # applicationSideScanSizeThreshold=0 injects single-partition
+        # bloom aggregates into every later test's join plans
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 def test_scd2_change_feed_shares_key_shuffle(spark, sf_dir):
