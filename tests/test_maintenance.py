@@ -120,3 +120,73 @@ def test_compact_partitioned_preserves_layout(spark, sf_dir, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == ev.count()
     assert dict(back.dtypes)["dt"] == "date"
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order clustering: footer min/max stats must prune files for
+    point predicates on EITHER clustered column, where single-key
+    clustering prunes only its own key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dso_import_spark.operators.maintenance import cluster_write, zorder_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zp = str(tmp_path / "zordered")
+    kp = str(tmp_path / "keyed")
+    zorder_write(orders, zp, ["o_custkey", "o_totalprice"], n_files=8)
+    cluster_write(orders, kp, "o_custkey", n_files=8)
+
+    def file_spans(path, colname):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = next(
+                j
+                for j in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(j).path_in_schema == colname
+            )
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+        return spans
+
+    probe = orders.select(
+        F.expr("percentile_approx(o_custkey, 0.5)").alias("ck"),
+        F.expr("percentile_approx(o_totalprice, 0.5)").alias("tp"),
+    ).first()
+
+    def n_overlapping(spans, v):
+        return sum(1 for lo, hi in spans if lo <= v <= hi)
+
+    z_ck = file_spans(zp, "o_custkey")
+    z_tp = file_spans(zp, "o_totalprice")
+    assert len(z_ck) == 8
+    # point predicates on EACH dimension eliminate files
+    assert n_overlapping(z_ck, probe.ck) < len(z_ck)
+    assert n_overlapping(z_tp, probe.tp) < len(z_tp)
+
+    # single-key clustering: perfect on its key, useless on the other
+    k_ck = file_spans(kp, "o_custkey")
+    k_tp = file_spans(kp, "o_totalprice")
+    assert n_overlapping(k_ck, probe.ck) <= 2
+    assert n_overlapping(k_tp, probe.tp) == len(k_tp)
+
+    # content is lossless
+    back = spark.read.parquet(zp)
+    assert back.count() == orders.count()
+    assert (
+        back.agg(F.sum("o_orderkey").alias("s")).first().s
+        == orders.agg(F.sum("o_orderkey").alias("s")).first().s
+    )
