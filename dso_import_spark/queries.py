@@ -54,6 +54,7 @@ def oracle_queries() -> dict[str, str]:
 
 # importing the modules below populates REGISTRY via the decorator
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
+    cleaning,
     core,
     dedup,
     extras,

@@ -17,6 +17,7 @@ from dso_import_spark.ship import ensure_shipped
 from dso_import_spark.streaming.events import (
     dedup_within_watermark,
     drain_to_memory,
+    interval_join_view_purchase,
     read_events_stream,
     running_user_totals,
     session_counts,
@@ -139,6 +140,42 @@ def stream_user_totals(spark, sf_dir):
             "n_events",
             "total_value",
         )
+    )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(b.value, 6) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+    doc="Watermarked stream-stream interval self-join (view -> purchase "
+    "attribution within 30 minutes per user). Watermarks on both sides "
+    "plus the time-range join condition bound the join state store; "
+    "availableNow replay makes the append-mode result equal the batch "
+    "interval join.",
+)
+def stream_interval_join(spark, sf_dir):
+    out = drain_to_memory(
+        interval_join_view_purchase(_stream(spark, sf_dir)),
+        "q_stream_interval_join",
+        "append",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
     )
 
 

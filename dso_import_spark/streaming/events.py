@@ -212,6 +212,55 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_view_purchase(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each ``view`` event joined
+    to the same user's ``purchase`` events within ``gap_minutes``.
+
+    Stream-stream joins need BOTH a watermark on each side and a
+    time-range join condition; together they let the state store evict
+    buffered rows once the watermark passes ``view_ts + gap`` — bounded
+    state on an unbounded stream. Without the range bound Spark would
+    have to buffer every view forever (any future purchase could still
+    match). Append-mode only: a joined row is emitted once its match
+    window is closed by the watermark (availableNow replay emits all).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond, "inner").select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def latest_per_user(events: DataFrame) -> DataFrame:
     """Deterministic latest-event-per-user reduction: max (ts, event_id)."""
     from pyspark.sql.window import Window
