@@ -58,6 +58,10 @@ HEADLINE = [
     "scd2_point_in_time",
     "corpus_pipeline_stats",
     "ann_lsh_topk",
+    "pii_redaction_stats",
+    "repetition_quality_flags",
+    "incremental_corpus_dedup",
+    "table_profile",
 ]
 
 

@@ -192,3 +192,62 @@ def dedup_minhash_banded(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % 10 == 0)
     return minhash_band_pairs(sample, threshold=0.5)
+
+
+@query(
+    "incremental_corpus_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ')) AS fp
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT f.doc_id, f.lang, f.fp,
+             (c.fp IS NOT NULL) AS in_corpus,
+             row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+      FROM fp f LEFT JOIN corpus c ON f.fp = c.fp
+      WHERE f.doc_id % 3 = 0)
+    SELECT lang,
+           count(*) AS n_batch,
+           count(*) FILTER (in_corpus) AS n_dup_vs_corpus,
+           count(*) FILTER (NOT in_corpus AND rn > 1) AS n_dup_in_batch,
+           count(*) FILTER (NOT in_corpus AND rn = 1) AS n_kept
+    FROM batch GROUP BY lang
+    """,
+    doc="Incremental corpus update: dedup an incoming document batch "
+    "(doc_id % 3 = 0) against the existing corpus (the rest) AND "
+    "within itself, by bag-of-words fingerprint. The corpus side is "
+    "reduced to distinct fingerprints before the join — at 100 TB "
+    "that fingerprint table is the persistent dedup index you join "
+    "each new batch against (shuffle join keyed on fp; the full "
+    "corpus text is never re-read). Within-batch survivors are the "
+    "rn = 1 rows of a fingerprint window.",
+)
+def incremental_corpus_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from dso_import_spark.functions.text import bow_fingerprint
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "lang", bow_fingerprint("text").alias("fp"))
+    corpus = fp.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
+    marked = (
+        fp.filter(F.col("doc_id") % 3 == 0)
+        .join(corpus.withColumn("in_corpus", F.lit(True)), "fp", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+    )
+    keep = ~F.col("in_corpus") & (F.col("rn") == 1)
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("in_corpus"), 1)).alias("n_dup_vs_corpus"),
+        F.count(F.when(~F.col("in_corpus") & (F.col("rn") > 1), 1)).alias(
+            "n_dup_in_batch"
+        ),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+    )

@@ -369,3 +369,73 @@ def unpivot_melt_measures(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+           min(o_custkey)::VARCHAR AS min_v, max(o_custkey)::VARCHAR AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_totalprice)::BIGINT,
+           round(min(o_totalprice), 2)::VARCHAR, round(max(o_totalprice), 2)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderdate)::BIGINT,
+           min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR
+    FROM orders
+    """,
+    doc="Table profiling (df.summary analog with exact semantics): "
+    "per-column null count, exact distinct count, min/max — a union "
+    "of per-column aggregate branches, each with its scan pruned to "
+    "exactly one column. On a columnar source this reads the same "
+    "bytes as a single multi-distinct pass but avoids the Expand "
+    "(n_cols+1 row blowup) that multiple countDistincts in one agg "
+    "force, and the branches execute concurrently. At 100 TB swap "
+    "countDistinct for approx_count_distinct to drop the per-branch "
+    "distinct shuffle to a constant-size sketch merge.",
+)
+def table_profile(spark, sf_dir):
+    from functools import reduce
+
+    (orders,) = tables(spark, sf_dir, "orders")
+
+    as_str = lambda col: col.cast("string")  # noqa: E731
+    round2 = lambda col: F.round(col, 2).cast("string")  # noqa: E731
+
+    def branch(c, fmt):
+        return orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            fmt(F.min(F.col(c))).alias("min_v"),
+            fmt(F.max(F.col(c))).alias("max_v"),
+        ).select(
+            F.lit(c).alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_v",
+            "max_v",
+        )
+
+    branches = [
+        branch("o_custkey", as_str),
+        branch("o_orderstatus", as_str),
+        branch("o_totalprice", round2),
+        branch("o_orderdate", as_str),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches)

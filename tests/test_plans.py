@@ -210,6 +210,7 @@ def test_lsh_topk_corpus_never_shuffles_before_join(spark, sf_dir, qs):
 # states, not data.
 _SCALAR_RESULT_QUERIES = {
     "approx_distinct_sketch",
+    "table_profile",
     "approx_quantile_sketch",
     "dedup_exact_stats",
     "merge_counts_scale",
@@ -246,3 +247,41 @@ def test_no_query_plans_a_cartesian_or_rogue_single_partition(
             offenders_single.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_single, offenders_single
+
+
+def test_pii_redaction_is_one_narrow_stage_plus_agg(spark, sf_dir, qs):
+    """All regex work must stay in the narrow map stage: the only
+    shuffle is the per-language aggregate (with map-side partial), and
+    the scan reads just the two needed columns."""
+    plan = plan_of(qs["pii_redaction_stats"](spark, sf_dir))
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "text" in read and "lang" in read and "n_chars" not in read
+
+
+def test_repetition_flags_aggregate_exploded_tokens_map_side(spark, sf_dir, qs):
+    """Token/bigram counting shuffles per-doc partial counts, never raw
+    exploded tokens: every (doc_id, term) groupBy must have a partial
+    HashAggregate below its exchange."""
+    df = qs["repetition_quality_flags"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in executed
+    plan = plan_of(df)
+    # array explode, not a UDF (formatted mode separates the Generate
+    # node name from its explode(...) argument detail)
+    assert "Generate" in plan and "explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_joins_on_fingerprint_no_broadcast_of_corpus(
+    spark, sf_dir, qs
+):
+    """The corpus fingerprint index joins the batch on fp. At test scale
+    Spark may broadcast it, but the plan must keep the join keyed on fp
+    (hashable, co-partitionable at 100 TB) and never cartesian."""
+    plan = plan_of(qs["incremental_corpus_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "fp" in plan
+    assert "Window" in plan  # within-batch rn dedup stays distributed
