@@ -69,3 +69,41 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+) -> tuple[DataFrame, DataFrame]:
+    """Read XML (Spark 4 native source) with an explicit schema.
+
+    Same discipline as ``read_jsonl``: no inference (XML inference is
+    an extra full scan), PERMISSIVE parse, and malformed records come
+    back on a rejected-row side channel instead of aborting or
+    vanishing. XML is record-splittable on the row tag, so reads
+    parallelize; like JSONL it carries no column statistics — at
+    100 TB land XML, convert to parquet once, query the columnar copy.
+    """
+    with_corrupt = StructType(
+        schema.fields + [StructField(CORRUPT_COL, StringType())]
+    )
+    raw = (
+        spark.read.format("xml")
+        .schema(with_corrupt)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+    raw = raw.cache()  # materialize parse evidence before splitting
+    valid = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return valid, rejected
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    df.write.mode("overwrite").format("xml").option("rootTag", "rows").option(
+        "rowTag", row_tag
+    ).save(path)

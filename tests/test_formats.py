@@ -64,3 +64,29 @@ def test_jsonl_corrupt_lines_quarantined(spark, orders, tmp_path):
     assert rejected.count() == 2
     bad = {r[0] for r in rejected.collect()}
     assert any("broken" in b for b in bad)
+
+
+def test_xml_roundtrip_exact(spark, orders, tmp_path):
+    from dso_import_spark.sources.formats import read_xml, write_xml
+
+    p = str(tmp_path / "orders_xml")
+    write_xml(orders, p)
+    valid, rejected = read_xml(spark, p, orders.schema)
+    assert rejected.count() == 0
+    assert _rows(valid.select(*orders.columns)) == _rows(orders)
+
+
+def test_xml_corrupt_records_quarantined(spark, orders, tmp_path):
+    import os
+
+    from dso_import_spark.sources.formats import read_xml, write_xml
+
+    p = str(tmp_path / "mixed_xml")
+    write_xml(orders.limit(5), p)
+    with open(os.path.join(p, "bad-batch.xml"), "w") as fh:
+        fh.write(
+            "<rows><row><o_orderkey>not_a_number</o_orderkey></row></rows>\n"
+        )
+    valid, rejected = read_xml(spark, p, orders.schema)
+    assert valid.count() == 5
+    assert rejected.count() == 1
