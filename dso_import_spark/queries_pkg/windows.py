@@ -223,3 +223,134 @@ def ntile_rank_analytics(spark, sf_dir):
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+@query(
+    "rolling_hour_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           n_1h,
+           round(avg_1h, 4) AS avg_1h
+    FROM (SELECT event_id, user_id, ts,
+                 count(*) OVER w AS n_1h,
+                 avg(value) OVER w AS avg_1h
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+    WHERE user_id % 10 = 0
+    """,
+    doc="Rolling time-RANGE window: per event, count and mean of the "
+    "same user's events in the trailing hour. A RANGE frame over epoch "
+    "seconds — one shuffle on user_id, frame evaluation is a sliding "
+    "pointer over the sorted partition (no self-join, no per-row "
+    "rescan). The streaming twin would be a sliding window; this is "
+    "the batch/backfill formulation.",
+)
+def rolling_hour_stats(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        )
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "n_1h",
+            "avg_1h",
+        )
+    )
+
+
+@query(
+    "group_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB `quantile_cont`, both linear interpolation). Exact "
+    "percentile is a full-sort-per-group aggregate — correct but "
+    "memory-heavy; percentile_quantity holds the approx_percentile "
+    "sketch variant that is the 100 TB path.",
+)
+def group_exact_percentiles(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@query(
+    "revenue_share_window",
+    oracle="""
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_in_region,
+           rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+             AS rnk
+    FROM nr
+    """,
+    doc="Ratio-to-report: each nation's share of its region's revenue "
+    "via an unbounded window sum over the aggregated (not raw) rows — "
+    "the window input is 25 nations, so the share step is free no "
+    "matter how large the fact table; dims broadcast.",
+)
+def revenue_share_window(spark, sf_dir):
+    (orders, customer, nation, region) = tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    nr = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    rnk_w = Window.partitionBy("region").orderBy(
+        F.col("revenue").desc(), F.col("nation")
+    )
+    return nr.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "share_in_region"
+        ),
+        F.rank().over(rnk_w).alias("rnk"),
+    )
