@@ -439,3 +439,56 @@ def table_profile(spark, sf_dir):
         branch("o_orderdate", as_str),
     ]
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+@query(
+    "spatial_bbox_join",
+    oracle="""
+    WITH points AS (
+      SELECT c_custkey AS point_id,
+             1000 + (c_custkey * 7919) % 10000 AS px,
+             1000 + (c_custkey * 104729) % 10000 AS py
+      FROM customer),
+    rects AS (
+      SELECT s_suppkey AS rect_id,
+             1000 + (s_suppkey * 7919) % 10000 - (50 + s_suppkey % 50) AS xmin,
+             1000 + (s_suppkey * 104729) % 10000 - (50 + s_suppkey % 60) AS ymin,
+             1000 + (s_suppkey * 7919) % 10000 + (50 + s_suppkey % 50) AS xmax,
+             1000 + (s_suppkey * 104729) % 10000 + (50 + s_suppkey % 60) AS ymax
+      FROM supplier)
+    SELECT r.rect_id, p.point_id, p.px, p.py
+    FROM rects r, points p
+    WHERE p.px BETWEEN r.xmin AND r.xmax
+      AND p.py BETWEEN r.ymin AND r.ymax
+    """,
+    doc="Distributed spatial containment join via grid-cell blocking "
+    "(operators/spatial.py:grid_bbox_join): rectangles replicate to "
+    "the <=4 grid cells their bbox overlaps, points hash to one cell, "
+    "and containment is a post-filter on a plain equi-join — the "
+    "Sedona-style rewrite of the GiST-indexed PostGIS join the "
+    "reference leans on. The oracle is the naive theta join, proving "
+    "the blocked plan finds the identical pair set. Geometry derives "
+    "deterministically from fixture keys (integer arithmetic on both "
+    "engines).",
+)
+def spatial_bbox_join(spark, sf_dir):
+    from dso_import_spark.operators.spatial import grid_bbox_join
+
+    (customer, supplier) = tables(spark, sf_dir, "customer", "supplier")
+    points = customer.select(
+        F.col("c_custkey").alias("point_id"),
+        (1000 + (F.col("c_custkey") * 7919) % 10000).alias("px"),
+        (1000 + (F.col("c_custkey") * 104729) % 10000).alias("py"),
+    )
+    cx = 1000 + (F.col("s_suppkey") * 7919) % 10000
+    cy = 1000 + (F.col("s_suppkey") * 104729) % 10000
+    w = 50 + F.col("s_suppkey") % 50
+    h = 50 + F.col("s_suppkey") % 60
+    rects = supplier.select(
+        F.col("s_suppkey").alias("rect_id"),
+        (cx - w).alias("xmin"),
+        (cy - h).alias("ymin"),
+        (cx + w).alias("xmax"),
+        (cy + h).alias("ymax"),
+    )
+    return grid_bbox_join(points, rects, cell_size=200)

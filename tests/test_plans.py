@@ -285,3 +285,13 @@ def test_incremental_dedup_joins_on_fingerprint_no_broadcast_of_corpus(
     assert "CartesianProduct" not in plan
     assert "fp" in plan
     assert "Window" in plan  # within-batch rn dedup stays distributed
+
+
+def test_spatial_join_is_grid_blocked_equi_join(spark, sf_dir, qs):
+    """The containment join must execute as a hash-partitionable
+    equi-join on grid cells — never a nested-loop/cartesian pairing,
+    which is what a naive theta join would plan."""
+    plan = plan_of(qs["spatial_bbox_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cx" in plan and "cy" in plan  # join keyed on cell ids
