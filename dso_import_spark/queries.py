@@ -60,6 +60,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     extras,
     layout,
     llm_pipeline,
+    modern_sql,
     multimodal,
     ref_semantics,
     scale,
@@ -68,4 +69,5 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     text,
     tpch_rest,
     windows,
+    wkt_scan,
 )
