@@ -295,3 +295,86 @@ def minhash_band_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection: per-document statistics of
+    n-token spans that also occur in at least one OTHER document.
+
+    This is the distributed re-expression of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): instead of one global suffix array, every document
+    emits its sliding n-gram shingles WITH positions, shingles seen in
+    >1 document are found with one hash aggregation, and the positions
+    of those shingles are unioned into exact covered-token counts.
+
+    Plan shape (three shuffles, all on uniform keys):
+      1. groupBy(shingle)          — find cross-document shingles
+      2. left_semi join on shingle — keep only duplicated positions
+      3. groupBy(doc_id)           — per-doc span/coverage stats
+
+    Scale notes: the shingle string is the shuffle key here so the
+    DuckDB oracle can reproduce it byte-for-byte; at 100 TB you key on
+    ``xxhash64(shingle)`` instead (8 bytes vs ~50), which cuts shuffle
+    volume ~6× with negligible collision probability. Shingle keyspace
+    is near-uniform, so no salting is needed; AQE handles the residual
+    skew from boilerplate spans.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_dup_spans, n_dup_shingles, covered_tokens,
+    dup_coverage) — zero-filled for documents with no duplicated span.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    sized = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).withColumn(
+        "n", F.size("t").cast("long")
+    )
+    starts = F.when(
+        F.col("n") >= n, F.sequence(F.lit(1).cast("long"), F.col("n") - (n - 1))
+    ).otherwise(F.array().cast("array<long>"))
+    shingles = sized.select(
+        "doc_id", "t", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice("t", F.col("s"), F.lit(n)), " ").alias("sh"),
+    )
+    dup_sh = (
+        shingles.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("sh")
+    )
+    dup_pos = shingles.join(dup_sh, "sh", "left_semi")
+    per_doc = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.count_distinct("sh").alias("n_dup_shingles"),
+    )
+    covered = (
+        dup_pos.select(
+            "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("ti")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        sized.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+            F.coalesce("n_dup_shingles", zero).alias("n_dup_shingles"),
+            F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", zero) / F.col("n_tokens"), 4
+            ).alias("dup_coverage"),
+        )
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from dso_import_spark.functions.text import simhash32
 from dso_import_spark.operators.dedup import (
+    duplicated_span_stats,
     exact_dedup,
     minhash_band_pairs,
     minhash_lsh_pairs,
@@ -251,3 +252,51 @@ def incremental_corpus_dedup(spark, sf_dir):
         ),
         F.count(F.when(keep, 1)).alias("n_kept"),
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    positions AS (
+      SELECT doc_id, t,
+             unnest(CASE WHEN n >= 8 THEN range(1, n - 6) ELSE [] END) AS s
+      FROM sized
+    ),
+    shingles AS (
+      SELECT doc_id, s, array_to_string(t[s : s + 7], ' ') AS sh FROM positions
+    ),
+    dup_sh AS (SELECT sh FROM shingles GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+    dup_pos AS (SELECT doc_id, s, sh FROM shingles
+                WHERE sh IN (SELECT sh FROM dup_sh)),
+    covered AS (
+      SELECT doc_id, count(DISTINCT ti) AS covered_tokens
+      FROM (SELECT doc_id, unnest(range(s, s + 8)) AS ti FROM dup_pos)
+      GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans, count(DISTINCT sh) AS n_dup_shingles
+      FROM dup_pos GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n AS n_tokens,
+           coalesce(p.n_dup_spans, 0)::BIGINT    AS n_dup_spans,
+           coalesce(p.n_dup_shingles, 0)::BIGINT AS n_dup_shingles,
+           coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+           round(coalesce(c.covered_tokens, 0) / d.n::DOUBLE, 4) AS dup_coverage
+    FROM sized d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN covered c USING (doc_id)
+    """,
+    doc="Exact duplicated-substring spans (suffix-array dedup re-expressed "
+    "as positioned 8-gram shingles + one hash agg; Lee et al. 2022): "
+    "per-doc duplicated-span counts and exact covered-token coverage "
+    "(duplicated_span_stats operator).",
+)
+def dedup_substring_spans(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "text", "doc_id", n=8)
