@@ -1,0 +1,98 @@
+"""As-of (nearest-prior-event) joins with tolerance.
+
+The reference has no as-of join (SURVEY.md §2.4: "no as-of"); this is
+north-star surface. Two Spark-native formulations exist in this engine:
+
+1. window ``last(..., ignorenulls)`` over a union — one shuffle, pure
+   JVM; used by ``asof_join_last_signup`` (queries_pkg/windows.py).
+   Right choice when both sides share one event stream.
+2. THIS module: ``cogroup().applyInPandas`` + ``pandas.merge_asof`` —
+   the general two-table form with a staleness *tolerance*, matching
+   pandas/kdb asof semantics exactly. Right choice when the two sides
+   are separate tables and the match must expire (e.g. attribute a
+   purchase to a click only if the click is < 30 min old).
+
+Scale notes: cogroup shuffles BOTH sides once on the join key and
+streams each key's pair of Arrow batches through the Python worker —
+state never exceeds one group. At 100 TB you'd pre-bucket both tables
+on the key (storage-bucketed join, see tests/test_bucketing.py) so the
+cogroup reuses the layout and the shuffle disappears. Per-group pandas
+sort is O(g log g) on group size, not table size; skewed keys are the
+risk — cap or salt pathological users upstream.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = (
+    "left_id long, user_id long, ts timestamp, "
+    "right_id long, secs_since long"
+)
+
+
+def asof_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_secs: int = 1800,
+) -> DataFrame:
+    """For each left row, the latest right row of the same ``key`` with
+    ``right.ts <= left.ts`` and ``left.ts - right.ts <= tolerance``;
+    unmatched left rows survive with NULLs (left-asof semantics).
+
+    Right side is first reduced to one row per (key, ts) — max id wins —
+    so the as-of pick is deterministic under timestamp ties.
+    """
+    lhs = left.select(
+        F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    )
+    rhs = (
+        right.groupBy(F.col(key).alias("user_id"), F.col(ts_col).alias("rts"))
+        .agg(F.max(id_col).alias("right_id"))
+    )
+    tol = pd.Timedelta(seconds=tolerance_secs)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            # typed empty frame so Arrow conversion keeps the schema
+            return pd.DataFrame(
+                {
+                    "left_id": pd.array([], dtype="Int64"),
+                    "user_id": pd.array([], dtype="Int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "right_id": pd.array([], dtype="Int64"),
+                    "secs_since": pd.array([], dtype="Int64"),
+                }
+            )
+        lpdf = lpdf.sort_values("ts", kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            out["right_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["secs_since"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        rpdf = rpdf.sort_values("rts", kind="mergesort")[["rts", "right_id"]]
+        m = pd.merge_asof(
+            lpdf, rpdf, left_on="ts", right_on="rts",
+            direction="backward", tolerance=tol,
+        )
+        # integer floor of the staleness in whole seconds — exact
+        # timedelta floordiv, no float rounding at the boundary
+        secs = m["ts"].sub(m["rts"]).floordiv(pd.Timedelta(seconds=1))
+        m["right_id"] = m["right_id"].astype("Int64")
+        m["secs_since"] = pd.array(
+            [None if pd.isna(s) else int(s) for s in secs], dtype="Int64"
+        )
+        return m[["left_id", "user_id", "ts", "right_id", "secs_since"]]
+
+    return (
+        lhs.groupBy("user_id")
+        .cogroup(rhs.groupBy("user_id"))
+        .applyInPandas(lambda lp, rp: merge(lp, rp), _OUT_SCHEMA)
+    )

@@ -247,3 +247,99 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the IVF coarse-quantizer
+    trainer for ivf_topk, expressed as iterated DataFrame jobs.
+
+    Deterministic by construction so a SQL oracle can replay it:
+    - init: the k vectors with the smallest ids, cluster = id rank;
+    - assign: argmin over squared L2 via the norm identity
+      ``|a|² + |c|² − 2·a·c`` (dot products are sequential folds —
+      functions/vectors.py — so both engines compute identical doubles);
+      ties break to the smallest cluster id;
+    - update: per-dimension mean ROUNDED to ``round_scale`` at each
+      iteration boundary, so the centroids fed to the next iteration
+      are identical decimals in any engine; empty clusters keep their
+      previous centroid.
+
+    Scale shape: each iteration is one narrow assignment pass (centroids
+    are literals — broadcast by construction, k·dims doubles) plus one
+    posexplode/groupBy((cluster,pos)) shuffle bounded by k·dims output
+    rows. The only driver traffic is the k×dims centroid matrix per
+    iteration — Lloyd's on any engine has that synchronization point.
+
+    Returns (vec_id, cluster, dist2) — final assignments with rounded
+    squared distance.
+    """
+    z = (
+        df.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
+        )
+        .withColumn("na", dot(F.col("ve"), F.col("ve")))
+    )
+    z.cache()
+    init = z.orderBy("vec_id").limit(k).collect()
+    cents = [list(r["ve"]) for r in init]
+
+    def dists_expr(cents_: list[list[float]]) -> Column:
+        cols = []
+        for cv in cents_:
+            nc = 0.0
+            for v in cv:
+                nc += v * v
+            c_lit = F.array(*[F.lit(float(v)) for v in cv])
+            cols.append(
+                (F.col("na") + F.lit(nc)) - (F.lit(2.0) * dot(F.col("ve"), c_lit))
+            )
+        return F.array(*cols)
+
+    # iters assignment rounds total; centroid updates run between them,
+    # so iters=2 is: assign(c0) → update → assign(c1) = final output
+    for _ in range(iters - 1):
+        assigned = z.withColumn("dists", dists_expr(cents)).withColumn(
+            "cluster",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast(
+                "long"
+            ),
+        )
+        new_rows = (
+            assigned.select(
+                "cluster", F.posexplode("ve").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), round_scale).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new_map = {int(r["cluster"]): list(r["cv"]) for r in new_rows}
+        cents = [new_map.get(c, cents[c]) for c in range(k)]
+
+    final = z.withColumn("dists", dists_expr(cents)).withColumn(
+        "cluster",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("long"),
+    )
+    out = final.select(
+        "vec_id",
+        "cluster",
+        F.round(
+            F.element_at(F.col("dists"), (F.col("cluster") + 1).cast("int")),
+            round_scale,
+        ).alias("dist2"),
+    )
+    z.unpersist()
+    return out

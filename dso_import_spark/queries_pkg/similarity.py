@@ -8,6 +8,7 @@ from dso_import_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_assignments,
     lsh_topk,
 )
 from dso_import_spark.queries import query
@@ -205,3 +206,51 @@ def embedding_near_dup(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 4 == 0)
     return embedding_near_dup_pairs(sample, threshold=0.9)
+
+
+@query(
+    "ivf_kmeans_train",
+    oracle="""
+    WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    n AS (SELECT vec_id, ve, list_dot_product(ve, ve) AS na FROM z),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS cv
+           FROM (SELECT vec_id, ve FROM z ORDER BY vec_id LIMIT 4)),
+    a1 AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT n.vec_id, c0.c,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c0.cv, c0.cv))
+                          - (2 * list_dot_product(n.ve, c0.cv)), c0.c) AS rn
+        FROM n CROSS JOIN c0) WHERE rn = 1),
+    dims AS (
+      SELECT a1.cluster,
+             unnest(range(1, len(z.ve) + 1)) AS pos,
+             unnest(z.ve) AS x
+      FROM a1 JOIN z USING (vec_id)),
+    c1new AS (
+      SELECT cluster AS c, list(m ORDER BY pos) AS cv
+      FROM (SELECT cluster, pos, round(avg(x), 6) AS m
+            FROM dims GROUP BY cluster, pos)
+      GROUP BY cluster),
+    c1 AS (SELECT c0.c, coalesce(c1new.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN c1new USING (c))
+    SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+      SELECT n.vec_id, c1.c AS cluster,
+             (n.na + list_dot_product(c1.cv, c1.cv))
+               - (2 * list_dot_product(n.ve, c1.cv)) AS d2,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY (n.na + list_dot_product(c1.cv, c1.cv))
+                        - (2 * list_dot_product(n.ve, c1.cv)), c1.c) AS rn
+      FROM n CROSS JOIN c1) WHERE rn = 1
+    """,
+    doc="Lloyd's k-means (k=4, 2 assignment rounds) training the IVF "
+    "coarse quantizer on the embeddings table (kmeans_assignments "
+    "operator). The oracle unrolls both iterations as CTEs: identical "
+    "init, argmin tie-breaks, boundary rounding, and empty-cluster "
+    "carry-over — an end-to-end differential of an ITERATIVE algorithm.",
+)
+def ivf_kmeans_train(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=4, iters=2)

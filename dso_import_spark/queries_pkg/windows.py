@@ -354,3 +354,41 @@ def revenue_share_window(spark, sf_dir):
         ),
         F.rank().over(rnk_w).alias("rnk"),
     )
+
+
+@query(
+    "asof_tolerance_cogroup",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS left_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts AS rts, max(event_id) AS right_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    m AS (
+      SELECT p.left_id, p.user_id, p.ts, c.right_id, c.rts
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.rts)
+    SELECT left_id, user_id, ts,
+           CASE WHEN rts IS NOT NULL AND ts - rts <= INTERVAL 1800 SECOND
+                THEN right_id END AS right_id,
+           CASE WHEN rts IS NOT NULL AND ts - rts <= INTERVAL 1800 SECOND
+                THEN (epoch_us(ts) - epoch_us(rts)) // 1000000 END AS secs_since
+    FROM m
+    """,
+    doc="As-of join with 30-min staleness tolerance via "
+    "cogroup().applyInPandas + pandas.merge_asof (operators/asof.py): "
+    "attribute each purchase to the latest prior click only while the "
+    "click is fresh. Oracle = DuckDB native ASOF LEFT JOIN + tolerance "
+    "filter — two independent as-of implementations must agree.",
+)
+def asof_tolerance_cogroup(spark, sf_dir):
+    from dso_import_spark.operators.asof import asof_tolerance_join
+
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    return asof_tolerance_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        id_col="event_id", tolerance_secs=1800,
+    )
