@@ -62,6 +62,9 @@ HEADLINE = [
     "repetition_quality_flags",
     "incremental_corpus_dedup",
     "table_profile",
+    "dedup_substring_spans",
+    "asof_tolerance_cogroup",
+    "ivf_kmeans_train",
 ]
 
 

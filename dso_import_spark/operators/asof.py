@@ -53,9 +53,14 @@ def asof_tolerance_join(
         F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),
         F.col(ts_col).alias("ts"),
     )
-    rhs = (
-        right.groupBy(F.col(key).alias("user_id"), F.col(ts_col).alias("rts"))
-        .agg(F.max(id_col).alias("right_id"))
+    # timestamp-tie dedup (max id wins) happens inside the pandas merge,
+    # not as a Spark groupBy: a pre-aggregation on (key, ts) would hash
+    # by (key, ts) and the cogroup would re-shuffle by key — one whole
+    # extra exchange of the right side for work the per-group sort
+    # already does for free
+    rhs = right.select(
+        F.col(key).alias("user_id"), F.col(ts_col).alias("rts"),
+        F.col(id_col).alias("right_id"),
     )
     tol = pd.Timedelta(seconds=tolerance_secs)
 
@@ -77,7 +82,10 @@ def asof_tolerance_join(
             out["right_id"] = pd.array([None] * len(out), dtype="Int64")
             out["secs_since"] = pd.array([None] * len(out), dtype="Int64")
             return out
-        rpdf = rpdf.sort_values("rts", kind="mergesort")[["rts", "right_id"]]
+        rpdf = (
+            rpdf.sort_values(["rts", "right_id"], kind="mergesort")
+            .drop_duplicates("rts", keep="last")[["rts", "right_id"]]
+        )
         m = pd.merge_asof(
             lpdf, rpdf, left_on="ts", right_on="rts",
             direction="backward", tolerance=tol,

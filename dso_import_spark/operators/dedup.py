@@ -350,23 +350,29 @@ def duplicated_span_stats(
         .select("sh")
     )
     dup_pos = shingles.join(dup_sh, "sh", "left_semi")
+    # ONE groupBy(doc_id) computes spans, distinct shingles, AND exact
+    # coverage: the covered-token set is the distinct union of the
+    # per-span index ranges, folded inside the aggregate so the dup_pos
+    # subtree is consumed once (Spark does not share subplans — a
+    # second consumer would recompute the whole shingle pipeline).
+    # Per-group memory is bounded by n·spans ≤ n·tokens of ONE doc.
     per_doc = dup_pos.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.count_distinct("sh").alias("n_dup_shingles"),
-    )
-    covered = (
-        dup_pos.select(
-            "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("ti")
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("s"), F.col("s") + (n - 1)))
+                )
+            )
         )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+        .cast("long")
+        .alias("covered_tokens"),
     )
     zero = F.lit(0).cast("long")
     return (
         sized.select("doc_id", F.col("n").alias("n_tokens"))
         .join(per_doc, "doc_id", "left")
-        .join(covered, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -295,3 +295,39 @@ def test_spatial_join_is_grid_blocked_equi_join(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cx" in plan and "cy" in plan  # join keyed on cell ids
+
+
+def test_asof_cogroup_shuffles_each_side_exactly_once(spark, sf_dir, qs):
+    """The cogrouped as-of join must shuffle each input exactly once on
+    the cogroup key, with the event-type filters pushed into the scans.
+    A Spark-side pre-aggregation on (key, ts) would add a third
+    exchange — the timestamp-tie dedup belongs inside the per-group
+    pandas merge."""
+    plan = plan_of(qs["asof_tolerance_cogroup"](spark, sf_dir), "simple")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" not in plan
+    assert plan.count("EqualTo(event_type,") == 2  # pushed to parquet
+
+
+def test_substring_span_dedup_consumes_dup_positions_once(spark, sf_dir, qs):
+    """Spark does not share subplans: per-doc stats and coverage must
+    come from ONE aggregation over the duplicated-position stream, or
+    the whole shingle pipeline (scan → explode → semi-join) runs twice.
+    Three document scans are inherent (doc sizes, shingles, dup-shingle
+    build side); a fourth means the tree regressed to double-compute."""
+    plan = plan_of(qs["dedup_substring_spans"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 3
+    assert plan.count("LeftSemi") == 1
+
+
+def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir, qs):
+    """Lloyd's assignment embeds the centroids as literal arrays, so
+    the returned (final-iteration) plan is a pure narrow map over the
+    embeddings scan — no exchange, no join. The per-iteration centroid
+    updates shuffle internally, but what downstream consumes must be
+    scan → project."""
+    plan = plan_of(qs["ivf_kmeans_train"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
