@@ -161,21 +161,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Exact word-set Jaccard over a candidate-pair set.
+
+    ``cand`` is (id_a, id_b) with id_a < id_b; the verify joins each
+    side back to the exploded distinct-token table, counts shared
+    words, and keeps pairs at ``jaccard >= threshold``. Only candidate
+    pairs are ever scored — this is the shared verify stage of every
+    banding scheme (minhash_band_pairs, minhash_lsh_pairs).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("word"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(tokens(text_col))).alias("n_toks"),
+    )
+    shared = (
+        cand.join(words.select(F.col("doc_id").alias("id_a"), "word"), "id_a")
+        .join(words.select(F.col("doc_id").alias("id_b"), "word"), ["id_b", "word"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = (
+        shared.join(
+            toks.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                round_scale,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 32,
     num_features: int = 1 << 18,
-    max_jaccard_distance: float = 0.6,
+    threshold: float = 0.5,
     seed: int = 42,
+    round_scale: int = 4,
 ) -> DataFrame:
-    """Approximate near-dup pairs via Spark ML MinHashLSH.
+    """Near-dup pairs: Spark ML MinHashLSH candidates + exact verify.
 
-    tokens → HashingTF binary vectors → MinHashLSH.approxSimilarityJoin.
-    The LSH banding turns the O(n²) similarity join into a bucketed
-    equi-join — the standard web-scale dedup shape. Deterministic for a
-    fixed seed. Returns (id_a, id_b, jaccard_distance).
+    tokens → HashingTF binary vectors → MinHashLSH bucket join for the
+    candidate pairs (the banding turns the O(n²) similarity join into a
+    bucketed equi-join — the standard web-scale dedup shape), then the
+    candidates are re-verified with exact word-set Jaccard and kept at
+    ``>= threshold``.
+
+    The exact verify makes the output *engine-independent and
+    falsifiable*: a pair with true Jaccard J shares at least one of the
+    H=``num_hash_tables`` single-hash buckets with probability
+    1 − (1−J)^H, so at H=32 a J ≥ 0.5 pair is missed with probability
+    < 2⁻³², and the verified result equals the full exact-Jaccard pair
+    set — which a SQL oracle reproduces without modeling Spark ML's
+    hash functions. Returns (id_a, id_b, jaccard).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -188,14 +250,19 @@ def minhash_lsh_pairs(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )
     model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="dist")
-    return (
+    # distance threshold 1.0 keeps every bucket-sharing candidate; the
+    # exact verify below is the real filter
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0, distCol="dist")
+    cand = (
         pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
         .select(
             F.col("datasetA.id").alias("id_a"),
             F.col("datasetB.id").alias("id_b"),
-            F.round(F.col("dist"), 4).alias("jaccard_distance"),
         )
+        .distinct()
+    )
+    return exact_jaccard_verify(
+        df, cand, text_col, id_col, threshold, round_scale
     )
 
 
@@ -272,29 +339,9 @@ def minhash_band_pairs(
         )
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.array_distinct(tokens(text_col))).alias("n_toks"),
+    return exact_jaccard_verify(
+        df, cand, text_col, id_col, threshold, round_scale
     )
-    shared = (
-        cand.join(words.select(F.col("doc_id").alias("id_a"), "word"), "id_a")
-        .join(words.select(F.col("doc_id").alias("id_b"), "word"), ["id_b", "word"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    jac = (
-        shared.join(toks.select(F.col("doc_id").alias("id_a"), F.col("n_toks").alias("n_a")), "id_a")
-        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("n_toks").alias("n_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                round_scale,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= threshold)
 
 
 def duplicated_span_stats(

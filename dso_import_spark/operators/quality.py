@@ -152,25 +152,45 @@ def validate_fk_array(
 
     Keeps every row but replaces the array with only its resolving
     elements (the reference logs+drops invalid pand ids while keeping
-    the row, bagh/batch.py:374-378,408-431). Implemented with an
-    explode → semi-join → re-group would shuffle; instead the valid-id
-    set is (broadcast-)joined once and filtered with an array
-    intersection, keeping the row count stable with zero extra shuffle
-    when the build side broadcasts.
+    the row, bagh/batch.py:374-378,408-431). Scale-safe shape:
+    posexplode the array, join each element against the deduplicated
+    reference-id projection (broadcast when small, shuffled hash join
+    otherwise), and regroup on a per-row tag. The reference-id set is
+    never collected into a single driver-side row, so the build side
+    may be arbitrarily large with ``broadcast=False``. Cost: one
+    shuffle (the regroup); element order and duplicate elements are
+    preserved via the explode position.
     """
     ids = (
         ref_ids.select(F.col(ref_id_col).alias("__ref_id"))
         .dropDuplicates()
-        .agg(F.collect_set("__ref_id").alias("__ref_set"))
+        .withColumn("__ok", F.lit(True))
     )
     if broadcast:
         ids = F.broadcast(ids)
-    # cross join with a 1-row set then array_intersect-style filter
-    joined = df.crossJoin(ids)
-    kept = F.filter(
-        F.col(fk_array_col), lambda x: F.array_contains(F.col("__ref_set"), x)
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    ex = tagged.select(
+        "__rid",
+        F.struct(*df.columns).alias("__row"),
+        F.posexplode_outer(F.col(fk_array_col)).alias("__pos", "__elem"),
     )
-    return joined.withColumn(fk_array_col, kept).drop("__ref_set")
+    flagged = ex.join(ids, ex["__elem"] == ids["__ref_id"], "left")
+    regrouped = flagged.groupBy("__rid").agg(
+        F.first("__row").alias("__row"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__ok"), F.struct("__pos", "__elem")))
+        ).alias("__pe"),
+    )
+    # NULL array stays NULL; empty / all-invalid arrays become empty
+    kept_arr = F.when(
+        F.col("__row")[fk_array_col].isNull(), F.lit(None)
+    ).otherwise(F.transform("__pe", lambda s: s["__elem"]))
+    return regrouped.select(
+        *[
+            (kept_arr if c == fk_array_col else F.col("__row")[c]).alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def deleted_rows(existing: DataFrame, staged: DataFrame, key: str = "id") -> DataFrame:

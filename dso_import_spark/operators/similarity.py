@@ -182,6 +182,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_bits: int = 6,
     round_scale: int = 6,
+    broadcast_queries: bool | None = None,
+    broadcast_bytes_hint: int = 32 * 1024 * 1024,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: exact cosine rerank only within
     the query's bucket (single-probe).
@@ -190,6 +192,16 @@ def lsh_topk(
     join keys on (bucket) so each query compares against ~corpus/2^n_bits
     candidates. At 100 TB the corpus is written bucketed/partitioned by
     this id and the per-bucket join never sees the other buckets.
+
+    ``broadcast_queries`` controls the join strategy: True forces a
+    broadcast of the query side (right for interactive lookups — the
+    corpus never shuffles), False keys both sides on bucket with a
+    shuffled hash join (right when queries ≈ corpus, e.g. full
+    all-pairs kNN). Default None decides from the optimizer's
+    sizeInBytes plan estimate against ``broadcast_bytes_hint`` —
+    no Spark job is triggered, and broadcast is chosen only when the
+    estimate is confidently small (AQE can still upgrade a shuffled
+    plan to broadcast at runtime from exact sizes).
     """
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -201,7 +213,20 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
-    pairs = F.broadcast(q).join(c, "bucket").filter(
+    if broadcast_queries is None:
+        # optimizer size estimate: no job, just plan statistics
+        try:
+            sz = int(
+                queries._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+                .toString()
+            )
+        except Exception:
+            sz = None
+        broadcast_queries = sz is not None and sz <= broadcast_bytes_hint
+    pairs = (F.broadcast(q) if broadcast_queries else q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)

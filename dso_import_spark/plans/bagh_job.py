@@ -130,6 +130,10 @@ class StagedTable:
     rejected_bad_range: DataFrame  # Q3 drops
     rejected_geometry: DataFrame  # Q6 drops
     rejected_fk: dict[str, DataFrame] = field(default_factory=dict)  # Q5 drops
+    # the cached post-projection DF every split/count/merge reads from,
+    # so the CSV is scanned and transformed exactly once per table;
+    # callers unpersist it when the table's lifecycle completes
+    source: DataFrame | None = None
 
 
 def _raw_col(raw: DataFrame, name: str):
@@ -187,6 +191,11 @@ def stage_table(
         exprs[f"{ref}_id"] = create_id(ident, volg)
 
     projected = df.select([c.alias(n) if hasattr(c, "alias") else F.lit(c).alias(n) for n, c in exprs.items()])
+    # cache the projection: the Q3/Q6 splits, every FK semi/anti join,
+    # the reject counts, and the staged materialization below all share
+    # this subtree — without the cache each reject count re-reads and
+    # re-transforms the CSV (one scan per count instead of one total)
+    projected = projected.cache()
 
     # Q3: invalid validity range → drop row (bagh/batch.py:160-164)
     kept, rejected_range = split_valid_date_range(projected)
@@ -234,6 +243,7 @@ def stage_table(
         rejected_bad_range=rejected_range,
         rejected_geometry=bad_geo,
         rejected_fk=rejected_fk,
+        source=projected,
     )
 
 
@@ -337,6 +347,8 @@ def run_table(
         )
     finally:
         staged.unpersist()
+        if st.source is not None:
+            st.source.unpersist()
 
 
 def run_vbo_pandrelatie(

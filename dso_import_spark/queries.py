@@ -52,22 +52,28 @@ def oracle_queries() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
 
 
-# importing the modules below populates REGISTRY via the decorator
+# Importing the modules below populates REGISTRY via the decorator.
+# ORDER MATTERS for the external differential harness, which verifies
+# registry entries front-to-back with a per-round budget: modules whose
+# queries still lack a green correctness row are imported FIRST so they
+# get driver evidence this round (round 1 verified the first 50 —
+# cleaning/core/dedup/extras/layout/llm_pipeline/modern_sql — so those
+# rotate to the back; tpch_rest/wkt_scan rotate forward next round).
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
+    ref_semantics,
+    windows,
+    similarity,
+    text,
+    multimodal,
+    scale,
+    streaming_queries,
+    tpch_rest,
+    wkt_scan,
+    modern_sql,
     cleaning,
     core,
     dedup,
     extras,
     layout,
     llm_pipeline,
-    modern_sql,
-    multimodal,
-    ref_semantics,
-    scale,
-    similarity,
-    streaming_queries,
-    text,
-    tpch_rest,
-    windows,
-    wkt_scan,
 )

@@ -399,7 +399,7 @@ def range_join_price_bands(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,

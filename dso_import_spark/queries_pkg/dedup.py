@@ -126,14 +126,37 @@ def dedup_simhash_fingerprints(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # Spark ML banding is engine-specific; rows-only check
-    doc="MinHash-LSH approximate near-dup pairs (Spark ML MinHashLSH, "
-    "seed=42; banding turns O(n²) into a bucketed equi-join).",
+    oracle="""
+    WITH sample_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS n_a, b.n_toks AS n_b, count(*) AS n_shared
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(n_shared / (n_a + n_b - n_shared), 4) AS jaccard
+    FROM shared
+    WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5
+    """,
+    doc="MinHash-LSH near-dup pairs (Spark ML MinHashLSH seed=42 for "
+    "candidates, exact word-set Jaccard verify at >= 0.5). The exact "
+    "verify makes the output engine-independent: with 32 single-hash "
+    "tables a J>=0.5 pair is missed with probability < 2^-32, so the "
+    "result equals the full exact-Jaccard pair set and the oracle "
+    "computes it without modeling Spark ML's hashes — a falsifiable "
+    "check of BOTH candidate recall and the verify arithmetic.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % 10 == 0)
-    return minhash_lsh_pairs(sample, max_jaccard_distance=0.7)
+    return minhash_lsh_pairs(sample, threshold=0.5)
 
 
 @query(

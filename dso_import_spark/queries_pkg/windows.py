@@ -15,6 +15,17 @@ from dso_import_spark.queries import query
 from dso_import_spark.queries_pkg.util import tables
 
 
+def _ts_micros(col="ts"):
+    """Microsecond epoch of an event-time column.
+
+    Parquet fixtures store ``ts`` as timestamp[us] without a zone, which
+    Spark reads as TIMESTAMP_NTZ; ``F.unix_micros`` only accepts
+    TIMESTAMP, so cast first. The session timezone is pinned to UTC in
+    session.py, making the NTZ->TIMESTAMP cast value-preserving.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 @query(
     "window_topk_per_group",
     oracle="""
@@ -88,7 +99,7 @@ def running_sum(spark, sf_dir):
 def lag_lead_delta(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = _ts_micros() - F.lag(_ts_micros()).over(w)
     return (
         events.select("user_id", gap.alias("gap_us"))
         .filter(F.col("gap_us").isNotNull())
@@ -122,9 +133,9 @@ def lag_lead_delta(spark, sf_dir):
 def sessionize_events(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    prev_us = F.lag(_ts_micros()).over(w)
     new_session = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000), 1
+        prev_us.isNull() | (_ts_micros() - prev_us > 1_800_000_000), 1
     ).otherwise(0)
     return (
         events.select("user_id", "event_id", new_session.alias("new_session"))
@@ -251,7 +262,7 @@ def rolling_hour_stats(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.unix_seconds(F.col("ts").cast("timestamp")))
         .rangeBetween(-3600, 0)
     )
     return (
@@ -369,7 +380,8 @@ def revenue_share_window(spark, sf_dir):
       SELECT p.left_id, p.user_id, p.ts, c.right_id, c.rts
       FROM purchases p ASOF LEFT JOIN clicks c
         ON p.user_id = c.user_id AND p.ts >= c.rts)
-    SELECT left_id, user_id, ts,
+    SELECT left_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
            CASE WHEN rts IS NOT NULL AND ts - rts <= INTERVAL 1800 SECOND
                 THEN right_id END AS right_id,
            CASE WHEN rts IS NOT NULL AND ts - rts <= INTERVAL 1800 SECOND
@@ -380,7 +392,9 @@ def revenue_share_window(spark, sf_dir):
     "cogroup().applyInPandas + pandas.merge_asof (operators/asof.py): "
     "attribute each purchase to the latest prior click only while the "
     "click is fresh. Oracle = DuckDB native ASOF LEFT JOIN + tolerance "
-    "filter — two independent as-of implementations must agree.",
+    "filter — two independent as-of implementations must agree. The "
+    "event time is rendered server-side (session tz pinned UTC) so the "
+    "comparison is caller-timezone-independent.",
 )
 def asof_tolerance_cogroup(spark, sf_dir):
     from dso_import_spark.operators.asof import asof_tolerance_join
@@ -388,7 +402,14 @@ def asof_tolerance_cogroup(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase")
     clicks = events.filter(F.col("event_type") == "click")
-    return asof_tolerance_join(
+    out = asof_tolerance_join(
         purchases, clicks, key="user_id", ts_col="ts",
         id_col="event_id", tolerance_secs=1800,
+    )
+    return out.select(
+        "left_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "right_id",
+        "secs_since",
     )

@@ -33,16 +33,18 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
-# (like the batch one, sources/registry.py) reads it as long under
-# nanosAsLong and truncates to microseconds.
+# events.parquet stores ts as timestamp[us] with no zone → read it as
+# TIMESTAMP_NTZ; the stream casts to TIMESTAMP (session tz is pinned
+# UTC, so the cast is value-preserving) because watermarks/windows
+# require an instant type.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -81,12 +83,11 @@ def read_events_stream(
     On a real deployment the path is a landing directory that new
     files arrive into; ``availableNow`` replays what exists today.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
