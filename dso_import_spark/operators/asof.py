@@ -41,6 +41,7 @@ def asof_tolerance_join(
     ts_col: str = "ts",
     id_col: str = "event_id",
     tolerance_secs: int = 1800,
+    n_buckets: int = 128,
 ) -> DataFrame:
     """For each left row, the latest right row of the same ``key`` with
     ``right.ts <= left.ts`` and ``left.ts - right.ts <= tolerance``;
@@ -48,20 +49,25 @@ def asof_tolerance_join(
 
     Right side is first reduced to one row per (key, ts) — max id wins —
     so the as-of pick is deterministic under timestamp ties.
+
+    The cogroup key is a hash BUCKET of ``key``, not the key itself:
+    one Arrow round-trip + one ``pandas.merge_asof(by=key)`` per bucket
+    instead of per user. Per-group Python overhead (Arrow conversion,
+    frame construction, merge setup) dominates when groups are small —
+    bucketing amortizes it over ~|events|/n_buckets rows while
+    ``by=key`` preserves exact per-key as-of semantics inside the
+    bucket. Same one-shuffle-per-side plan shape; at 100 TB, pre-bucket
+    both tables on the key so the shuffle disappears entirely.
     """
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     lhs = left.select(
         F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),
         F.col(ts_col).alias("ts"),
-    )
-    # timestamp-tie dedup (max id wins) happens inside the pandas merge,
-    # not as a Spark groupBy: a pre-aggregation on (key, ts) would hash
-    # by (key, ts) and the cogroup would re-shuffle by key — one whole
-    # extra exchange of the right side for work the per-group sort
-    # already does for free
+    ).withColumn("__b", bucket("user_id"))
     rhs = right.select(
         F.col(key).alias("user_id"), F.col(ts_col).alias("rts"),
         F.col(id_col).alias("right_id"),
-    )
+    ).withColumn("__b", bucket("user_id"))
     tol = pd.Timedelta(seconds=tolerance_secs)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -78,16 +84,20 @@ def asof_tolerance_join(
             )
         lpdf = lpdf.sort_values("ts", kind="mergesort")
         if rpdf.empty:
-            out = lpdf.copy()
+            out = lpdf[["left_id", "user_id", "ts"]].copy()
             out["right_id"] = pd.array([None] * len(out), dtype="Int64")
             out["secs_since"] = pd.array([None] * len(out), dtype="Int64")
             return out
+        # (user, ts) tie-dedup: max right_id wins, then re-sort by rts
+        # alone (merge_asof requires global sort on the 'on' column)
         rpdf = (
             rpdf.sort_values(["rts", "right_id"], kind="mergesort")
-            .drop_duplicates("rts", keep="last")[["rts", "right_id"]]
+            .drop_duplicates(["user_id", "rts"], keep="last")
+            [["user_id", "rts", "right_id"]]
         )
         m = pd.merge_asof(
-            lpdf, rpdf, left_on="ts", right_on="rts",
+            lpdf[["left_id", "user_id", "ts"]], rpdf,
+            left_on="ts", right_on="rts", by="user_id",
             direction="backward", tolerance=tol,
         )
         # integer floor of the staleness in whole seconds — exact
@@ -100,7 +110,7 @@ def asof_tolerance_join(
         return m[["left_id", "user_id", "ts", "right_id", "secs_since"]]
 
     return (
-        lhs.groupBy("user_id")
-        .cogroup(rhs.groupBy("user_id"))
+        lhs.groupBy("__b")
+        .cogroup(rhs.groupBy("__b"))
         .applyInPandas(lambda lp, rp: merge(lp, rp), _OUT_SCHEMA)
     )

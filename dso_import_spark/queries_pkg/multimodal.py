@@ -110,10 +110,31 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @query(
     "multimodal_features",
-    oracle=None,  # numpy-histogram features; cross-checked in tests/
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             {_ORACLE_PAYLOAD} AS payload
+      FROM documents),
+    c AS (
+      SELECT doc_id, media_type, length(payload) AS n,
+             ascii(substring(payload, g.i::INT, 1)) // 16 AS bin
+      FROM p, UNNEST(generate_series(1, length(payload))) g(i)),
+    f AS (
+      SELECT doc_id, media_type, (count(*) / any_value(n))::REAL AS frac
+      FROM c GROUP BY doc_id, media_type, bin)
+    SELECT doc_id, media_type,
+           round(sum(frac::DOUBLE), 4) AS feature_sum,
+           round(max(frac)::DOUBLE, 4) AS feature_max
+    FROM f GROUP BY doc_id, media_type
+    """,
     doc="Feature extraction: binary payload → 16-dim byte-histogram "
     "vector via Arrow-batched scalar pandas UDF (byte_histogram), the "
-    "signature a real embedding model plugs into.",
+    "signature a real embedding model plugs into. The oracle replays "
+    "the 16-bin histogram per byte with the same float32 quantization "
+    "(::REAL) numpy applies, so every registered query now has a full "
+    "value-hash check — zero rows-only entries.",
 )
 def multimodal_features(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
