@@ -204,6 +204,29 @@ def test_lsh_topk_corpus_never_shuffles_before_join(spark, sf_dir, qs):
     assert "SinglePartition" not in plan
 
 
+def test_lsh_topk_large_query_side_keys_both_sides_on_bucket(spark, sf_dir):
+    """broadcast_queries=False (queries ≈ corpus, e.g. all-pairs kNN):
+    no forced broadcast of the query side — with the auto-broadcast
+    threshold off (emulating sides too big to broadcast, what plan
+    statistics would decide at real scale) both sides hash-shuffle on
+    the bucket key, the shape that survives a query set too large for
+    one executor's memory. At tiny SF the optimizer still broadcasts
+    from its own size stats, which is the intended stats-driven pick."""
+    from dso_import_spark.operators.similarity import lsh_topk
+    from dso_import_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = lsh_topk(emb, emb, k=5, broadcast_queries=False)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan
+    assert "hashpartitioning(bucket" in plan
+
+
 # Queries whose RESULT is a global scalar (or a scalar-subquery
 # threshold): a map-side partial aggregate followed by a 1-row combine
 # is the correct plan — the SinglePartition exchange carries partial
