@@ -349,6 +349,7 @@ def duplicated_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    key_by_hash: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring detection: per-document statistics of
     n-token spans that also occur in at least one OTHER document.
@@ -365,12 +366,15 @@ def duplicated_span_stats(
       2. left_semi join on shingle — keep only duplicated positions
       3. groupBy(doc_id)           — per-doc span/coverage stats
 
-    Scale notes: the shingle string is the shuffle key here so the
-    DuckDB oracle can reproduce it byte-for-byte; at 100 TB you key on
-    ``xxhash64(shingle)`` instead (8 bytes vs ~50), which cuts shuffle
-    volume ~6× with negligible collision probability. Shingle keyspace
-    is near-uniform, so no salting is needed; AQE handles the residual
-    skew from boilerplate spans.
+    Scale notes: with ``key_by_hash`` (default) the shuffle/join key is
+    ``xxhash64(shingle)`` — 8 bytes instead of the ~50-byte shingle
+    string, cutting shuffle volume ~6×. The per-document OUTPUT is
+    identical to string keying unless two distinct shingles collide in
+    64 bits (probability ~m²/2⁶⁵ — negligible even at 100 TB shingle
+    counts per partition-group), so the DuckDB string-keyed oracle
+    still verifies it; ``key_by_hash=False`` keeps byte-exact string
+    keys. Shingle keyspace is near-uniform, so no salting is needed;
+    AQE handles the residual skew from boilerplate spans.
 
     Returns one row per input document:
     (doc_id, n_tokens, n_dup_spans, n_dup_shingles, covered_tokens,
@@ -383,12 +387,13 @@ def duplicated_span_stats(
     starts = F.when(
         F.col("n") >= n, F.sequence(F.lit(1).cast("long"), F.col("n") - (n - 1))
     ).otherwise(F.array().cast("array<long>"))
+    sh_str = F.array_join(F.slice("t", F.col("s"), F.lit(n)), " ")
     shingles = sized.select(
         "doc_id", "t", F.explode(starts).alias("s")
     ).select(
         "doc_id",
         "s",
-        F.array_join(F.slice("t", F.col("s"), F.lit(n)), " ").alias("sh"),
+        (F.xxhash64(sh_str) if key_by_hash else sh_str).alias("sh"),
     )
     dup_sh = (
         shingles.groupBy("sh")
