@@ -138,7 +138,11 @@ def seq_packing_bins(spark, sf_dir):
     doc="Benchmark decontamination: flag training documents sharing "
     "8-gram shingles with a held-out benchmark set (doc_id % 10 = 0 "
     "stands in for the benchmark). Broadcast the small benchmark gram "
-    "set; the training side stays shuffle-free until the per-doc agg.",
+    "set; the training side stays shuffle-free until the per-doc agg. "
+    "Grams travel as xxhash64 fingerprints (8 bytes vs ~50-byte "
+    "strings) through the distinct/broadcast/join/count — identical "
+    "counts absent a 64-bit collision, same discipline as "
+    "duplicated_span_stats.",
 )
 def decontam_ngram_overlap(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
@@ -149,9 +153,9 @@ def decontam_ngram_overlap(spark, sf_dir):
         F.size(w) >= 8,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 7),
-            lambda i: F.array_join(F.slice(w, i, 8), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 8), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     grams = docs.select("doc_id", F.explode(grams_arr).alias("g"))
     bench = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     return (
