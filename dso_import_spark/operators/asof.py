@@ -41,7 +41,7 @@ def asof_tolerance_join(
     ts_col: str = "ts",
     id_col: str = "event_id",
     tolerance_secs: int = 1800,
-    n_buckets: int = 128,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, the latest right row of the same ``key`` with
     ``right.ts <= left.ts`` and ``left.ts - right.ts <= tolerance``;
@@ -58,7 +58,14 @@ def asof_tolerance_join(
     ``by=key`` preserves exact per-key as-of semantics inside the
     bucket. Same one-shuffle-per-side plan shape; at 100 TB, pre-bucket
     both tables on the key so the shuffle disappears entirely.
+
+    ``n_buckets`` defaults to 4× the cluster's default parallelism —
+    enough tasks to saturate and rebalance, few enough that each bucket
+    amortizes its Python round-trip. The bucket count never changes the
+    result, only the work granularity.
     """
+    if n_buckets is None:
+        n_buckets = 4 * left.sparkSession.sparkContext.defaultParallelism
     bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     lhs = left.select(
         F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),
