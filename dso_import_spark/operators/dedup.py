@@ -344,6 +344,48 @@ def minhash_band_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Near-dup pair set → cluster labels by min-label propagation.
+
+    ``pairs`` is (id_a, id_b); returns (id, cluster_id) for every id
+    that appears in a pair, cluster_id = the minimum member id. Each
+    round is one join + one min-aggregation; lineage is truncated with
+    ``localCheckpoint`` so the plan stays flat across iterations (the
+    same discipline any iterative algorithm needs on Spark). Label
+    count shrinks monotonically, so real near-dup graphs (small, dense
+    clusters) converge in a few rounds; ``max_rounds`` bounds
+    pathological chains. At web scale this is the canonicalization
+    step between LSH pair generation and row dropping.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    edges = edges.localCheckpoint(eager=True)  # tiny after banding; reused per round
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        prop = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str = "text",

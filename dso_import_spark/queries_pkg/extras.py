@@ -193,37 +193,98 @@ def hash_split_train_test(spark, sf_dir):
     "monotonically so it converges in O(log n) rounds on real graphs.",
 )
 def dedup_cluster_components(spark, sf_dir):
+    from dso_import_spark.operators.dedup import connected_components
+
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") % 20 == 0)
     pairs = ngram_jaccard_pairs(
         sample, "text", "doc_id", block_cols=["lang"], threshold=0.5
     ).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).toDF("src", "dst")
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "lbl", F.col("id")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
     )
-    edges = edges.localCheckpoint(eager=True)  # tiny after LSH banding; reused per round
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(20):  # diameter bound; real graphs converge in a few rounds
-        prop = (
-            edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), "lbl")
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE
+    sample_docs AS (
+      SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id % 20 = 0),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_toks AS n_a, b.n_toks AS n_b, count(*) AS n_shared
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM sample_docs d LEFT JOIN comp c USING (doc_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled)
+    SELECT cluster_id,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           count(*) AS n_members,
+           (count(*) - 1)::BIGINT AS n_dropped,
+           max(n_chars)::BIGINT AS keeper_chars
+    FROM ranked GROUP BY cluster_id
+    """,
+    doc="Cluster canonicalization — the step that actually DROPS rows: "
+    "near-dup pairs → connected components → keep the longest member "
+    "per cluster (ties to min doc_id), singletons keep themselves. "
+    "Composes ngram_jaccard_pairs + connected_components + a keep-best "
+    "window; at corpus scale the kept-id set is what the final corpus "
+    "filter semi-joins against.",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from dso_import_spark.operators.dedup import connected_components
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 20 == 0)
+    pairs = ngram_jaccard_pairs(
+        sample, "text", "doc_id", block_cols=["lang"], threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = (
+        sample.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+            F.max("n_chars").cast("long").alias("keeper_chars"),
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    )
 
 
 # One SQL text, two engines: the string below is executed verbatim by
@@ -492,3 +553,81 @@ def spatial_bbox_join(spark, sf_dir):
         (cy + h).alias("ymax"),
     )
     return grid_bbox_join(points, rects, cell_size=200)
+
+
+# Count-min sketch: same affine hash family as minhash_band_pairs so
+# both engines bucket identically (P prime > 2^32; a_i/b_i per row).
+_CMS_D, _CMS_W, _CMS_P = 4, 64, 4294967311
+
+
+@query(
+    "cms_frequency_estimate",
+    oracle=f"""
+    WITH cells AS (
+      SELECT h.i,
+             ((40503 * h.i + 1) * l_suppkey + (12345 * h.i + 7))
+               % {_CMS_P} % {_CMS_W} AS b,
+             count(*) AS cnt
+      FROM lineitem, (SELECT unnest(range(0, {_CMS_D})) AS i) h
+      GROUP BY 1, 2),
+    keys AS (
+      SELECT l_suppkey AS key, count(*)::BIGINT AS true_cnt
+      FROM lineitem WHERE l_suppkey % 25 = 0 GROUP BY 1),
+    probed AS (
+      SELECT k.key, k.true_cnt, c.cnt
+      FROM keys k JOIN cells c
+        ON c.b = ((40503 * c.i + 1) * k.key + (12345 * c.i + 7))
+                  % {_CMS_P} % {_CMS_W})
+    SELECT key, true_cnt,
+           min(cnt)::BIGINT AS est_cnt,
+           (min(cnt) - true_cnt)::BIGINT AS overestimate
+    FROM probed GROUP BY key, true_cnt
+    """,
+    doc="Count-min-sketch frequency estimation as pure DataFrame ops: "
+    "d=4 affine hash rows x w=64 buckets, built in ONE map-side-"
+    "combined aggregation whose state is the fixed 256-cell grid — "
+    "constant memory no matter how many distinct keys stream through "
+    "(the property approx_count_distinct has for cardinality, here for "
+    "per-key frequency). Estimates = min over rows of the probed "
+    "cells; CMS guarantees est >= true, checked by the overestimate "
+    "column. The oracle replays the identical integer hashes.",
+)
+def cms_frequency_estimate(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey")
+
+    def bucket(i, k):
+        return ((40503 * i + 1) * k + (12345 * i + 7)) % _CMS_P % _CMS_W
+
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"), bucket(i, key).alias("b")
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.b")
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = (
+        li.filter(key % 25 == 0)
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    probe = keys.join(
+        F.broadcast(cells),
+        F.col("b") == bucket(F.col("i"), F.col("key")),
+    )
+    return probe.groupBy("key", "true_cnt").agg(
+        F.min("cnt").cast("long").alias("est_cnt"),
+        (F.min("cnt") - F.col("true_cnt").cast("long")).cast("long").alias(
+            "overestimate"
+        ),
+    )
