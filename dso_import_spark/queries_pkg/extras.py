@@ -631,3 +631,45 @@ def cms_frequency_estimate(spark, sf_dir):
             "overestimate"
         ),
     )
+
+
+# GPT-2-style pre-tokenizer pieces: optional leading space + a run of
+# one character class. Branches are first-char-disjoint, so Java regex
+# (Spark) and RE2 (DuckDB) split identically.
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "bpe_regex_token_count",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{_BPE_RE}')))::BIGINT
+             AS total_pieces,
+           sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+             AS total_ws_tokens,
+           round(sum(len(regexp_extract_all(text, '{_BPE_RE}')))
+                 / sum(len(list_filter(string_split(text, ' '),
+                                       w -> w <> '')))::DOUBLE, 4)
+             AS pieces_per_word
+    FROM documents GROUP BY lang
+    """,
+    doc="BPE-ish regex token counting: a GPT-2-style pre-tokenizer "
+    "(optional leading space + letter/digit/punct run) counted as a "
+    "pure Column expression — the piece count a real byte-pair encoder "
+    "starts from, vs whitespace words. Narrow map + one agg; both "
+    "engines run the identical regex (branches are first-char-"
+    "disjoint, so Java regex and RE2 split identically).",
+)
+def bpe_regex_token_count(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    pieces = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pieces).cast("long").alias("total_pieces"),
+        F.sum(ws).cast("long").alias("total_ws_tokens"),
+        F.round(
+            F.sum(pieces) / F.sum(ws).cast("double"), 4
+        ).alias("pieces_per_word"),
+    )
