@@ -621,10 +621,25 @@ def cms_frequency_estimate(spark, sf_dir):
         .groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
     )
-    probe = keys.join(
-        F.broadcast(cells),
-        F.col("b") == bucket(F.col("i"), F.col("key")),
-    )
+    # pre-compute each key's probe coordinates so the sketch lookup is
+    # a broadcast EQUI-join on (i, b) — a non-equi b = h_i(key)
+    # condition would plan as a nested-loop join instead
+    probes = keys.select(
+        "key",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("key")).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "true_cnt", "p.i", "p.b")
+    probe = probes.join(F.broadcast(cells), ["i", "b"])
     return probe.groupBy("key", "true_cnt").agg(
         F.min("cnt").cast("long").alias("est_cnt"),
         (F.min("cnt") - F.col("true_cnt").cast("long")).cast("long").alias(
