@@ -74,9 +74,19 @@ class Warehouse:
     directory only after the job for that table fully materialized.
     """
 
-    def __init__(self, root: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 16,
+        schemas: dict | None = None,
+    ):
         self.root = root
         self.n_buckets = n_buckets
+        # table registry: defaults to the declared StructTypes; a JSON
+        # dataset document (schemas/loader.py) may override — the
+        # runtime-schema path mirroring the reference's create_models()
+        # (bagh/batch.py:451-454)
+        self.schemas = schemas if schemas is not None else BAGH_SCHEMAS
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -92,12 +102,12 @@ class Warehouse:
             return spark.read.parquet(self.path(name))
         except AnalysisException:
             # empty table (created by create_tables, no parquet footers yet)
-            return spark.createDataFrame([], BAGH_SCHEMAS[name])
+            return spark.createDataFrame([], self.schemas[name])
 
     def read_or_empty(self, spark: SparkSession, name: str) -> DataFrame:
         if self.exists(name):
             return self.read(spark, name)
-        return spark.createDataFrame([], BAGH_SCHEMAS[name])
+        return spark.createDataFrame([], self.schemas[name])
 
     def write(self, df: DataFrame, name: str) -> None:
         """Two-phase: materialize fully, then swap directories."""
@@ -120,7 +130,7 @@ class Warehouse:
     def create_tables(self, spark: SparkSession) -> None:
         """S6 DDL analog: (re)create all 15 tables empty from the
         StructType registry (CreateBagHTables, bagh/batch.py:276-287)."""
-        for name, schema in BAGH_SCHEMAS.items():
+        for name, schema in self.schemas.items():
             self.write(spark.createDataFrame([], schema), name)
 
 
@@ -145,6 +155,7 @@ def stage_table(
     cfg: TableConfig,
     raw: DataFrame,
     ref_ids: dict[str, DataFrame],
+    schema=None,
 ) -> StagedTable:
     """process_row_common (bagh/batch.py:154-240) as one lazy DAG.
 
@@ -153,7 +164,7 @@ def stage_table(
     one broadcast semi-join per FK reference.
     """
     cols = set(raw.columns)
-    schema = BAGH_SCHEMAS[cfg.name]
+    schema = schema if schema is not None else BAGH_SCHEMAS[cfg.name]
     target_fields = {f.name: f for f in schema.fields}
 
     df = raw
@@ -247,7 +258,7 @@ def stage_table(
     )
 
 
-def gemeente_literal(spark: SparkSession) -> DataFrame:
+def gemeente_literal(spark: SparkSession, schema=None) -> DataFrame:
     """S5 literal source: hardcoded gemeente Amsterdam
     (bagh/batch.py:290-317)."""
     r = _GEMEENTE_ROW
@@ -267,7 +278,7 @@ def gemeente_literal(spark: SparkSession) -> DataFrame:
         " begin_geldigheid string, eind_geldigheid string, naam string,"
         " verzorgingsgebied boolean",
     )
-    schema = BAGH_SCHEMAS["gemeente"]
+    schema = schema if schema is not None else BAGH_SCHEMAS["gemeente"]
     return df.select(
         [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -296,7 +307,7 @@ def run_table(
     name = cfg.name
     if name == "gemeente":
         st = StagedTable(
-            staged=gemeente_literal(spark),
+            staged=gemeente_literal(spark, warehouse.schemas.get("gemeente")),
             rejected_bad_range=None,
             rejected_geometry=None,
         )
@@ -307,7 +318,7 @@ def run_table(
             ref: warehouse.read_or_empty(spark, ref).select("id")
             for ref in cfg.references
         }
-        st = stage_table(cfg, raw, ref_ids)
+        st = stage_table(cfg, raw, ref_ids, warehouse.schemas.get(name))
         n_range = st.rejected_bad_range.count()
         n_geo = st.rejected_geometry.count()
         n_fk = sum(df.count() for df in st.rejected_fk.values())
@@ -330,7 +341,7 @@ def run_table(
             log.warning("%s: %d overlapping validity ranges", name, n_overlap)
 
         existing = warehouse.read_or_empty(spark, name).select(
-            *[f.name for f in BAGH_SCHEMAS[name].fields]
+            *[f.name for f in warehouse.schemas[name].fields]
         )
         # Q4 never-delete runs inside execute_merge (raises on violation)
         merged, res = execute_merge(existing, staged, key="id")
@@ -397,10 +408,24 @@ def run_vbo_pandrelatie(
 class BagHJob:
     """O1-O4: ordered task list with resume-from (batch/batch.py:10-30)."""
 
-    def __init__(self, spark: SparkSession, data_dir: str, warehouse_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        warehouse_dir: str,
+        schema_doc: str | None = None,
+    ):
         self.spark = spark
         self.data_dir = data_dir
-        self.warehouse = Warehouse(warehouse_dir)
+        schemas = None
+        if schema_doc:
+            # runtime schema registry: build the StructType registry from
+            # a JSON dataset document at job start, exactly the
+            # reference's create_models() moment (bagh/batch.py:451-454)
+            from dso_import_spark.schemas.loader import load_dataset
+
+            schemas = load_dataset(schema_doc)
+        self.warehouse = Warehouse(warehouse_dir, schemas=schemas)
 
     def _raw(self, cfg: TableConfig) -> DataFrame | None:
         if cfg.name == "gemeente":
@@ -444,11 +469,20 @@ def main() -> None:
     parser.add_argument(
         "--tables", default=None, help="comma-separated subset of tables to load"
     )
+    parser.add_argument(
+        "--schema-doc",
+        default=None,
+        help="JSON dataset document to build the table registry from "
+        "(defaults to the built-in declared StructTypes)",
+    )
     args = parser.parse_args()
 
     from dso_import_spark.session import get_spark
 
-    job = BagHJob(get_spark("bagh_import"), args.data_dir, args.warehouse)
+    job = BagHJob(
+        get_spark("bagh_import"), args.data_dir, args.warehouse,
+        schema_doc=args.schema_doc,
+    )
     tables = args.tables.split(",") if args.tables else None
     for r in job.run(start=args.start, create=args.create, tables=tables):
         print(r)

@@ -66,3 +66,26 @@ def test_loader_types():
 def test_unknown_type_raises():
     with pytest.raises(ValueError):
         struct_from_table_schema({"properties": {"x": {"type": "object"}}})
+
+
+def test_bagh_job_runs_from_json_schema_document(spark, tmp_path):
+    """End-to-end: the import job driven by the JSON dataset document
+    (runtime schema registry) produces the same table schemas and row
+    counts as the declared registry."""
+    from tests.bagh_fixture import generate
+
+    from dso_import_spark.plans.bagh_job import BagHJob
+
+    data_dir = tmp_path / "data"
+    generate(str(data_dir))
+    job = BagHJob(
+        spark, str(data_dir), str(tmp_path / "wh"), schema_doc=DATASET_JSON
+    )
+    tables = ["gemeente", "buurt", "pand", "verblijfsobject"]
+    reports = {r.table: r for r in job.run(create=True, tables=tables)}
+    assert reports["buurt"].staged_rows == 62
+    got = job.warehouse.read(spark, "buurt")
+    declared = BAGH_SCHEMAS["buurt"]
+    assert {f.name: f.dataType for f in got.schema.fields if f.name != "bucket"} == {
+        f.name: f.dataType for f in declared.fields
+    }
