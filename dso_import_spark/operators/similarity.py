@@ -316,16 +316,27 @@ def kmeans_assignments(
     cents = [list(r["ve"]) for r in init]
 
     def dists_expr(cents_: list[list[float]]) -> Column:
-        cols = []
+        # ONE transform over a literal centroid matrix, not k separate
+        # fold expressions: the dot-product lambda appears once in the
+        # plan regardless of k, so the expression tree (and codegen) is
+        # O(k·dims) literals + O(dims) logic instead of O(k·dims) logic
+        # — the difference between k=4 and a realistic k=256 IVF
+        # quantizer compiling. Same arithmetic, same result.
+        C = F.array(
+            *[F.array(*[F.lit(float(v)) for v in cv]) for cv in cents_]
+        )
+        norms = []
         for cv in cents_:
             nc = 0.0
             for v in cv:
                 nc += v * v
-            c_lit = F.array(*[F.lit(float(v)) for v in cv])
-            cols.append(
-                (F.col("na") + F.lit(nc)) - (F.lit(2.0) * dot(F.col("ve"), c_lit))
-            )
-        return F.array(*cols)
+            norms.append(F.lit(nc))
+        nc_arr = F.array(*norms)
+        return F.transform(
+            C,
+            lambda c, i: (F.col("na") + F.element_at(nc_arr, i + 1))
+            - (F.lit(2.0) * dot(F.col("ve"), c)),
+        )
 
     # iters assignment rounds total; centroid updates run between them,
     # so iters=2 is: assign(c0) → update → assign(c1) = final output
