@@ -688,3 +688,108 @@ def bpe_regex_token_count(spark, sf_dir):
             F.sum(pieces) / F.sum(ws).cast("double"), 4
         ).alias("pieces_per_word"),
     )
+
+
+@query(
+    "vocab_oov_rates",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    vocab AS (SELECT w FROM counts ORDER BY c DESC, w LIMIT 1000),
+    perdoc AS (
+      SELECT doc_id, lang, count(*) AS n,
+             count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab)) AS oov
+      FROM words GROUP BY doc_id, lang)
+    SELECT lang, count(*) AS n_docs,
+           sum(n)::BIGINT AS total_tokens,
+           sum(oov)::BIGINT AS total_oov,
+           round(sum(oov) / sum(n)::DOUBLE, 4) AS oov_rate
+    FROM perdoc GROUP BY lang
+    """,
+    doc="Tokenizer-prep vocabulary build: corpus word counts → top-1000 "
+    "vocabulary (count desc, word asc — deterministic at the cut) → "
+    "per-language out-of-vocabulary token rates. Shape: one word-count "
+    "shuffle, a TakeOrdered top-V (V rows to the driver, broadcast "
+    "back), one per-doc agg — the vocab table is the only global "
+    "state, V-bounded no matter the corpus size.",
+)
+def vocab_oov_rates(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(1000)
+        .select("w")
+        .withColumn("__in_vocab", F.lit(True))
+    )
+    perdoc = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).alias("oov"),
+        )
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("oov").cast("long").alias("total_oov"),
+        F.round(F.sum("oov") / F.sum("n").cast("double"), 4).alias("oov_rate"),
+    )
+
+
+@query(
+    "temperature_mix_weights",
+    oracle="""
+    WITH lt AS (
+      SELECT lang,
+             sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+               ::DOUBLE AS toks
+      FROM documents GROUP BY lang),
+    p AS (SELECT lang, toks, toks / (SELECT sum(toks) FROM lt) AS prob
+          FROM lt),
+    w AS (SELECT lang, toks, round(prob, 6) AS prob,
+                 round(pow(prob, 0.3), 6) AS wgt
+          FROM p)
+    SELECT lang, toks::BIGINT AS lang_tokens, prob,
+           round(wgt / (SELECT sum(wgt) FROM w), 6) AS mix_weight,
+           CAST(floor(1000000 * wgt / (SELECT sum(wgt) FROM w))
+                AS BIGINT) AS token_budget
+    FROM w
+    """,
+    doc="Temperature-based language mixing (alpha=0.3, the multilingual "
+    "up-sampling rule): per-language token mass → p_i^alpha weights → "
+    "normalized mix proportions and a 1M-token budget allocation. Two "
+    "tiny aggs over per-lang rows; weights ROUNDED to 6 decimals "
+    "before normalizing so both engines' pow() agree bit-stably.",
+)
+def temperature_mix_weights(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    lt = docs.groupBy("lang").agg(F.sum(ws).cast("double").alias("toks"))
+    from pyspark.sql import Window
+
+    all_w = Window.partitionBy()
+    p = lt.withColumn("prob", F.col("toks") / F.sum("toks").over(all_w))
+    w = p.select(
+        "lang",
+        "toks",
+        F.round("prob", 6).alias("prob"),
+        F.round(F.pow("prob", F.lit(0.3)), 6).alias("wgt"),
+    )
+    tot = F.sum("wgt").over(all_w)
+    return w.select(
+        "lang",
+        F.col("toks").cast("long").alias("lang_tokens"),
+        "prob",
+        F.round(F.col("wgt") / tot, 6).alias("mix_weight"),
+        F.floor(1_000_000 * F.col("wgt") / tot).cast("long").alias(
+            "token_budget"
+        ),
+    )
