@@ -312,36 +312,63 @@ def kmeans_assignments(
         .withColumn("na", dot(F.col("ve"), F.col("ve")))
     )
     z.cache()
+    cents = train_centroids(z, k, iters, round_scale)
+    final = z.withColumn(
+        "dists", centroid_dists(cents, F.col("ve"), F.col("na"))
+    ).withColumn(
+        "cluster",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("long"),
+    )
+    out = final.select(
+        "vec_id",
+        "cluster",
+        F.round(
+            F.element_at(F.col("dists"), (F.col("cluster") + 1).cast("int")),
+            round_scale,
+        ).alias("dist2"),
+    )
+    z.unpersist()
+    return out
+
+
+def centroid_dists(cents_: list[list[float]], ve: Column, na: Column) -> Column:
+    """Squared-L2 distances of ``ve`` to every centroid, as ONE transform
+    over a literal centroid matrix — not k separate fold expressions:
+    the dot-product lambda appears once in the plan regardless of k, so
+    the expression tree (and codegen) is O(k·dims) literals + O(dims)
+    logic instead of O(k·dims) logic — the difference between k=4 and
+    a realistic k=256 quantizer compiling. ``na`` is the caller's
+    precomputed |ve|² (pass ``dot(ve, ve)`` to inline it)."""
+    C = F.array(*[F.array(*[F.lit(float(v)) for v in cv]) for cv in cents_])
+    norms = []
+    for cv in cents_:
+        nc = 0.0
+        for v in cv:
+            nc += v * v
+        norms.append(F.lit(nc))
+    nc_arr = F.array(*norms)
+    return F.transform(
+        C,
+        lambda c, i: (na + F.element_at(nc_arr, i + 1)) - (F.lit(2.0) * dot(ve, c)),
+    )
+
+
+def train_centroids(
+    z: DataFrame, k: int, iters: int, round_scale: int = 6
+) -> list[list[float]]:
+    """Deterministic Lloyd trainer over ``z`` = (vec_id, ve, na).
+
+    ``iters`` counts assignment rounds: updates run between them, so
+    iters=2 is assign(c0) → update → (caller assigns with c1). Returns
+    the final centroid matrix as Python floats (k×dims — the bounded
+    driver traffic any Lloyd implementation has per iteration).
+    """
     init = z.orderBy("vec_id").limit(k).collect()
     cents = [list(r["ve"]) for r in init]
-
-    def dists_expr(cents_: list[list[float]]) -> Column:
-        # ONE transform over a literal centroid matrix, not k separate
-        # fold expressions: the dot-product lambda appears once in the
-        # plan regardless of k, so the expression tree (and codegen) is
-        # O(k·dims) literals + O(dims) logic instead of O(k·dims) logic
-        # — the difference between k=4 and a realistic k=256 IVF
-        # quantizer compiling. Same arithmetic, same result.
-        C = F.array(
-            *[F.array(*[F.lit(float(v)) for v in cv]) for cv in cents_]
-        )
-        norms = []
-        for cv in cents_:
-            nc = 0.0
-            for v in cv:
-                nc += v * v
-            norms.append(F.lit(nc))
-        nc_arr = F.array(*norms)
-        return F.transform(
-            C,
-            lambda c, i: (F.col("na") + F.element_at(nc_arr, i + 1))
-            - (F.lit(2.0) * dot(F.col("ve"), c)),
-        )
-
-    # iters assignment rounds total; centroid updates run between them,
-    # so iters=2 is: assign(c0) → update → assign(c1) = final output
     for _ in range(iters - 1):
-        assigned = z.withColumn("dists", dists_expr(cents)).withColumn(
+        assigned = z.withColumn(
+            "dists", centroid_dists(cents, F.col("ve"), F.col("na"))
+        ).withColumn(
             "cluster",
             (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast(
                 "long"
@@ -364,18 +391,104 @@ def kmeans_assignments(
         )
         new_map = {int(r["cluster"]): list(r["cv"]) for r in new_rows}
         cents = [new_map.get(c, cents[c]) for c in range(k)]
+    return cents
 
-    final = z.withColumn("dists", dists_expr(cents)).withColumn(
-        "cluster",
-        (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("long"),
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int = 5,
+    m: int = 2,
+    k_codes: int = 4,
+    iters: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Product-quantization top-k by asymmetric distance (ADC).
+
+    The 100 TB embedding-search compression path: vectors are cut into
+    ``m`` subspaces, each subspace gets its own ``k_codes``-entry
+    codebook (the same deterministic Lloyd trainer as the IVF coarse
+    quantizer, run per subspace), and every corpus vector is stored as
+    m small integer codes — log2(k)·m bits instead of 4·dims bytes.
+    Queries never decompress the corpus: per query, one distance TABLE
+    per subspace (query-subvector to each code, k·m entries), and each
+    candidate scores as a sum of m table lookups (ADC, Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search").
+
+    Plan shape: training is per-subspace Lloyd (bounded driver traffic
+    k×dims); encoding is a narrow map over literal codebooks; scoring
+    joins the tiny query side (with its tables) against the coded
+    corpus — per-pair cost is m array lookups, no dims-length math. In
+    production PQ nests inside IVF cells; this operator is the flat
+    scan so the oracle can replay every step.
+
+    Returns (query_id, rank, neighbor_id, adc_dist2) — approximate
+    squared L2, rank by (rounded adc, neighbor_id), self excluded.
+    """
+    z = corpus.select(
+        F.col(corpus_id).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
     )
-    out = final.select(
-        "vec_id",
-        "cluster",
-        F.round(
-            F.element_at(F.col("dists"), (F.col("cluster") + 1).cast("int")),
-            round_scale,
-        ).alias("dist2"),
+    z.cache()
+    dims = len(z.orderBy("vec_id").limit(1).collect()[0]["ve"])
+    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
+    sub = dims // m
+
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sv = F.slice(F.col("ve"), j * sub + 1, sub)
+        zj = z.select("vec_id", sv.alias("ve")).withColumn(
+            "na", dot(F.col("ve"), F.col("ve"))
+        )
+        zj.cache()
+        books.append(train_centroids(zj, k_codes, iters, round_scale))
+        zj.unpersist()
+
+    def code_expr(j: int, col: Column) -> Column:
+        sv = F.slice(col, j * sub + 1, sub)
+        d = centroid_dists(books[j], sv, dot(sv, sv))
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    coded = z.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[code_expr(j, F.col("ve")).alias(f"c{j}") for j in range(m)],
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qtabs = q.select(
+        "query_id",
+        *[
+            centroid_dists(
+                books[j],
+                F.slice(F.col("qv"), j * sub + 1, sub),
+                dot(
+                    F.slice(F.col("qv"), j * sub + 1, sub),
+                    F.slice(F.col("qv"), j * sub + 1, sub),
+                ),
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    )
+    adc = F.round(
+        sum(
+            F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1) for j in range(m)
+        ),
+        round_scale,
+    )
+    scored = (
+        F.broadcast(qtabs)
+        .join(coded, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
     z.unpersist()
     return out

@@ -793,3 +793,83 @@ def temperature_mix_weights(spark, sf_dir):
             "token_budget"
         ),
     )
+
+
+def _pq_subspace_cte(j: int, sub: int = 32, k: int = 4) -> str:
+    """CTE block replaying one subspace's Lloyd training + encoding
+    (operators/similarity.py:pq_topk) — same init / tie-break /
+    boundary-rounding discipline as the ivf_kmeans_train oracle."""
+    lo, hi = j * sub + 1, (j + 1) * sub
+    return f"""
+    z{j} AS (SELECT vec_id, ve[{lo}:{hi}] AS v FROM zall),
+    n{j} AS (SELECT vec_id, v, list_dot_product(v, v) AS na FROM z{j}),
+    c0_{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+               FROM (SELECT vec_id, v FROM z{j} ORDER BY vec_id LIMIT {k})),
+    a1_{j} AS (SELECT vec_id, c AS cluster FROM (
+        SELECT n.vec_id, c0_{j}.c,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c0_{j}.cv, c0_{j}.cv))
+                          - (2 * list_dot_product(n.v, c0_{j}.cv)),
+                          c0_{j}.c) AS rn
+        FROM n{j} n CROSS JOIN c0_{j}) WHERE rn = 1),
+    dims{j} AS (SELECT a1_{j}.cluster,
+                       unnest(range(1, {sub} + 1)) AS pos,
+                       unnest(z{j}.v) AS x
+                FROM a1_{j} JOIN z{j} USING (vec_id)),
+    c1new_{j} AS (SELECT cluster AS c, list(m ORDER BY pos) AS cv
+                  FROM (SELECT cluster, pos, round(avg(x), 6) AS m
+                        FROM dims{j} GROUP BY cluster, pos)
+                  GROUP BY cluster),
+    c1_{j} AS (SELECT c0_{j}.c, coalesce(c1new_{j}.cv, c0_{j}.cv) AS cv
+               FROM c0_{j} LEFT JOIN c1new_{j} USING (c)),
+    code{j} AS (SELECT vec_id, c AS code FROM (
+        SELECT n.vec_id, c1_{j}.c,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c1_{j}.cv, c1_{j}.cv))
+                          - (2 * list_dot_product(n.v, c1_{j}.cv)),
+                          c1_{j}.c) AS rn
+        FROM n{j} n CROSS JOIN c1_{j}) WHERE rn = 1),
+    tab{j} AS (SELECT q.vec_id AS query_id, c1_{j}.c AS code,
+                      (list_dot_product(q.v, q.v)
+                       + list_dot_product(c1_{j}.cv, c1_{j}.cv))
+                      - (2 * list_dot_product(q.v, c1_{j}.cv)) AS d
+               FROM (SELECT vec_id, v FROM z{j} WHERE vec_id % 101 = 0) q
+               CROSS JOIN c1_{j})"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH zall AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    {_pq_subspace_cte(0)},
+    {_pq_subspace_cte(1)},
+    scored AS (
+      SELECT t0.query_id, e0.vec_id AS neighbor_id,
+             round(t0.d + t1.d, 6) AS adc_dist2
+      FROM code0 e0
+      JOIN code1 e1 USING (vec_id)
+      JOIN tab0 t0 ON t0.code = e0.code
+      JOIN tab1 t1 ON t1.code = e1.code AND t1.query_id = t0.query_id
+      WHERE t0.query_id <> e0.vec_id)
+    SELECT query_id, rank, neighbor_id, adc_dist2
+    FROM (SELECT query_id, neighbor_id, adc_dist2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist2, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Product-quantization ADC top-5 (operators/similarity.py:"
+    "pq_topk): 64-dim vectors cut into 2 subspaces, a 4-code codebook "
+    "trained per subspace with the deterministic Lloyd trainer, corpus "
+    "stored as 2 small codes per vector, queries scored by summing "
+    "per-subspace distance-table lookups — the compression path that "
+    "makes 100 TB embedding search feasible (Jégou et al. 2011). The "
+    "oracle unrolls BOTH subspace trainings, the encodings, the "
+    "distance tables, and the ADC ranking in CTEs.",
+)
+def ann_pq_topk(spark, sf_dir):
+    from dso_import_spark.operators.similarity import pq_topk
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return pq_topk(queries, emb, topk=5, m=2, k_codes=4)
