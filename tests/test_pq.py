@@ -1,0 +1,69 @@
+"""Product-quantization quality guards.
+
+The DuckDB oracle (ann_pq_topk) proves the arithmetic is replayed
+exactly; these tests prove the quantizer carries *signal* — a
+silently-degenerate codebook (all codes collapsing) would still pass
+the oracle.
+
+Note the fixture regime: within-cluster spread (~1.0) is ~5x the
+between-centroid distance (~0.2), so exact top-5 recall is structurally
+near-zero for ANY coarse quantizer — the meaningful property is that
+PQ-selected neighbors are truly closer than random candidates, and
+that the margin improves with quantizer resolution. Everything is
+deterministic (seedless arithmetic), so the asserted margins are
+stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq_
+from pyspark.sql import functions as F
+
+from dso_import_spark.operators.similarity import pq_topk
+from dso_import_spark.sources.registry import load_table
+
+
+def _mean_selected_over_random(spark, sf_dir, m, k):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    X = {int(r.vec_id): np.array(r.embedding, dtype=float) for r in t.itertuples()}
+    by_q: dict = {}
+    for r in pq_topk(queries, emb, topk=5, m=m, k_codes=k).collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q, "no query results"
+    ratios = []
+    for qid, nbrs in by_q.items():
+        qv = X[qid]
+        d_sel = np.mean([np.sum((qv - X[n]) ** 2) for n in nbrs])
+        d_all = np.mean([np.sum((qv - X[n]) ** 2) for n in X if n != qid])
+        ratios.append(d_sel / d_all)
+    return float(np.mean(ratios))
+
+
+def test_pq_selects_genuinely_closer_neighbors(spark, sf_dir):
+    """At m=8 subspaces the ADC top-5's true distances must beat the
+    random-candidate mean by a clear margin (measured 0.84)."""
+    assert _mean_selected_over_random(spark, sf_dir, m=8, k=8) < 0.95
+
+
+def test_pq_signal_improves_with_resolution(spark, sf_dir):
+    """More subspaces → finer cells → better true-distance margin."""
+    coarse = _mean_selected_over_random(spark, sf_dir, m=2, k=4)
+    fine = _mean_selected_over_random(spark, sf_dir, m=8, k=8)
+    assert fine < coarse < 1.0
+
+
+def test_pq_codes_are_not_degenerate(spark, sf_dir):
+    """Every subspace must actually use more than one code."""
+    from dso_import_spark.functions.vectors import as_double, dot
+    from dso_import_spark.operators.similarity import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    z = emb.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("ve")
+    ).withColumn("na", dot(F.col("ve"), F.col("ve")))
+    cents = train_centroids(z, k=4, iters=2)
+    assert len(cents) == 4
+    assert len({tuple(c) for c in cents}) > 1, "all centroids identical"
