@@ -144,6 +144,130 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int = 5,
+    m: int = 2,
+    k_codes: int = 4,
+    iters: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 6,
+) -> DataFrame:
+    """IVF + PQ: the production ANN composition — coarse-route each
+    query to its nearest cell (per-label centroids, broadcast), then
+    ADC-score with product-quantization codes ONLY within that cell.
+
+    Per query, work = k_cells centroid dots (routing) + |cell| ADC
+    lookups — against a corpus stored as m small codes per vector. At
+    100 TB: the corpus is partitioned by cell id, codes live next to
+    the ids (8-16 bytes/vector instead of kilobytes), and a query
+    touches one partition's codes. Classic IVFADC minus the residual
+    encoding (codebooks are trained on raw vectors corpus-wide, not on
+    cell residuals) — the variant a SQL oracle can replay with the
+    same CTEs as ann_ivf_topk + ann_pq_topk.
+
+    Returns (query_id, rank, neighbor_id, adc_dist2).
+    """
+    # --- coarse routing: identical to ivf_topk's first stage
+    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    routed = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cent_sim").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "label")
+    )
+
+    # --- PQ codebooks trained corpus-wide (same trainer as pq_topk)
+    z = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("ve"),
+    )
+    z.cache()
+    dims = len(z.orderBy("vec_id").limit(1).collect()[0]["ve"])
+    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
+    sub = dims // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sv = F.slice(F.col("ve"), j * sub + 1, sub)
+        zj = z.select("vec_id", sv.alias("ve")).withColumn(
+            "na", dot(F.col("ve"), F.col("ve"))
+        )
+        zj.cache()
+        books.append(train_centroids(zj, k_codes, iters, round_scale))
+        zj.unpersist()
+
+    def code_expr(j: int, col: Column) -> Column:
+        sv = F.slice(col, j * sub + 1, sub)
+        d = centroid_dists(books[j], sv, dot(sv, sv))
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    coded = z.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        *[code_expr(j, F.col("ve")).alias(f"c{j}") for j in range(m)],
+    )
+
+    # --- per-query distance tables + cell-restricted ADC scoring:
+    # the join keys on the routed cell (equi on label), so each query
+    # scores ~1/n_cells of the coded corpus
+    qtabs = routed.select(
+        "query_id",
+        "label",
+        *[
+            centroid_dists(
+                books[j],
+                F.slice(F.col("qv"), j * sub + 1, sub),
+                dot(
+                    F.slice(F.col("qv"), j * sub + 1, sub),
+                    F.slice(F.col("qv"), j * sub + 1, sub),
+                ),
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    )
+    adc = F.round(
+        sum(
+            F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1) for j in range(m)
+        ),
+        round_scale,
+    )
+    scored = (
+        F.broadcast(qtabs)
+        .join(coded, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "adc_dist2")
+    )
+    z.unpersist()
+    return out
+
+
 def lsh_bucket(
     vec_col: Column | str, n_bits: int = 6, scale: int = 1000
 ) -> Column:

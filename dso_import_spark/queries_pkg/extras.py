@@ -873,3 +873,61 @@ def ann_pq_topk(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return pq_topk(queries, emb, topk=5, m=2, k_codes=4)
+
+
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH zall AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+                  FROM embeddings),
+    e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
+          FROM zall v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
+          GROUP BY label, u.pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM e
+             GROUP BY label),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM zall
+          WHERE vec_id % 101 = 0),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, cent.centroid) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(cent.centroid,
+                                                 cent.centroid)))
+                          DESC, cent.label) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn = 1),
+    {_pq_subspace_cte(0)},
+    {_pq_subspace_cte(1)},
+    scored AS (
+      SELECT r.query_id, e0.vec_id AS neighbor_id,
+             round(t0.d + t1.d, 6) AS adc_dist2
+      FROM routed r
+      JOIN zall c ON c.label = r.label AND c.vec_id <> r.query_id
+      JOIN code0 e0 ON e0.vec_id = c.vec_id
+      JOIN code1 e1 ON e1.vec_id = c.vec_id
+      JOIN tab0 t0 ON t0.code = e0.code AND t0.query_id = r.query_id
+      JOIN tab1 t1 ON t1.code = e1.code AND t1.query_id = r.query_id)
+    SELECT query_id, rank, neighbor_id, adc_dist2
+    FROM (SELECT query_id, neighbor_id, adc_dist2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist2, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="IVF + PQ, the production ANN composition (operators/"
+    "similarity.py:ivf_pq_topk): coarse-route each query to its "
+    "nearest cell via broadcast per-label centroids, then score ONLY "
+    "that cell's members by summed PQ distance-table lookups — per "
+    "query, k_cells routing dots + |cell| two-lookup scores against a "
+    "corpus of 2 small codes per vector. Oracle composes the "
+    "ann_ivf_topk routing CTE with the ann_pq_topk training/encoding/"
+    "table CTEs and restricts scoring to the routed cell.",
+)
+def ann_ivf_pq_topk(spark, sf_dir):
+    from dso_import_spark.operators.similarity import ivf_pq_topk
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    return ivf_pq_topk(queries, emb, topk=5, m=2, k_codes=4)
