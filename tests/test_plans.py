@@ -245,6 +245,10 @@ _SCALAR_RESULT_QUERIES = {
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # global-window normalization over the per-LANGUAGE aggregate — the
+    # SinglePartition exchange carries #languages rows (a bounded
+    # dimension), not data
+    "temperature_mix_weights",
 }
 
 
