@@ -26,7 +26,10 @@ from dso_import_spark.streaming.events import (
 
 
 def _stream(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tune_session
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_session(spark)  # stateful streaming can't AQE-coalesce 200 state tasks
     ensure_shipped(spark)
     return read_events_stream(spark, sf_dir)
 

@@ -8,6 +8,30 @@ from dso_import_spark.ship import ensure_shipped
 from dso_import_spark.sources.registry import load_table
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Size shuffle parallelism to the machine when the caller left the
+    Spark default in place.
+
+    A plain ``SparkSession.builder.getOrCreate()`` session carries
+    ``spark.sql.shuffle.partitions=200`` — on a laptop-scale run that
+    is 200 near-empty tasks per exchange, and for STATEFUL streaming
+    (which keys its state store by shuffle partition and cannot be
+    AQE-coalesced) it multiplies every micro-batch by ~6×. Only the
+    untouched default is overridden, so an explicitly tuned session is
+    respected. Partition count never changes results — only task
+    granularity (asserted engine-wide by the differential suite, which
+    runs at both 32 and the default).
+    """
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            n = spark.sparkContext.defaultParallelism
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(8, min(2 * n, 64)))
+            )
+    except Exception:  # pragma: no cover - conf API unavailable
+        pass
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Load fixture tables, pinning session TZ to UTC first.
 
@@ -17,8 +41,10 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     agree regardless of how the calling session was built.
 
     Also ships the package zip to Python workers (--py-files analog)
-    so pandas-UDF queries work from any driver cwd.
+    so pandas-UDF queries work from any driver cwd, and right-sizes
+    shuffle parallelism if the session still has the Spark default.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tune_session(spark)
     ensure_shipped(spark)
     return tuple(load_table(spark, sf_dir, n) for n in names)
