@@ -23,7 +23,12 @@ from dso_import_spark.streaming.events import (
 
 @pytest.fixture(scope="module")
 def batch_events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").cache()
+    # unpersist on teardown: a leaked cache makes every later plan over
+    # the same parquet resolve to the InMemoryRelation, silently hiding
+    # parquet pushdown from plan-assertion tests in other modules
+    df = load_table(spark, sf_dir, "events").cache()
+    yield df
+    df.unpersist()
 
 
 def _rows(df, *order):
