@@ -931,3 +931,46 @@ def ann_ivf_pq_topk(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return ivf_pq_topk(queries, emb, topk=5, m=2, k_codes=4)
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 1000000) // 1800 AS slot
+      FROM events),
+    w AS (
+      SELECT event_type, value,
+             to_timestamp((slot - k.k) * 1800) AS window_start
+      FROM e, (SELECT unnest(range(0, 2)) AS k) k),
+    agg AS (
+      SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS bucket,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM w GROUP BY 1, 2)
+    SELECT bucket, event_type, n, sum_value FROM agg
+    """,
+    doc="Hopping (sliding) event-time windows: 1-hour width, 30-minute "
+    "slide — every event lands in width/slide = 2 overlapping windows "
+    "(F.window with slideDuration; completes the window family next "
+    "to tumbling and session). Spark expands each row into its "
+    "covering windows BEFORE the shuffle, so the aggregation is still "
+    "one map-side-combined exchange — state per window, not per event. "
+    "The oracle replays the same expansion from 30-minute epoch slots.",
+)
+def hopping_window_counts(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
