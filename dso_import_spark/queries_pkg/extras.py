@@ -941,8 +941,11 @@ def ann_ivf_pq_topk(spark, sf_dir):
              (epoch_us(ts) // 1000000) // 1800 AS slot
       FROM events),
     w AS (
+      -- naive timestamp arithmetic: to_timestamp() would yield a
+      -- TIMESTAMPTZ that strftime renders in the process-local zone
       SELECT event_type, value,
-             to_timestamp((slot - k.k) * 1800) AS window_start
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((slot - k.k) * 1800) * INTERVAL 1 SECOND AS window_start
       FROM e, (SELECT unnest(range(0, 2)) AS k) k),
     agg AS (
       SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS bucket,
