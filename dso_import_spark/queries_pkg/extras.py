@@ -977,3 +977,39 @@ def hopping_window_counts(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_hopping_hour",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 1000000) // 1800 AS slot
+      FROM events),
+    w AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((slot - k.k) * 1800) * INTERVAL 1 SECOND AS window_start
+      FROM e, (SELECT unnest(range(0, 2)) AS k) k)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS bucket,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Structured Streaming watermarked hopping window (1h width / "
+    "30min slide, complete mode, availableNow replay) — the streaming "
+    "twin of hopping_window_counts; same result as the batch "
+    "formulation, with per-window state watermark-evicted.",
+)
+def stream_hopping_hour(spark, sf_dir):
+    from dso_import_spark.queries_pkg.streaming_queries import _stream
+    from dso_import_spark.streaming.events import drain_to_memory, hopping_counts
+
+    out = drain_to_memory(
+        hopping_counts(_stream(spark, sf_dir)), "q_stream_hopping", "complete"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

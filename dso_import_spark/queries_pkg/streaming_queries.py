@@ -24,6 +24,11 @@ from dso_import_spark.streaming.events import (
     tumbling_counts,
 )
 
+# NOTE: new streaming queries register in queries_pkg/extras.py, not
+# here — this module sits inside the driver's front-50 verification
+# block and appending to it would shift the tail out of the gate
+# (see the registry-order comment in dso_import_spark/queries.py).
+
 
 def _stream(spark, sf_dir):
     from dso_import_spark.queries_pkg.util import tune_session

@@ -115,6 +115,36 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked hopping (sliding) event-time aggregation.
+
+    Streaming twin of the ``hopping_window_counts`` batch query: each
+    event lands in window/slide overlapping windows; the watermark
+    finalizes+evicts a window's state once event time passes
+    window_end + watermark, so state is bounded by (windows in flight ×
+    keys), not by stream length.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
