@@ -177,14 +177,16 @@ def exact_jaccard_verify(
     pairs are ever scored — this is the shared verify stage of every
     banding scheme (minhash_band_pairs, minhash_lsh_pairs).
     """
-    words = df.select(
+    # one tokenize+distinct projection feeds both shapes (exploded words
+    # and per-doc sizes); callers that loop can cache `df` upstream —
+    # Spark shares no subplans, so the single definition point is what
+    # makes that cache effective
+    sel = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("word"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
     )
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.array_distinct(tokens(text_col))).alias("n_toks"),
-    )
+    words = sel.select("doc_id", F.explode("toks").alias("word"))
+    toks = sel.select("doc_id", F.size("toks").alias("n_toks"))
     shared = (
         cand.join(words.select(F.col("doc_id").alias("id_a"), "word"), "id_a")
         .join(words.select(F.col("doc_id").alias("id_b"), "word"), ["id_b", "word"])
@@ -344,18 +346,23 @@ def minhash_band_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
-    """Near-dup pair set → cluster labels by min-label propagation.
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Near-dup pair set → cluster labels by min-label propagation
+    with pointer jumping.
 
     ``pairs`` is (id_a, id_b); returns (id, cluster_id) for every id
     that appears in a pair, cluster_id = the minimum member id. Each
-    round is one join + one min-aggregation; lineage is truncated with
+    round propagates the minimum over (own label, neighbors' labels,
+    label-of-own-label): the extra pointer-jumping hop makes label
+    distances collapse geometrically, so convergence is O(log
+    diameter) rounds instead of O(diameter) — a 1000-hop boilerplate
+    chain converges in ~10 rounds. Lineage is truncated with
     ``localCheckpoint`` so the plan stays flat across iterations (the
-    same discipline any iterative algorithm needs on Spark). Label
-    count shrinks monotonically, so real near-dup graphs (small, dense
-    clusters) converge in a few rounds; ``max_rounds`` bounds
-    pathological chains. At web scale this is the canonicalization
-    step between LSH pair generation and row dropping.
+    discipline any iterative algorithm needs on Spark).
+
+    Non-convergence within ``max_rounds`` RAISES instead of silently
+    returning split clusters — the result must equal the transitive
+    closure the differential oracles compute, or fail loudly.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -368,11 +375,20 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)  # tiny after banding; reused per round
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        prop = edges.join(labels, edges.dst == labels.id).select(
+        neighbor = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), "lbl"
         )
+        # pointer jumping: each id also adopts its current label's label
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.lbl") == F.col("b.id"))
+            .select(F.col("a.id").alias("id"), F.col("b.lbl").alias("lbl"))
+        )
         new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            labels.unionByName(neighbor)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -382,8 +398,11 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("id", F.col("lbl").alias("cluster_id"))
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "component diameter exceeds 2^rounds; raise max_rounds"
+    )
 
 
 def duplicated_span_stats(

@@ -197,75 +197,29 @@ def ivf_pq_topk(
         .select("query_id", "qv", "label")
     )
 
-    # --- PQ codebooks trained corpus-wide (same trainer as pq_topk)
+    # --- PQ codebooks + coded corpus (shared helpers with pq_topk)
     z = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(label_col).alias("label"),
         as_double(F.col(vec_col)).alias("ve"),
     )
-    z.cache()
-    dims = len(z.orderBy("vec_id").limit(1).collect()[0]["ve"])
-    assert dims % m == 0, f"dims {dims} not divisible by m={m}"
-    sub = dims // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sv = F.slice(F.col("ve"), j * sub + 1, sub)
-        zj = z.select("vec_id", sv.alias("ve")).withColumn(
-            "na", dot(F.col("ve"), F.col("ve"))
-        )
-        zj.cache()
-        books.append(train_centroids(zj, k_codes, iters, round_scale))
-        zj.unpersist()
-
-    def code_expr(j: int, col: Column) -> Column:
-        sv = F.slice(col, j * sub + 1, sub)
-        d = centroid_dists(books[j], sv, dot(sv, sv))
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-    coded = z.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        *[code_expr(j, F.col("ve")).alias(f"c{j}") for j in range(m)],
+    books, sub, coded = _pq_encode(
+        z, m, k_codes, iters, round_scale, extra_cols=("label",)
     )
 
     # --- per-query distance tables + cell-restricted ADC scoring:
     # the join keys on the routed cell (equi on label), so each query
     # scores ~1/n_cells of the coded corpus
-    qtabs = routed.select(
-        "query_id",
-        "label",
-        *[
-            centroid_dists(
-                books[j],
-                F.slice(F.col("qv"), j * sub + 1, sub),
-                dot(
-                    F.slice(F.col("qv"), j * sub + 1, sub),
-                    F.slice(F.col("qv"), j * sub + 1, sub),
-                ),
-            ).alias(f"t{j}")
-            for j in range(m)
-        ],
-    )
-    adc = F.round(
-        sum(
-            F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1) for j in range(m)
-        ),
-        round_scale,
-    )
+    qtabs = _pq_query_tables(routed, books, sub, m, extra_cols=("label",))
     scored = (
         F.broadcast(qtabs)
         .join(coded, "label")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist2"))
+        .select(
+            "query_id", "neighbor_id", _pq_adc(m, round_scale).alias("adc_dist2")
+        )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "rank", "neighbor_id", "adc_dist2")
-    )
-    z.unpersist()
-    return out
+    return _topk_by_adc(scored, topk)
 
 
 def lsh_bucket(
@@ -555,11 +509,45 @@ def pq_topk(
     z = corpus.select(
         F.col(corpus_id).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
     )
+    books, sub, coded = _pq_encode(z, m, k_codes, iters, round_scale)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qtabs = _pq_query_tables(q, books, sub, m)
+    scored = (
+        F.broadcast(qtabs)
+        .join(coded, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _pq_adc(m, round_scale).alias("adc_dist2")
+        )
+    )
+    return _topk_by_adc(scored, topk)
+
+
+def _pq_encode(
+    z: DataFrame,
+    m: int,
+    k_codes: int,
+    iters: int,
+    round_scale: int,
+    extra_cols: tuple[str, ...] = (),
+) -> tuple[list[list[list[float]]], int, DataFrame]:
+    """Shared PQ train+encode stage (pq_topk / ivf_pq_topk).
+
+    ``z`` is (vec_id, [extra...], ve). Trains one ``k_codes``-entry
+    codebook per subspace with the deterministic Lloyd trainer, then
+    encodes every vector as its per-subspace argmin codes. Returns
+    (books, sub_dims, coded) where ``coded`` is the tiny
+    (neighbor_id, *extra, c0..c{m-1}) relation, MATERIALIZED via eager
+    localCheckpoint — downstream scoring plans read the few-bytes-per-
+    vector codes instead of re-scanning and re-encoding the corpus
+    (the same reason production PQ persists codes next to the ids).
+    """
     z.cache()
     dims = len(z.orderBy("vec_id").limit(1).collect()[0]["ve"])
     assert dims % m == 0, f"dims {dims} not divisible by m={m}"
     sub = dims // m
-
     books: list[list[list[float]]] = []
     for j in range(m):
         sv = F.slice(F.col("ve"), j * sub + 1, sub)
@@ -570,49 +558,53 @@ def pq_topk(
         books.append(train_centroids(zj, k_codes, iters, round_scale))
         zj.unpersist()
 
-    def code_expr(j: int, col: Column) -> Column:
-        sv = F.slice(col, j * sub + 1, sub)
+    def code_expr(j: int) -> Column:
+        sv = F.slice(F.col("ve"), j * sub + 1, sub)
         d = centroid_dists(books[j], sv, dot(sv, sv))
         return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
     coded = z.select(
         F.col("vec_id").alias("neighbor_id"),
-        *[code_expr(j, F.col("ve")).alias(f"c{j}") for j in range(m)],
+        *[F.col(c) for c in extra_cols],
+        *[code_expr(j).alias(f"c{j}") for j in range(m)],
+    ).localCheckpoint(eager=True)
+    z.unpersist()
+    return books, sub, coded
+
+
+def _pq_query_tables(
+    qdf: DataFrame,
+    books: list[list[list[float]]],
+    sub: int,
+    m: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-query ADC distance tables: t{j}[c] = d²(query subvector j,
+    code c) — k·m doubles per query, computed once, looked up per
+    candidate. ``qdf`` is (query_id, [extra...], qv)."""
+    def tab(j: int) -> Column:
+        sv = F.slice(F.col("qv"), j * sub + 1, sub)
+        return centroid_dists(books[j], sv, dot(sv, sv))
+
+    return qdf.select(
+        "query_id",
+        *[F.col(c) for c in extra_cols],
+        *[tab(j).alias(f"t{j}") for j in range(m)],
     )
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    qtabs = q.select(
-        "query_id",
-        *[
-            centroid_dists(
-                books[j],
-                F.slice(F.col("qv"), j * sub + 1, sub),
-                dot(
-                    F.slice(F.col("qv"), j * sub + 1, sub),
-                    F.slice(F.col("qv"), j * sub + 1, sub),
-                ),
-            ).alias(f"t{j}")
-            for j in range(m)
-        ],
-    )
-    adc = F.round(
-        sum(
-            F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1) for j in range(m)
-        ),
+
+def _pq_adc(m: int, round_scale: int) -> Column:
+    """Asymmetric distance: sum of the m per-subspace table lookups."""
+    return F.round(
+        sum(F.element_at(F.col(f"t{j}"), F.col(f"c{j}") + 1) for j in range(m)),
         round_scale,
     )
-    scored = (
-        F.broadcast(qtabs)
-        .join(coded, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist2"))
-    )
+
+
+def _topk_by_adc(scored: DataFrame, topk: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
-    z.unpersist()
-    return out

@@ -307,7 +307,7 @@ def run_table(
     name = cfg.name
     if name == "gemeente":
         st = StagedTable(
-            staged=gemeente_literal(spark, warehouse.schemas.get("gemeente")),
+            staged=gemeente_literal(spark, warehouse.schemas["gemeente"]),
             rejected_bad_range=None,
             rejected_geometry=None,
         )
@@ -318,7 +318,7 @@ def run_table(
             ref: warehouse.read_or_empty(spark, ref).select("id")
             for ref in cfg.references
         }
-        st = stage_table(cfg, raw, ref_ids, warehouse.schemas.get(name))
+        st = stage_table(cfg, raw, ref_ids, warehouse.schemas[name])
         n_range = st.rejected_bad_range.count()
         n_geo = st.rejected_geometry.count()
         n_fk = sum(df.count() for df in st.rejected_fk.values())
@@ -421,10 +421,18 @@ class BagHJob:
         if schema_doc:
             # runtime schema registry: build the StructType registry from
             # a JSON dataset document at job start, exactly the
-            # reference's create_models() moment (bagh/batch.py:451-454)
+            # reference's create_models() moment (bagh/batch.py:451-454).
+            # Fail FAST on a partial document — a missing table would
+            # otherwise surface as a KeyError mid-job after partial work.
             from dso_import_spark.schemas.loader import load_dataset
 
             schemas = load_dataset(schema_doc)
+            missing = [t for t in TABLE_ORDER if t not in schemas]
+            if missing:
+                raise ValueError(
+                    f"schema document {schema_doc!r} lacks configured "
+                    f"tables: {missing}"
+                )
         self.warehouse = Warehouse(warehouse_dir, schemas=schemas)
 
     def _raw(self, cfg: TableConfig) -> DataFrame | None:

@@ -754,8 +754,11 @@ def vocab_oov_rates(spark, sf_dir):
       FROM documents GROUP BY lang),
     p AS (SELECT lang, toks, toks / (SELECT sum(toks) FROM lt) AS prob
           FROM lt),
-    w AS (SELECT lang, toks, round(prob, 6) AS prob,
-                 round(pow(prob, 0.3), 6) AS wgt
+    -- p.prob qualified: pow MUST see the unrounded probability (as the
+    -- Spark side does); an unqualified name could resolve to the
+    -- rounded lateral alias under a refactor
+    w AS (SELECT lang, toks, round(p.prob, 6) AS prob,
+                 round(pow(p.prob, 0.3), 6) AS wgt
           FROM p)
     SELECT lang, toks::BIGINT AS lang_tokens, prob,
            round(wgt / (SELECT sum(wgt) FROM w), 6) AS mix_weight,
@@ -766,8 +769,11 @@ def vocab_oov_rates(spark, sf_dir):
     doc="Temperature-based language mixing (alpha=0.3, the multilingual "
     "up-sampling rule): per-language token mass → p_i^alpha weights → "
     "normalized mix proportions and a 1M-token budget allocation. Two "
-    "tiny aggs over per-lang rows; weights ROUNDED to 6 decimals "
-    "before normalizing so both engines' pow() agree bit-stably.",
+    "tiny aggs over per-lang rows. Parity discipline: pow() runs on "
+    "the UNROUNDED probability on BOTH sides (Spark sibling-select "
+    "semantics; the oracle qualifies p.prob), and only the pow OUTPUT "
+    "is rounded to 6 decimals before normalizing — pow of a rounded "
+    "input would shift the 6th decimal.",
 )
 def temperature_mix_weights(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")

@@ -40,17 +40,24 @@ from pyspark.sql.types import (
 # events.parquet stores ts as timestamp[us] with no zone → read it as
 # TIMESTAMP_NTZ; the stream casts to TIMESTAMP (session tz is pinned
 # UTC, so the cast is value-preserving) because watermarks/windows
-# require an instant type.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# require an instant type. A TIMESTAMP(NANOS) regeneration of the
+# fixture is handled defensively like the batch reader
+# (sources/registry.py): probe the footer, read nanos as long, and
+# truncate to microseconds.
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_schema(TimestampNTZType())
 
 
 def _as_stream_dir(path: str) -> str:
@@ -83,10 +90,21 @@ def read_events_stream(
     On a real deployment the path is a landing directory that new
     files arrive into; ``availableNow`` replays what exists today.
     """
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # footer probe (no scan): under nanosAsLong a TIMESTAMP(NANOS) ts
+    # reads as bigint; otherwise as TIMESTAMP_NTZ — declare the stream
+    # schema to match and convert accordingly (batch parity:
+    # sources/registry.py load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    nanos = probed.get("ts") == "bigint"
+    reader = spark.readStream.schema(
+        _events_schema(LongType() if nanos else TimestampNTZType())
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    if nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
