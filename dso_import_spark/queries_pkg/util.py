@@ -17,10 +17,13 @@ def tune_session(spark: SparkSession) -> None:
     is 200 near-empty tasks per exchange, and for STATEFUL streaming
     (which keys its state store by shuffle partition and cannot be
     AQE-coalesced) it multiplies every micro-batch by ~6×. Only the
-    untouched default is overridden, so an explicitly tuned session is
-    respected. Partition count never changes results — only task
-    granularity (asserted engine-wide by the differential suite, which
-    runs at both 32 and the default).
+    value "200" is overridden — an explicit setting of any OTHER value
+    is always respected; an explicit 200 is indistinguishable from the
+    default and gets resized too (callers that truly need 200, e.g. to
+    match a pre-existing stateful checkpoint, should set it after
+    calling into the engine). Partition count never changes results —
+    only task granularity (asserted engine-wide by the differential
+    suite, which runs at both 32 and the default).
     """
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
