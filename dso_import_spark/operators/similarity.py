@@ -608,3 +608,67 @@ def _topk_by_adc(scored: DataFrame, topk: int) -> DataFrame:
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    drop, within each cluster, every vector that has a near-duplicate
+    (cosine >= threshold) with a smaller id.
+
+    The keep rule is the deterministic ``exists lower-id neighbor``
+    variant rather than the paper's sequential greedy sweep: a vector
+    is dropped iff ANY lower-id vector in its cluster is within the
+    epsilon-ball, whether or not that vector was itself dropped. This
+    over-drops relative to greedy on transitive chains (a~b, b~c,
+    a!~c drops both b and c; greedy keeps c) but is order-independent
+    and a pure join — no iteration, so a SQL oracle can replay it and
+    the 100 TB plan is one blocked self-join instead of a sequential
+    scan. Chains are rare at high thresholds, where SemDeDup operates.
+
+    Scale shape: clustering cost is kmeans_assignments (narrow passes,
+    centroid literals); the pair join is blocked by cluster id, so per
+    -block pair blowup is bounded by the largest cluster — at corpus
+    scale pick k ~ n/target_cluster_size (the paper uses tens of
+    thousands of clusters for LAION-scale data) and the join never
+    goes O(n^2). Returns (vec_id, cluster, dropped, max_sim_lower)
+    where max_sim_lower is the best in-cluster cosine to a lower id
+    (NULL when none reaches the threshold).
+    """
+    assign = kmeans_assignments(df, k, iters, id_col, vec_col, round_scale)
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_scale)
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("dup_id"), sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("dup_id")
+        .agg(F.max("cos_sim").alias("max_sim_lower"))
+    )
+    return (
+        base.join(dup, base["vec_id"] == dup["dup_id"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("max_sim_lower").isNotNull().alias("dropped"),
+            "max_sim_lower",
+        )
+    )

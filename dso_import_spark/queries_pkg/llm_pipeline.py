@@ -246,3 +246,142 @@ def corpus_pipeline_stats(spark, sf_dir):
             "avg_quality_kept"
         ),
     )
+
+
+@query(
+    "lm_bigram_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[u.pos] AS w1, toks[u.pos + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(pos)),
+    uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(bi.c12 / uni.c1)), 4) AS avg_logprob
+    FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    doc="CCNet-style LM quality score: train a bigram language model on "
+    "the corpus itself (MLE, no smoothing — every scored bigram is in "
+    "the counts by construction), then score each document by its mean "
+    "bigram log-probability. Low scores flag boilerplate/gibberish for "
+    "filtering. Shape: token split is a narrow map; unigram/bigram "
+    "counts are two map-side-combined aggs; scoring is one shuffle "
+    "join on the bigram key + per-doc agg. At 100 TB the bigram count "
+    "table is itself distributed (no broadcast needed); an optional "
+    "optimization broadcasts only the top-K bigram probabilities with "
+    "a backoff default for the tail.",
+)
+def lm_bigram_quality(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n - 1),
+                    F.slice(F.col("toks"), 2, n - 1),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    return (
+        bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c12") / F.col("c1"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(lower(text), ' ') AS w
+                  FROM documents),
+    sg AS (
+      SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)),
+    sizes AS (SELECT source, count(*)::BIGINT AS n_grams FROM sg GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_shared,
+           round(i.n_shared /
+                 (sa.n_grams + sb.n_grams - i.n_shared)::DOUBLE, 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+    doc="Cross-source contamination matrix: pairwise Jaccard overlap of "
+    "each source's distinct 5-gram shingle sets — which corpus sources "
+    "copy from each other (mirror detection in web-corpus curation). "
+    "Grams travel as xxhash64 fingerprints (count parity with the "
+    "string-gram oracle absent a 64-bit collision, same discipline as "
+    "decontam_ngram_overlap). Shape: one distinct agg on (source, "
+    "gram-hash), then an equi-join on the gram key where per-gram "
+    "fan-out is bounded by the number of sources sharing it; at "
+    "web-domain scale add a document-frequency cap (drop grams in "
+    "> df_max sources) to bound the hot-gram pair blowup.",
+)
+def source_overlap_matrix(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    grams_arr = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 5), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sg = docs.select("source", F.explode(grams_arr).alias("g")).distinct()
+    sizes = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
