@@ -639,9 +639,14 @@ def semantic_dedup(
     -block pair blowup is bounded by the largest cluster — at corpus
     scale pick k ~ n/target_cluster_size (the paper uses tens of
     thousands of clusters for LAION-scale data) and the join never
-    goes O(n^2). Returns (vec_id, cluster, dropped, max_sim_lower)
-    where max_sim_lower is the best in-cluster cosine to a lower id
-    (NULL when none reaches the threshold).
+    goes O(n^2). Because k can be far below the core count (it is 4
+    here, pinned by the differential oracle), the join key is salted
+    result-identically: the left side replicates over n_salts probe
+    buckets and the right side joins on its own vec_id-derived bucket,
+    turning k-way parallelism into k*n_salts-way without changing
+    which pairs meet. Returns (vec_id, cluster, dropped,
+    max_sim_lower) where max_sim_lower is the best in-cluster cosine
+    to a lower id (NULL when none reaches the threshold).
     """
     assign = kmeans_assignments(df, k, iters, id_col, vec_col, round_scale)
     base = (
@@ -650,12 +655,19 @@ def semantic_dedup(
         )
         .join(assign.select("vec_id", "cluster"), "vec_id")
     )
-    a, b = base.alias("a"), base.alias("b")
+    n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    a = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("probe")
+    ).alias("a")
+    b = base.withColumn(
+        "bucket", F.pmod(F.col("vec_id"), F.lit(n_salts))
+    ).alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_scale)
     dup = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("b.vec_id").alias("dup_id"), sim.alias("cos_sim"))

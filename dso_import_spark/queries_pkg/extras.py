@@ -1019,3 +1019,251 @@ def stream_hopping_hour(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc="Structured Streaming stream-static enrichment: the event "
+    "stream joins a broadcast customer dimension per micro-batch "
+    "(stateless — no join state or watermark, unlike stream-stream "
+    "joins), then aggregates per nation (complete mode, availableNow "
+    "replay). Same result as the equivalent batch join+agg.",
+)
+def stream_static_enrich(spark, sf_dir):
+    from dso_import_spark.queries_pkg.streaming_queries import _stream
+    from dso_import_spark.streaming.events import (
+        drain_to_memory,
+        enrich_with_dimension,
+    )
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    out = drain_to_memory(
+        enrich_with_dimension(_stream(spark, sf_dir), customer),
+        "q_stream_static_enrich",
+        "complete",
+    )
+    return out.select("c_nationkey", "n_events", "sum_value")
+
+
+# --- Registered here (back block) rather than in windows.py /
+# similarity.py so they don't displace round-1-unverified entries
+# from the driver's front-50 verification window (see the
+# registry-order comment in dso_import_spark/queries.py). ---
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS ts_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS ts_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.ts_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+          GROUP BY e.user_id)
+    SELECT v.user_id,
+           strftime(v.ts_view, '%Y-%m-%d %H:%M:%S.%f') AS ts_view,
+           strftime(c.ts_click, '%Y-%m-%d %H:%M:%S.%f') AS ts_click,
+           strftime(p.ts_purchase, '%Y-%m-%d %H:%M:%S.%f') AS ts_purchase,
+           (1 + (c.user_id IS NOT NULL)::INT
+              + (p.user_id IS NOT NULL)::INT) AS funnel_depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="MATCH_RECOGNIZE-style ordered funnel: first view, first click "
+    "strictly after it, first purchase strictly after that — per-user "
+    "conversion depth. Expressed as three keyed min-aggregations with "
+    "strictly-increasing time guards (no per-row pattern automaton "
+    "needed for first-match funnels). Shape: three shuffles on the "
+    "user key, each input pre-filtered to one event type before the "
+    "shuffle; event-time strings are formatted server-side so the "
+    "result is timezone-independent.",
+)
+def funnel_conversion(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("tv", fmt).alias("ts_view"),
+            F.date_format("tc", fmt).alias("ts_click"),
+            F.date_format("tp", fmt).alias("ts_purchase"),
+            (
+                F.lit(1)
+                + F.col("tc").isNotNull().cast("int")
+                + F.col("tp").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "gapfill_locf_hourly",
+    oracle="""
+    WITH hours AS (
+      SELECT u.user_id, h.h
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 8) u
+      CROSS JOIN (
+        SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + x.i * INTERVAL 1 HOUR AS h
+        FROM UNNEST(generate_series(0, 719)) AS x(i)) h),
+    agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(sum(value), 4) AS v
+      FROM events WHERE user_id < 8 GROUP BY user_id, date_trunc('hour', ts)),
+    joined AS (
+      SELECT hours.user_id, hours.h, agg.v
+      FROM hours LEFT JOIN agg
+        ON hours.user_id = agg.user_id AND hours.h = agg.h),
+    filled AS (
+      SELECT user_id, h, v,
+             max(grp_val) OVER (PARTITION BY user_id ORDER BY h) AS v_locf
+      FROM (SELECT user_id, h, v,
+                   CASE WHEN v IS NOT NULL
+                        THEN struct_pack(h := h, v := v) END AS grp_val
+            FROM joined))
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           v AS observed, v_locf.v AS filled
+    FROM filled
+    """,
+    doc="Hypertable-style gap-fill with last-observation-carried-forward: "
+    "materialize every hour bucket in the observation window per "
+    "entity, left-join the hourly aggregate, and fill gaps with the "
+    "latest preceding value via last_value(IGNORE NULLS) — the "
+    "TimescaleDB time_bucket_gapfill + locf() surface. Shape: the "
+    "bucket spine is generated (sequence + explode, no driver loop), "
+    "the join and the fill window shuffle once on the entity key; at "
+    "100 TB the spine stays proportional to entities x buckets and "
+    "the window partitions by (entity, coarse-time-shard) if a single "
+    "entity's history exceeds one executor. The DuckDB oracle lacks "
+    "IGNORE NULLS, so it re-expresses locf as a running max over "
+    "(h, v) structs — ordered-by-time argmax of the latest non-null.",
+)
+def gapfill_locf_hourly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("user_id") < 8)
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("h"),
+        )
+    )
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("v").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
+@query(
+    "semdedup_prune",
+    oracle="""
+    WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    n AS (SELECT vec_id, ve, list_dot_product(ve, ve) AS na FROM z),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS cv
+           FROM (SELECT vec_id, ve FROM z ORDER BY vec_id LIMIT 4)),
+    a1 AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT n.vec_id, c0.c,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c0.cv, c0.cv))
+                          - (2 * list_dot_product(n.ve, c0.cv)), c0.c) AS rn
+        FROM n CROSS JOIN c0) WHERE rn = 1),
+    dims AS (
+      SELECT a1.cluster,
+             unnest(range(1, len(z.ve) + 1)) AS pos,
+             unnest(z.ve) AS x
+      FROM a1 JOIN z USING (vec_id)),
+    c1new AS (
+      SELECT cluster AS c, list(m ORDER BY pos) AS cv
+      FROM (SELECT cluster, pos, round(avg(x), 6) AS m
+            FROM dims GROUP BY cluster, pos)
+      GROUP BY cluster),
+    c1 AS (SELECT c0.c, coalesce(c1new.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN c1new USING (c)),
+    av AS (
+      SELECT vec_id, ve, cluster FROM (
+        SELECT n.vec_id, n.ve, c1.c AS cluster,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c1.cv, c1.cv))
+                          - (2 * list_dot_product(n.ve, c1.cv)), c1.c) AS rn
+        FROM n CROSS JOIN c1) WHERE rn = 1),
+    dup AS (
+      SELECT dup_id, max(cos_sim) AS max_sim_lower FROM (
+        SELECT b.vec_id AS dup_id,
+               round(list_dot_product(a.ve, b.ve) /
+                     (sqrt(list_dot_product(a.ve, a.ve)) *
+                      sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos_sim
+        FROM av a JOIN av b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.35 GROUP BY dup_id)
+    SELECT av.vec_id, av.cluster,
+           dup.dup_id IS NOT NULL AS dropped, dup.max_sim_lower
+    FROM av LEFT JOIN dup ON av.vec_id = dup.dup_id
+    """,
+    doc="SemDeDup semantic dedup (semantic_dedup operator): Lloyd's "
+    "k-means clusters (k=4, 2 iters, identical init/tie-break/rounding "
+    "to ivf_kmeans_train), then drop vectors with a lower-id in-cluster "
+    "neighbor at rounded cosine >= 0.35 (threshold calibrated to the "
+    "fixture's cosine range so the drop path is exercised; production "
+    "corpora use ~0.95+). The oracle replays clustering AND the "
+    "epsilon-ball drop rule end-to-end in SQL.",
+)
+def semdedup_prune(spark, sf_dir):
+    from dso_import_spark.operators.similarity import semantic_dedup
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=4, iters=2, threshold=0.35)

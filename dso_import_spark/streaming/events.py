@@ -388,3 +388,25 @@ def drain_to_memory(
     )
     q.awaitTermination()
     return stream.sparkSession.table(name)
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + per-nation aggregate.
+
+    The canonical Structured Streaming enrichment shape: the static
+    dimension is broadcast to every micro-batch (stateless join — no
+    watermark or join state needed, unlike stream-stream joins), then
+    a stateful aggregation groups the enriched rows. At scale the
+    dimension is the small side by definition; if it outgrows the
+    broadcast threshold the join degrades to shuffle per micro-batch,
+    at which point pre-bucketing the dimension on the join key is the
+    fix.
+    """
+    enriched = events.join(
+        F.broadcast(dim.select("c_custkey", "c_nationkey")),
+        events["user_id"] == F.col("c_custkey"),
+    )
+    return enriched.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
