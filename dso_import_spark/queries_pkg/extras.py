@@ -1267,3 +1267,164 @@ def semdedup_prune(spark, sf_dir):
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, k=4, iters=2, threshold=0.35)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
+      FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           (a.active_week - f.cohort_week) // 7 AS week_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM first_ev f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix: users grouped by the ISO week of "
+    "their first event; each later active week becomes a "
+    "(cohort, week_offset) cell counting distinct returning users. "
+    "Shape: one min-agg on the user key, one distinct on (user, "
+    "week), one join back on the user key, one count-distinct agg — "
+    "all map-side-combinable shuffles on uniform keys.",
+)
+def cohort_retention(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    first_ev = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_ev.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff("active_week", "cohort_week") / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    contrib AS (
+      SELECT DISTINCT e.ts::DATE + o.o::INTEGER AS report_day, e.user_id
+      FROM events e, (SELECT unnest(range(0, 7)) AS o) o)
+    SELECT strftime(c.report_day, '%Y-%m-%d') AS report_day,
+           count(DISTINCT c.user_id)::BIGINT AS distinct_users_7d
+    FROM contrib c JOIN days ON c.report_day = days.d
+    GROUP BY c.report_day
+    """,
+    doc="Trailing 7-day distinct-user count per day (sliding-window "
+    "COUNT DISTINCT — not expressible as a plain window function "
+    "because distinct doesn't decompose): each event contributes its "
+    "user to the 7 report days it falls within (bounded x7 explode), "
+    "then one distinct + count-distinct agg; report days restricted "
+    "to days present in the data. At scale swap the exact distinct "
+    "for the mergeable HLL sketch (approx_count_distinct) and the "
+    "explode factor stays the window length, independent of data "
+    "volume.",
+)
+def sliding_distinct_users(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    days = events.select(F.col("ts").cast("date").alias("d")).distinct()
+    contrib = (
+        events.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            F.col("ts").cast("date").alias("ed"),
+            "user_id",
+        )
+        .select(F.date_add("ed", F.col("o")).alias("report_day"), "user_id")
+        .distinct()
+    )
+    return (
+        contrib.join(days, contrib["report_day"] == days["d"])
+        .groupBy(F.date_format("report_day", "yyyy-MM-dd").alias("report_day"))
+        .agg(F.countDistinct("user_id").alias("distinct_users_7d"))
+    )
+
+
+@query(
+    "sparse_tfidf_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM t GROUP BY doc_id, term),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    idf AS (SELECT term,
+                   CAST(round(1000 * ln(n_docs.n / count(*))) AS BIGINT) AS idf_q
+            FROM tf, n_docs GROUP BY term, n_docs.n),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q AS wq
+          FROM tf JOIN idf USING (term)),
+    dots AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+             sum(a.wq * b.wq)::BIGINT AS dot_q
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 50 = 0
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT query_id, rank, neighbor_id, dot_q
+    FROM (SELECT query_id, neighbor_id, dot_q,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot_q DESC, neighbor_id) AS rank
+          FROM dots)
+    WHERE rank <= 3
+    """,
+    doc="Sparse TF-IDF top-k document similarity via an inverted "
+    "index: no embeddings — documents meet only through shared terms "
+    "(posting-list equi-join), so the pair space is bounded by term "
+    "co-occurrence, the classic IR alternative to dense ANN. IDF is "
+    "quantized to round(1000*ln(N/df)) BIGINT so every weight, "
+    "product, and sum is exact integer math — identical ranking in "
+    "any engine, no floating-point rank flips. At web scale add a "
+    "document-frequency cap to drop stopword-grade terms whose "
+    "posting lists dominate the join (the documented df-cap knob).",
+)
+def sparse_tfidf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = tf.select("doc_id").distinct().count()
+    idf = tf.groupBy("term").agg(
+        F.round(1000 * F.log(F.lit(n_docs) / F.count("*")))
+        .cast("long")
+        .alias("idf_q")
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_q")).alias("wq")
+    )
+    a = w.filter(F.col("doc_id") % 50 == 0).alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("query_id"),
+            F.col("b.doc_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dot_q"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), "neighbor_id"
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "dot_q")
+    )
