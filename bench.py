@@ -65,6 +65,11 @@ HEADLINE = [
     "dedup_substring_spans",
     "asof_tolerance_cogroup",
     "ivf_kmeans_train",
+    "semdedup_prune",
+    "lm_bigram_quality",
+    "sparse_tfidf_topk",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

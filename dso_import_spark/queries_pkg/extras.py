@@ -1428,3 +1428,124 @@ def sparse_tfidf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", "neighbor_id", "dot_q")
     )
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+    tagged AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id
+                                    ORDER BY d)::INTEGER AS grp
+      FROM days)
+    SELECT user_id, strftime(min(d), '%Y-%m-%d') AS streak_start,
+           count(*)::BIGINT AS streak_len
+    FROM tagged GROUP BY user_id, grp
+    """,
+    doc="Gaps-and-islands: contiguous daily-activity streaks per user "
+    "via the date-minus-row_number island tag (consecutive days share "
+    "one tag; any gap starts a new one). One shuffle on the user key "
+    "for the window, one agg on (user, island) — the canonical "
+    "streak/retention building block.",
+)
+def activity_streaks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    return tagged.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.count("*").alias("streak_len"),
+    ).drop("grp")
+
+
+@query(
+    "mode_event_type",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n FROM (
+      SELECT user_id, event_type, count(*)::BIGINT AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+    doc="Mode (most frequent value) per group with deterministic "
+    "lexicographic tie-break: count agg then a rank-1 window, both "
+    "keyed on the user — two map-side-combinable shuffles, no "
+    "collect. The generic form of 'dominant category per entity'.",
+)
+def mode_event_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@query(
+    "value_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*)::BIGINT AS n_total,
+           count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad)::BIGINT
+             AS n_outliers,
+           round(any_value(d.med), 4) AS median_value,
+           round(any_value(m.mad), 4) AS mad_value
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection per group: median absolute deviation "
+    "with the 1.4826 normal-consistency factor, flagging values "
+    "beyond 3 scaled MADs. Exact medians are rounded to 6 decimals "
+    "on both engines before the threshold compare so the flag is "
+    "boundary-stable. Shape: two exact-percentile aggs and two "
+    "broadcast joins of tiny per-group stats back onto the stream; "
+    "at 100 TB swap exact medians for approx_percentile sketches "
+    "(same plan, mergeable partials).",
+)
+def value_outliers_mad(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+        )
+    )

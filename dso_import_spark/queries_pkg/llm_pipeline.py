@@ -385,3 +385,54 @@ def source_overlap_matrix(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "quality_classifier_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+    b AS (SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS bucket
+          FROM t),
+    s AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+                 sum((bucket * 2654435761) % 2001 - 1000)::BIGINT AS logit_q
+          FROM b GROUP BY doc_id)
+    SELECT doc_id, n_tok, logit_q,
+           round(1 / (1 + exp(-(logit_q / (1000.0 * n_tok)))), 6) AS score,
+           logit_q > 0 AS keep
+    FROM s
+    """,
+    doc="fastText-style linear quality classifier applied at corpus "
+    "scale: hashed unigram features (portable md5-prefix hash, 1024 "
+    "buckets) scored against a fixed weight vector derived "
+    "arithmetically from the bucket id (standing in for trained "
+    "weights, which would broadcast the same way). The per-doc logit "
+    "is an exact BIGINT sum of quantized weights, so the score is "
+    "order-independent — no floating-point drift across engines or "
+    "partitionings. Shape: one explode + narrow hash map + one "
+    "map-side-combinable per-doc agg; model inference as a pure "
+    "column expression, no UDF, no model server.",
+)
+def quality_classifier_score(spark, sf_dir):
+    from dso_import_spark.functions.text import word_hash32
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    bucket = word_hash32(F.col("term")) % 1024
+    wq = (bucket * F.lit(2654435761)) % 2001 - 1000
+    s = t.select("doc_id", wq.alias("wq")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum("wq").alias("logit_q"),
+    )
+    logit = F.col("logit_q") / (1000.0 * F.col("n_tok"))
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "logit_q",
+        F.round(1 / (1 + F.exp(-logit)), 6).alias("score"),
+        (F.col("logit_q") > 0).alias("keep"),
+    )

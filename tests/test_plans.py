@@ -358,3 +358,31 @@ def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir, qs):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_semdedup_pair_join_is_salted(spark, sf_dir, qs):
+    """The SemDeDup pair join must key on (cluster, salt-bucket), not
+    cluster alone: k can be far below the core count, and an
+    unsalted join would put the entire quadratic pair workload on k
+    tasks. Result-identical salting is the fix (operator docstring);
+    this pins it in the plan."""
+    import re
+
+    plan = plan_of(qs["semdedup_prune"](spark, sf_dir), "simple")
+    salted_exchanges = re.findall(
+        r"hashpartitioning\(cluster#\d+L?, (?:cast\(probe#\d+|bucket#\d+)",
+        plan,
+    )
+    assert len(salted_exchanges) >= 2, (
+        "pair join no longer keys on (cluster, salt):\n" + plan
+    )
+
+
+def test_sparse_tfidf_topk_window_partitions_by_query(spark, sf_dir, qs):
+    """The top-k window must partition by query_id (parallel per
+    query), never a global sort / single partition."""
+    import re
+
+    plan = plan_of(qs["sparse_tfidf_topk"](spark, sf_dir), "simple")
+    assert re.search(r"hashpartitioning\(query_id#\d+", plan), plan
+    assert "Exchange SinglePartition" not in plan
