@@ -649,9 +649,15 @@ def semantic_dedup(
     to a lower id (NULL when none reaches the threshold).
     """
     assign = kmeans_assignments(df, k, iters, id_col, vec_col, round_scale)
+    # normalize ONCE per vector, not once per pair: the pair stage then
+    # costs a single sequential dot-product fold instead of dot + two
+    # norms — the oracle mirrors the exact same unit-vector arithmetic
+    # (element division, then sequential fold) so parity stays exact
+    v = as_double(F.col(vec_col))
     base = (
         df.select(
-            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+            F.col(id_col).alias("vec_id"),
+            F.transform(v, lambda x: x / norm(v)).alias("u"),
         )
         .join(assign.select("vec_id", "cluster"), "vec_id")
     )
@@ -662,7 +668,7 @@ def semantic_dedup(
     b = base.withColumn(
         "bucket", F.pmod(F.col("vec_id"), F.lit(n_salts))
     ).alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), round_scale)
+    sim = F.round(dot(F.col("a.u"), F.col("b.u")), round_scale)
     dup = (
         a.join(
             b,

@@ -1241,13 +1241,16 @@ def gapfill_locf_hourly(spark, sf_dir):
                  ORDER BY (n.na + list_dot_product(c1.cv, c1.cv))
                           - (2 * list_dot_product(n.ve, c1.cv)), c1.c) AS rn
         FROM n CROSS JOIN c1) WHERE rn = 1),
+    un AS (
+      SELECT vec_id, cluster,
+             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve)))
+               AS u
+      FROM av),
     dup AS (
       SELECT dup_id, max(cos_sim) AS max_sim_lower FROM (
         SELECT b.vec_id AS dup_id,
-               round(list_dot_product(a.ve, b.ve) /
-                     (sqrt(list_dot_product(a.ve, a.ve)) *
-                      sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos_sim
-        FROM av a JOIN av b
+               round(list_dot_product(a.u, b.u), 6) AS cos_sim
+        FROM un a JOIN un b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
       WHERE cos_sim >= 0.35 GROUP BY dup_id)
     SELECT av.vec_id, av.cluster,

@@ -190,3 +190,27 @@ def test_zorder_write_skips_files_on_both_dims(spark, sf_dir, tmp_path):
         back.agg(F.sum("o_orderkey").alias("s")).first().s
         == orders.agg(F.sum("o_orderkey").alias("s")).first().s
     )
+
+
+def test_write_observed_collects_metrics_in_the_write_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.maintenance import write_observed
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    got = write_observed(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "sum_id": F.sum("id"),
+        },
+    )
+    assert got == {"n_rows": 1000, "n_null_v": 100, "sum_id": 499500}
+    # and the write actually landed, row-complete
+    assert spark.read.parquet(out).count() == 1000
