@@ -1552,3 +1552,80 @@ def value_outliers_mad(spark, sf_dir):
             F.round(F.first("mad"), 4).alias("mad_value"),
         )
     )
+
+
+def _tail_log_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    return os.path.join(
+        tempfile.gettempdir(), "dso_import_spark_tail", f"{tag}-{stamp}"
+    )
+
+
+def _ensure_tail_log(spark, sf_dir: str) -> str:
+    """Write the append-only event log once per fixture version (test
+    plumbing, like wkt_scan's fixture synthesis — a production log
+    would already exist, written by its producer)."""
+    import os
+
+    d = _tail_log_path(sf_dir)
+    log = os.path.join(d, "events.log")
+    if os.path.exists(log):
+        return d
+    (events,) = tables(spark, sf_dir, "events")
+    rows = (
+        events.select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    os.makedirs(d, exist_ok=True)
+    tmp = log + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(
+                f"{r['event_id']}|{r['user_id']}|{r['event_type']}|"
+                f"{r['value']!r}\n"
+            )
+    os.replace(tmp, log)
+    return d
+
+
+@query(
+    "stream_tail_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Append-tailing Python streaming DataSource (sources/"
+    "tail_source.py): the fixture events replayed through a "
+    "byte-offset-tracked log tail — the connector Spark's built-in "
+    "file stream lacks (it ingests whole files once; appends are "
+    "invisible). Offsets live in the query checkpoint for "
+    "exactly-once; the streaming aggregate must reproduce the batch "
+    "GROUP BY on the same rows.",
+)
+def stream_tail_ingest(spark, sf_dir):
+    from dso_import_spark.ship import ensure_shipped
+    from dso_import_spark.sources.tail_source import register_tail_source
+    from dso_import_spark.streaming.events import drain_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the reader class is pickled to Python workers — ship the package
+    # even when the log fixture is already cached (no tables() call)
+    ensure_shipped(spark)
+    d = _ensure_tail_log(spark, sf_dir)
+    register_tail_source(spark)
+    stream = spark.readStream.format("eventtail").load(d)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return drain_to_memory(agg, "q_stream_tail_ingest", "complete")

@@ -125,5 +125,14 @@ def register_wkt_source(spark) -> None:
     """Idempotently register the format with this session."""
     key = id(spark.sparkContext)
     if key not in _REGISTERED:
+        # the DataSource class is cloudpickled to Python worker
+        # processes that may not have this package on sys.path (the
+        # planner-side data source runner does not see addPyFile) —
+        # serialize this module by VALUE so no remote import happens
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
         spark.dataSource.register(WktDataSource)
         _REGISTERED.add(key)
