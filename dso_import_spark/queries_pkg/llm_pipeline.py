@@ -436,3 +436,48 @@ def quality_classifier_score(spark, sf_dir):
         F.round(1 / (1 + F.exp(-logit)), 6).alias("score"),
         (F.col("logit_q") > 0).alias("keep"),
     )
+
+
+@query(
+    "priority_sample_topk",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, lang, n_chars,
+             n_chars * 1000.0 /
+               (((doc_id * 1103515245 + 12345) % 1000) + 1) AS priority
+      FROM documents)
+    SELECT lang, rank, doc_id, n_chars, round(priority, 4) AS priority
+    FROM (SELECT lang, doc_id, n_chars, priority,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY priority DESC, doc_id) AS rank
+          FROM pr)
+    WHERE rank <= 5
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup, JACM 2007): per-item "
+    "priority w/u with u uniform from the portable LCG — taking the "
+    "top-k per stratum yields a weight-proportional sample with "
+    "unbiased subset-sum estimators, the principled 'sample big "
+    "documents more' primitive (vs stratified_sample_lang's uniform "
+    "keep). Arithmetic is only * and / (IEEE correctly-rounded, "
+    "bit-identical across engines — no pow/ln whose libm results "
+    "could flip ranks); priority is rounded for DISPLAY only, after "
+    "ranking. One narrow map + one per-stratum top-k window.",
+)
+def priority_sample_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    u_scaled = ((F.col("doc_id") * 1103515245 + 12345) % 1000) + 1
+    pr = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") * 1000.0 / u_scaled).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), "doc_id")
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_chars",
+                F.round("priority", 4).alias("priority"))
+    )
