@@ -1387,9 +1387,14 @@ def sliding_distinct_users(spark, sf_dir):
     "co-occurrence, the classic IR alternative to dense ANN. IDF is "
     "quantized to round(1000*ln(N/df)) BIGINT so every weight, "
     "product, and sum is exact integer math — identical ranking in "
-    "any engine, no floating-point rank flips. At web scale add a "
-    "document-frequency cap to drop stopword-grade terms whose "
-    "posting lists dominate the join (the documented df-cap knob).",
+    "any engine, no floating-point rank flips. On Zipfian vocabularies a "
+    "max-df cap drops stopword-grade terms whose posting lists "
+    "dominate the join; on this fixture's intentionally tiny "
+    "31-term vocabulary every posting list is ~80% of the corpus, "
+    "which is exactly the regime where lexical inverted-index "
+    "similarity degenerates toward all-pairs and the dense ANN "
+    "stack (ann_lsh/ivf/pq) is the right tool — measured in "
+    "SCALING.md.",
 )
 def sparse_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
