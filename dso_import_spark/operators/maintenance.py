@@ -24,6 +24,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -205,3 +206,59 @@ def write_observed(
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).parquet(path)
     return obs.get
+
+
+def merge_agg_partials(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch into a
+    materialized aggregate WITHOUT recomputing over history.
+
+    ``base_agg`` is the stored aggregate table (one row per key group);
+    ``delta`` is the new raw rows. ``metrics`` maps each output column
+    to ``(source_column, kind)`` with kind in {sum, count, min, max} —
+    the algebraic aggregates whose partials combine losslessly
+    (sum+=sum, count+=count, min=min(min), max=max(max)). avg is
+    maintained as sum/count by the caller; non-algebraic aggregates
+    (distinct, median) need sketches (see approx_distinct_sketch) or a
+    recompute.
+
+    Shape at 100 TB: aggregate the DELTA (one map-side-combined
+    shuffle over new rows only), union with the key-cardinality-sized
+    base table, and re-combine — cost scales with |delta| + |keys|,
+    never with |history|. This is the batch form of what the streaming
+    path does continuously (streaming/events.py keyed state): the
+    materialized-view-maintenance loop a warehouse runs nightly.
+
+    Returns the refreshed aggregate with the same schema as base_agg.
+    """
+    delta_agg = delta.groupBy(*keys).agg(
+        *[
+            {
+                "sum": F.sum,
+                "count": F.count,
+                "min": F.min,
+                "max": F.max,
+            }[kind](src).alias(out)
+            for out, (src, kind) in metrics.items()
+        ]
+    )
+    combine = {
+        "sum": F.sum,
+        "count": F.sum,  # counts combine by summing partial counts
+        "min": F.min,
+        "max": F.max,
+    }
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            *[
+                combine[kind](out).alias(out)
+                for out, (_src, kind) in metrics.items()
+            ]
+        )
+    )

@@ -76,4 +76,5 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     extras,
     layout,
     llm_pipeline,
+    advanced,
 )

@@ -214,3 +214,59 @@ def test_write_observed_collects_metrics_in_the_write_pass(spark, tmp_path):
     assert got == {"n_rows": 1000, "n_null_v": 100, "sum_id": 499500}
     # and the write actually landed, row-complete
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_merge_agg_partials_equals_recompute(spark, sf_dir):
+    """Incremental refresh (base partials + delta) must equal the
+    full recompute exactly — the algebraic-combine contract."""
+    from dso_import_spark.operators.maintenance import merge_agg_partials
+    from dso_import_spark.queries_pkg.util import tables
+
+    (events,) = tables(spark, sf_dir, "events")
+    metrics = {
+        "n": ("value", "count"),
+        "s": ("value", "sum"),
+        "lo": ("value", "min"),
+        "hi": ("value", "max"),
+    }
+    base = (
+        events.where(F.col("event_id") % 4 != 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+    delta = events.where(F.col("event_id") % 4 == 0)
+    refreshed = merge_agg_partials(base, delta, ["user_id"], metrics)
+    full = events.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    norm = lambda df: sorted(
+        (r["user_id"], r["n"], round(r["s"], 6), round(r["lo"], 6), round(r["hi"], 6))
+        for r in df.collect()
+    )
+    assert norm(refreshed) == norm(full)
+
+
+def test_merge_agg_partials_new_and_untouched_keys(spark):
+    """Delta introducing a brand-new key and leaving another key
+    untouched: new key appears, untouched key's row is unchanged."""
+    from dso_import_spark.operators.maintenance import merge_agg_partials
+
+    base = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "k string, n long, s double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 7.0), ("c", 1.0)], "k string, v double"
+    )
+    out = merge_agg_partials(
+        base, delta, ["k"], {"n": ("v", "count"), "s": ("v", "sum")}
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
+    assert got == {"a": (3, 17.0), "b": (1, 5.0), "c": (1, 1.0)}

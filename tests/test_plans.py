@@ -249,6 +249,13 @@ _SCALAR_RESULT_QUERIES = {
     # SinglePartition exchange carries #languages rows (a bounded
     # dimension), not data
     "temperature_mix_weights",
+    # Bloom bitmap build: the SinglePartition exchange carries at most
+    # m/64 longs (filter geometry, ~512 bytes) — bounded state by
+    # construction, never build-side data (operators/bloom.py)
+    "bloom_join_prune",
+    # scalar N (node count) + three scalar-subquery counts
+    "pagerank_shipments",
+    "notin_null_semantics",
 }
 
 
