@@ -448,3 +448,305 @@ def notin_null_semantics(spark, sf_dir):
             AS n_not_exists
         """
     )
+
+
+# --------------------------------------------------------------------
+# EWMA via fixed-lag composition
+# --------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.5
+_EWMA_K = 5
+
+
+@query(
+    "ewma_fixed_lags",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER win AS l1,
+             lag(value, 2) OVER win AS l2,
+             lag(value, 3) OVER win AS l3,
+             lag(value, 4) OVER win AS l4
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           round((0.5*value
+                  + 0.25*COALESCE(l1, 0) + 0.125*COALESCE(l2, 0)
+                  + 0.0625*COALESCE(l3, 0) + 0.03125*COALESCE(l4, 0))
+                 / (0.5
+                    + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END
+                    + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 END), 6)
+             AS ewma
+    FROM w
+    WHERE event_id % 101 = 0
+    ORDER BY event_id
+    """,
+    doc="Exponentially-weighted moving average over the trailing "
+    "K=5 events per user (alpha=0.5), expressed as a FIXED-LAG "
+    "composition: EWMA's recursive definition doesn't fit a plain "
+    "window aggregate (weights depend on offset), but truncating to K "
+    "lags turns it into K lag() columns with literal weights, "
+    "renormalized over the lags that exist near series start — ONE "
+    "window shuffle on the user key, pure codegen arithmetic after. "
+    "The full-history recursive form needs applyInPandas per key; the "
+    "truncated form loses under alpha*(1-alpha)^K = 1.6% of weight "
+    "mass and scales as a plain window. Sampled output; the window "
+    "runs over the full series.",
+)
+def ewma_fixed_lags(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [
+        _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)
+    ]
+    lags = [F.col("value")] + [
+        F.lag("value", j).over(win) for j in range(1, _EWMA_K)
+    ]
+    num = sum(
+        (F.coalesce(c, F.lit(0.0)) * w for c, w in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0.0).otherwise(w) for c, w in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    return (
+        events.select(
+            "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+        )
+        .where(F.col("event_id") % 101 == 0)
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Distribution drift: population stability index between periods
+# --------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_EPS = 1e-6
+
+
+@query(
+    "drift_psi_periods",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT event_type,
+             least(CAST(floor(value / 50) AS INT), 9) AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, bucket,
+             sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+      FROM bucketed GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+      FROM cell GROUP BY event_type
+    )
+    SELECT c.event_type,
+           round(sum(
+             ((c.n_ref / t.t_ref + {_PSI_EPS}) - (c.n_cur / t.t_cur + {_PSI_EPS}))
+             * ln((c.n_ref / t.t_ref + {_PSI_EPS}) / (c.n_cur / t.t_cur + {_PSI_EPS}))
+           ), 6) AS psi,
+           sum(c.n_ref)::BIGINT AS n_ref,
+           sum(c.n_cur)::BIGINT AS n_cur
+    FROM cell c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+    doc="Data-drift detection via the population stability index: "
+    "fixed-edge value buckets (10 x width-50, the training-time bin "
+    "spec), per-bucket shares in a reference period vs the current "
+    "period, PSI = sum (p-q) ln(p/q) with epsilon smoothing. ONE pass "
+    "over the events builds every (type, bucket, period) cell count "
+    "map-side; the PSI combine runs over |types| x 10 cells — "
+    "monitoring 100 TB costs one scan and a constant-size reduce, "
+    "which is why PSI (not KS) is the production drift metric.",
+)
+def drift_psi_periods(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    cell = (
+        events.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket"),
+            F.when(
+                F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 1
+            ).otherwise(0).alias("is_ref"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref") / F.col("t_ref") + _PSI_EPS
+    q = F.col("n_cur") / F.col("t_cur") + _PSI_EPS
+    return (
+        cell.join(broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS INT)
+             AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM obs)
+    SELECT digit,
+           n,
+           round(n / t, 6)                           AS observed_share,
+           round(log10(1 + 1.0 / digit), 6)          AS benford_share,
+           round(t * power(n / t - log10(1 + 1.0 / digit), 2)
+                 / log10(1 + 1.0 / digit), 6)        AS chi2_term
+    FROM obs, tot
+    ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of a monetary column — the "
+    "classic anomaly/fraud screen on financial fact tables: observed "
+    "first-significant-digit shares vs log10(1+1/d), with each "
+    "digit's chi-square contribution. One map (digit extraction via "
+    "log10/power — pure codegen) plus a 9-row aggregate; the scalar "
+    "total broadcasts back. Cost at 100 TB: one scan of one column.",
+)
+def benford_first_digit(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    obs = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.col("t")
+                * F.pow(F.col("n") / F.col("t") - benford, 2)
+                / benford,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# --------------------------------------------------------------------
+
+@query(
+    "triangle_count_parts",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tri AS (
+      SELECT node, count(*)::BIGINT AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node, n_triangles FROM node_tri
+    ORDER BY n_triangles DESC, node
+    LIMIT 10
+    """,
+    doc="Triangle counting on the part co-purchase graph (edges = "
+    "part pairs sharing >= 2 orders): the compact-forward algorithm — "
+    "edges stored only as u<v, wedges enumerated by joining edge "
+    "lists on the middle vertex, closed by a second join. Because "
+    "every edge is oriented low->high, each triangle is found exactly "
+    "once and the wedge count is bounded by sum deg_out^2 (degree "
+    "orientation is THE trick that makes distributed triangle "
+    "counting feasible — at 100 TB you orient by degree, not id). "
+    "Two shuffle joins on vertex keys; per-node counts top-10.",
+)
+def triangle_count_parts(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(10)
+    )

@@ -256,6 +256,8 @@ _SCALAR_RESULT_QUERIES = {
     # scalar N (node count) + three scalar-subquery counts
     "pagerank_shipments",
     "notin_null_semantics",
+    # scalar grand-total broadcast over the 9-row digit aggregate
+    "benford_first_digit",
 }
 
 
