@@ -70,6 +70,11 @@ HEADLINE = [
     "sparse_tfidf_topk",
     "funnel_conversion",
     "cohort_retention",
+    "bloom_join_prune",
+    "drift_psi_periods",
+    "ewma_fixed_lags",
+    "incremental_agg_refresh",
+    "record_linkage_fuzzy",
 ]
 
 

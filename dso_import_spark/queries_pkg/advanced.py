@@ -122,7 +122,8 @@ def basket_pair_affinity(spark, sf_dir):
     "record_linkage_fuzzy",
     oracle="""
     WITH blocked AS (
-      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) || '|' || p_size AS blk
       FROM part
     ),
     cand AS (
@@ -131,28 +132,36 @@ def basket_pair_affinity(spark, sf_dir):
       FROM blocked a JOIN blocked b
         ON a.blk = b.blk AND a.p_partkey < b.p_partkey
     )
-    SELECT blk,
+    SELECT split_part(blk, '|', 1) AS word_block,
            count(*)::BIGINT                       AS n_candidates,
            sum(CASE WHEN d <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_matches,
            round(avg(d), 4)                       AS avg_distance
     FROM cand
-    GROUP BY blk
-    ORDER BY blk
+    GROUP BY 1
+    ORDER BY 1
     """,
-    doc="Fuzzy record linkage with blocking: candidate pairs form "
-    "only inside a block (first name token), then Levenshtein edit "
-    "distance scores each candidate — the classic dedupe/entity-"
-    "resolution shape where blocking turns O(n^2) comparisons into "
-    "sum-over-blocks of C(block,2). Spark's levenshtein and DuckDB's "
-    "are the same textbook DP, so per-pair distances match exactly. "
-    "One shuffle on the block key; at 100 TB the block-size "
-    "distribution is the knob (composite blocking keys split hot "
-    "blocks, exactly like dedup_ngram_jaccard's language blocks).",
+    doc="Fuzzy record linkage with COMPOSITE blocking: candidate "
+    "pairs form only inside a (first name token, size) block, then "
+    "Levenshtein edit distance scores each candidate — the classic "
+    "entity-resolution shape where blocking turns O(n^2) comparisons "
+    "into sum-over-blocks of C(block,2), and a second blocking "
+    "attribute is THE lever when one key leaves hot blocks (the "
+    "single-token blocks here are 12.5%% of the table each; adding "
+    "the size attribute cuts candidate volume ~50x, and the same "
+    "move re-splits any hot block at 100 TB). Spark's levenshtein "
+    "and DuckDB's are the same textbook DP, so per-pair distances "
+    "match exactly. One shuffle on the composite block key.",
 )
 def record_linkage_fuzzy(spark, sf_dir):
     (part,) = tables(spark, sf_dir, "part")
     blocked = part.select(
-        "p_partkey", "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+            F.lit("|"),
+            F.col("p_size").cast("string"),
+        ).alias("blk"),
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -165,13 +174,15 @@ def record_linkage_fuzzy(spark, sf_dir):
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
     )
     return (
-        cand.groupBy("blk")
+        cand.groupBy(
+            F.split_part(F.col("blk"), F.lit("|"), F.lit(1)).alias("word_block")
+        )
         .agg(
             F.count("*").alias("n_candidates"),
             F.sum(F.when(F.col("d") <= 3, 1).otherwise(0)).alias("n_matches"),
             F.round(F.avg("d"), 4).alias("avg_distance"),
         )
-        .orderBy("blk")
+        .orderBy("word_block")
     )
 
 

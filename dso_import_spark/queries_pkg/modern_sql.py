@@ -246,3 +246,88 @@ def collated_dedup_groups(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("brand_mixed").cast("string")).alias("n_variants"),
     ).drop("_key")
+
+
+@query(
+    "recursive_cte_chain",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, c_acctbal, 0 AS depth
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c.c_custkey, c.c_acctbal, ch.depth + 1
+      FROM customer c JOIN chain ch ON c.c_custkey = ch.c_custkey + 1
+      WHERE c.c_custkey % 10 <> 1
+    )
+    SELECT depth,
+           count(*)::BIGINT         AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           min(c_custkey)           AS min_key
+    FROM chain GROUP BY depth ORDER BY depth
+    """,
+    doc="Spark 4 recursive CTE (WITH RECURSIVE): iterative traversal "
+    "of a parent chain (custkey k hangs under k-1 except at the "
+    "mod-10 roots) entirely inside SQL — depth labeling per node, "
+    "aggregated per level. Each recursion step is one join of the "
+    "frontier against the base relation; the frontier relation is "
+    "what shuffles, never the accumulated result, and the recursion "
+    "depth (10 here) bounds the plan. Before Spark 4 this took a "
+    "driver-side loop (the components operator's shape); the CTE "
+    "form keeps the whole iteration in Catalyst. Oracle is the "
+    "identical recursive SQL in DuckDB.",
+)
+def recursive_cte_chain(spark, sf_dir):
+    (customer,) = tables(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("__rc_customer")
+    return spark.sql("""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, c_acctbal, 0 AS depth
+      FROM __rc_customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c.c_custkey, c.c_acctbal, ch.depth + 1
+      FROM __rc_customer c JOIN chain ch ON c.c_custkey = ch.c_custkey + 1
+      WHERE c.c_custkey % 10 <> 1
+    )
+    SELECT depth,
+           count(*)          AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           min(c_custkey)    AS min_key
+    FROM chain GROUP BY depth ORDER BY depth
+    """)
+
+
+@query(
+    "listagg_order_sequences",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(substr(o_orderpriority, 1, 1), ''
+                      ORDER BY o_orderdate, o_orderkey) AS priority_seq,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="Spark 4 listagg (SQL:2016 string aggregation): each sampled "
+    "customer's order-priority initials concatenated in "
+    "(orderdate, orderkey) order — the behavioral-sequence feature "
+    "(clickstream-style) an ML pipeline derives before tokenization. "
+    "WITHIN GROUP (ORDER BY ...) makes the concatenation "
+    "deterministic across partitions: Spark sorts within each group "
+    "during the final aggregate, so the one shuffle is the group-by "
+    "itself. DuckDB's string_agg with ORDER BY is the oracle.",
+)
+def listagg_order_sequences(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.where(F.col("o_custkey") % 100 == 0).createOrReplaceTempView(
+        "__la_orders"
+    )
+    return spark.sql("""
+    SELECT o_custkey,
+           listagg(substr(o_orderpriority, 1, 1), '')
+             WITHIN GROUP (ORDER BY o_orderdate, o_orderkey) AS priority_seq,
+           count(*) AS n_orders
+    FROM __la_orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """)

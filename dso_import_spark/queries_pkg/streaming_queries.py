@@ -229,3 +229,61 @@ def stream_upsert_state(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+@query(
+    "stream_interval_left_outer",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           b.event_id AS purchase_id,
+           round(b.value, 6) AS purchase_value
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-28') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream LEFT OUTER interval join: every "
+    "view emits — matches as their window closes, unmatched views "
+    "NULL-padded only once the watermark proves no purchase can "
+    "still arrive (the 'which impressions never converted' question "
+    "an inner join cannot answer on an unbounded stream). State is "
+    "evicted at watermark > view_ts + gap. The view side is cut two "
+    "days before stream end so every retained window provably closes "
+    "under the final availableNow watermark, making the append-mode "
+    "result equal the batch LEFT JOIN the oracle runs. Runs under "
+    "multipleWatermarkPolicy=max (restored after): the view side is "
+    "artificially ENDED by its cutoff filter, so under the default "
+    "min policy the global watermark stalls at the dead stream's max "
+    "and withholds the final gap+delay sliver of unmatched views "
+    "forever — max policy lets the live purchase stream close every "
+    "view window. (For genuinely independent sources min is the "
+    "completeness-safe default; max is exactly for a side that stops "
+    "progressing.)",
+)
+def stream_interval_left_outer(spark, sf_dir):
+    from dso_import_spark.streaming.events import interval_join_left_outer
+
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev = spark.conf.get(policy_key, "min")
+    spark.conf.set(policy_key, "max")
+    try:
+        out = drain_to_memory(
+            interval_join_left_outer(
+                _stream(spark, sf_dir), safe_before="2024-01-28"
+            ),
+            "q_stream_interval_left_outer",
+            "append",
+        )
+    finally:
+        spark.conf.set(policy_key, prev)
+    return out.select(
+        "user_id",
+        "view_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        "purchase_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

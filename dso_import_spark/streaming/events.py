@@ -310,6 +310,61 @@ def interval_join_view_purchase(
     )
 
 
+def interval_join_left_outer(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    safe_before: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: every view
+    emits — matched views as they close, UNMATCHED views NULL-padded
+    only once the watermark proves no purchase can still arrive.
+
+    This is the semantics inner stream-stream joins cannot give you:
+    "which impressions never converted" on an unbounded stream. The
+    state store holds a view until watermark > view_ts + gap; at that
+    point it either emitted matches or emits the NULL-padded row —
+    bounded state, eventually-complete output.
+
+    ``safe_before``: optional event-time cutoff applied to the VIEW
+    side. Rows whose match window closes within the watermark delay of
+    the stream's end are withheld by the final watermark (availableNow
+    replay ends with watermark = max_ts - delay); filtering views to
+    well before that line makes the append-mode result equal the batch
+    LEFT JOIN exactly — the same determinism discipline as the
+    tumbling-window queries, applied to outer-join emission.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    if safe_before is not None:
+        views = views.filter(F.col("view_ts") < F.lit(safe_before))
+    views = views.withWatermark("view_ts", watermark)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond, "left_outer").select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_value",
+    )
+
+
 def latest_per_user(events: DataFrame) -> DataFrame:
     """Deterministic latest-event-per-user reduction: max (ts, event_id)."""
     from pyspark.sql.window import Window
