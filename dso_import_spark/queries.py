@@ -59,6 +59,19 @@ def oracle_queries() -> dict[str, str]:
 # get driver evidence this round (round 1 verified the first 50 —
 # cleaning/core/dedup/extras/layout/llm_pipeline/modern_sql — so those
 # rotate to the back; tpch_rest/wkt_scan rotate forward next round).
+#
+# ROUND 3 ROTATION PLAN (apply at the start of round 3): round 2's
+# front-50 was ref_semantics(12)+windows(11)+similarity(6)+text(6)+
+# multimodal(4)+scale(5)+streaming_queries(first 6). Still never
+# driver-verified: tpch_rest(15), wkt_scan(1), advanced(13), the two
+# round-2 modern_sql additions (recursive_cte_chain,
+# listagg_order_sequences), stream_interval_left_outer (7th streaming
+# entry), and the round-2 extras tail (cms_frequency_estimate onward).
+# Round 3 import order should be: tpch_rest, wkt_scan, advanced,
+# modern_sql, extras, streaming_queries, then the rest — and if the
+# budget is still 50, move the already-verified extras/modern_sql/
+# streaming decorator blocks below their unverified siblings within
+# each module file.
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     ref_semantics,
     windows,
