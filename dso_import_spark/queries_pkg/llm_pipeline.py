@@ -26,6 +26,7 @@ extension surface per SURVEY.md §2.10):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from dso_import_spark.functions.text import (
     STOPWORDS,
@@ -480,4 +481,152 @@ def priority_sample_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("lang", "rank", "doc_id", "n_chars",
                 F.round("priority", 4).alias("priority"))
+    )
+
+
+@query(
+    "dsir_importance_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (
+      SELECT doc_id, lang, toks[u.pos] AS w1, toks[u.pos + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(pos)),
+    v AS (SELECT count(DISTINCT w1)::DOUBLE AS v
+          FROM (SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg)),
+    tgt_uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg
+                WHERE lang = 'en' GROUP BY w1),
+    tgt_bi  AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg
+                WHERE lang = 'en' GROUP BY w1, w2),
+    gen_uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1),
+    gen_bi  AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((COALESCE(tb.c12, 0) + 0.5) / (COALESCE(tu.c1, 0) + 0.5 * v.v))
+             - ln((gb.c12 + 0.5) / (gu.c1 + 0.5 * v.v)) AS lr
+      FROM bg
+      JOIN gen_bi gb ON bg.w1 = gb.w1 AND bg.w2 = gb.w2
+      JOIN gen_uni gu ON bg.w1 = gu.w1
+      LEFT JOIN tgt_bi tb ON bg.w1 = tb.w1 AND bg.w2 = tb.w2
+      LEFT JOIN tgt_uni tu ON bg.w1 = tu.w1
+      CROSS JOIN v)
+    SELECT doc_id, round(avg(lr), 4) AS importance
+    FROM scored GROUP BY doc_id
+    ORDER BY importance DESC, doc_id
+    LIMIT 20
+    """,
+    doc="DSIR-style importance resampling scores (Xie et al. 2023): "
+    "rank corpus documents by how target-domain-like they are — the "
+    "mean log-ratio of an add-0.5-smoothed bigram LM trained on the "
+    "target slice (lang='en' stands in for the downstream domain) "
+    "over one trained on the whole corpus. Docs the target model "
+    "likes more than the general model float up; sampling by this "
+    "score skews a pretraining mix toward the domain without "
+    "hand-curated filters. Shape: the two count tables are map-side-"
+    "combined aggs over the same exploded bigrams; scoring is "
+    "shuffle joins on the bigram key (no broadcast of corpus-sized "
+    "state), one per-doc agg, TakeOrdered top-20. The smoothing "
+    "vocabulary is a scalar broadcast.",
+)
+def dsir_importance_scores(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    v = (
+        bg.select(F.col("w1").alias("w"))
+        .unionAll(bg.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    tgt = bg.where(F.col("lang") == "en")
+    tgt_uni = tgt.groupBy("w1").agg(F.count("*").alias("tc1"))
+    tgt_bi = tgt.groupBy("w1", "w2").agg(F.count("*").alias("tc12"))
+    gen_uni = bg.groupBy("w1").agg(F.count("*").alias("gc1"))
+    gen_bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("gc12"))
+    lr = F.log(
+        (F.coalesce(F.col("tc12"), F.lit(0)) + 0.5)
+        / (F.coalesce(F.col("tc1"), F.lit(0)) + 0.5 * F.col("v"))
+    ) - F.log((F.col("gc12") + 0.5) / (F.col("gc1") + 0.5 * F.col("v")))
+    return (
+        bg.join(gen_bi, ["w1", "w2"])
+        .join(gen_uni, "w1")
+        .join(tgt_bi, ["w1", "w2"], "left")
+        .join(tgt_uni, "w1", "left")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(lr), 4).alias("importance"))
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "diversity_distinct_ngrams",
+    oracle="""
+    WITH t AS (SELECT source, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    uni AS (
+      SELECT source, u.tok FROM t, UNNEST(toks) AS u(tok)),
+    bi AS (
+      SELECT source, toks[u.pos] || ' ' || toks[u.pos + 1] AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(pos))
+    SELECT u.source,
+           count(*)::BIGINT                            AS n_tokens,
+           round(count(DISTINCT u.tok) / count(*)::DOUBLE, 6)  AS distinct_1,
+           round(b.d2 / b.n2::DOUBLE, 6)               AS distinct_2
+    FROM uni u
+    JOIN (SELECT source, count(DISTINCT g) AS d2, count(*) AS n2
+          FROM bi GROUP BY source) b ON u.source = b.source
+    GROUP BY u.source, b.d2, b.n2
+    ORDER BY u.source
+    """,
+    doc="Corpus diversity metrics (distinct-n): per source, the "
+    "distinct-unigram and distinct-bigram ratios — the standard "
+    "template-detection screen (a source whose distinct-2 collapses "
+    "is boilerplate/mirrored content; self-BLEU's cheap dual). Two "
+    "exploded aggregations with map-side partial distinct; state per "
+    "source is its n-gram set, the same bound as source_overlap_"
+    "matrix. One scan, no joins on raw rows.",
+)
+def diversity_distinct_ngrams(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.lower("text"), " ").alias("toks"))
+    uni = toks.select("source", F.explode("toks").alias("tok"))
+    n = F.size("toks")
+    bi = toks.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, n - 1),
+                F.slice(F.col("toks"), 2, n - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "source", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("g")
+    )
+    uni_stats = uni.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("d1"),
+    )
+    bi_stats = bi.groupBy("source").agg(
+        F.count("*").alias("n2"), F.count_distinct("g").alias("d2")
+    )
+    return (
+        uni_stats.join(bi_stats, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("d1") / F.col("n_tokens").cast("double"), 6).alias("distinct_1"),
+            F.round(F.col("d2") / F.col("n2").cast("double"), 6).alias("distinct_2"),
+        )
+        .orderBy("source")
     )

@@ -258,6 +258,8 @@ _SCALAR_RESULT_QUERIES = {
     "notin_null_semantics",
     # scalar grand-total broadcast over the 9-row digit aggregate
     "benford_first_digit",
+    # scalar smoothing-vocabulary count broadcast into the score join
+    "dsir_importance_scores",
 }
 
 
