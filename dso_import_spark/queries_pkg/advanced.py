@@ -880,3 +880,136 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------
+# Floor-capped running balance (non-associative recursion as windows)
+# --------------------------------------------------------------------
+
+@query(
+    "capped_running_balance",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS dx
+      FROM events
+    ),
+    prefix AS (
+      SELECT user_id, event_id, ts,
+             sum(dx) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM deltas
+    ),
+    scans AS (
+      SELECT user_id, event_id, s,
+             min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_min
+      FROM prefix
+    )
+    SELECT user_id, event_id,
+           round(s - least(0, run_min), 4) AS balance
+    FROM scans
+    WHERE event_id % 101 = 0
+    ORDER BY event_id
+    """,
+    doc="Floor-at-zero running balance (credit/inventory semantics): "
+    "b_t = max(0, b_{t-1} + x_t) is a NON-ASSOCIATIVE recursion no "
+    "window aggregate expresses directly — but the identity "
+    "b_t = S_t - min(0, running_min(S_t)) re-expresses it as two "
+    "stacked associative scans (prefix sum, then running min of the "
+    "prefix sums) over the same one-shuffle window. The shape that "
+    "turns 'needs applyInPandas per key' into pure codegen; same "
+    "family as temporal_overlap's cummax re-expression. Sampled "
+    "output; scans run over every row.",
+)
+def capped_running_balance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    deltas = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("dx"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scans = deltas.withColumn("s", F.sum("dx").over(w)).withColumn(
+        "run_min", F.min("s").over(w)
+    )
+    return (
+        scans.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.col("s") - F.least(F.lit(0.0), F.col("run_min")), 4
+            ).alias("balance"),
+        )
+        .where(F.col("event_id") % 101 == 0)
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Incremental distinct-count maintenance via mergeable HLL sketches
+# --------------------------------------------------------------------
+
+@query(
+    "incremental_distinct_sketch",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental DISTINCT maintenance — the non-algebraic "
+    "counterpart merge_agg_partials cannot cover: per-key Datasketches "
+    "HLL sketches built separately over history (event_id % 7 != 0) "
+    "and the delta batch, merged with hll_union_agg, estimated once. "
+    "Sketch state is mergeable and constant-size, so the nightly "
+    "refresh again costs |delta| + |keys|, never |history| — this is "
+    "how a 100 TB warehouse maintains distinct-users without "
+    "re-scanning. The differential contract is the estimator's "
+    "accuracy bound (like approx_distinct_sketch): the merged "
+    "estimate must land within 5%% of the exact distinct the oracle "
+    "computes, and the exact count is emitted for the value hash.",
+)
+def incremental_distinct_sketch(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__ids_events")
+    return events.sparkSession.sql(
+        """
+        WITH base AS (
+          SELECT event_type, hll_sketch_agg(user_id) AS sk
+          FROM __ids_events WHERE event_id % 7 != 0 GROUP BY event_type
+        ),
+        delta AS (
+          SELECT event_type, hll_sketch_agg(user_id) AS sk
+          FROM __ids_events WHERE event_id % 7 = 0 GROUP BY event_type
+        ),
+        merged AS (
+          SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          GROUP BY event_type
+        ),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM __ids_events GROUP BY event_type
+        )
+        SELECT m.event_type,
+               e.exact_distinct,
+               abs(m.est - e.exact_distinct) <= 0.05 * e.exact_distinct
+                 AS within_5pct
+        FROM merged m JOIN exact e ON m.event_type = e.event_type
+        ORDER BY m.event_type
+        """
+    )
