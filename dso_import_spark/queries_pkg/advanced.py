@@ -1013,3 +1013,209 @@ def incremental_distinct_sketch(spark, sf_dir):
         ORDER BY m.event_type
         """
     )
+
+
+# --------------------------------------------------------------------
+# Multi-touch attribution (first / last touch)
+# --------------------------------------------------------------------
+
+@query(
+    "attribution_first_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.value,
+             e.event_type AS touch_type, e.ts AS t_ts, e.event_id
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click')
+       AND e.ts < p.p_ts
+       AND e.ts >= p.p_ts - INTERVAL 1 DAY
+    ),
+    ranked AS (
+      SELECT purchase_id, value, touch_type,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts, event_id) AS rk_first,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY t_ts DESC, event_id DESC) AS rk_last
+      FROM touches
+    )
+    SELECT
+      sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END)
+        FILTER (WHERE touch_type = 'view')::BIGINT   AS first_touch_views,
+      sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END)
+        FILTER (WHERE touch_type = 'click')::BIGINT  AS first_touch_clicks,
+      round(sum(CASE WHEN rk_last = 1 THEN value END)
+        FILTER (WHERE touch_type = 'view'), 2)       AS last_touch_view_rev,
+      round(sum(CASE WHEN rk_last = 1 THEN value END)
+        FILTER (WHERE touch_type = 'click'), 2)      AS last_touch_click_rev
+    FROM ranked
+    """,
+    doc="Multi-touch attribution: for every purchase, credit the "
+    "FIRST and the LAST qualifying touch (view/click in the trailing "
+    "24h) — the two canonical marketing attribution models, in one "
+    "pass. The purchase-touch pairing is an interval join on the "
+    "user key (state bounded by the lookback window, the same bound "
+    "the streaming interval join uses); first/last selection is a "
+    "pair of row_number windows over the purchase key with full "
+    "deterministic tie-breaks. Position-based or time-decay models "
+    "drop in by changing the credited-weight expression only.",
+)
+def attribution_first_last_touch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches_src = events.where(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        "event_id",
+    )
+    touches = purchases.join(
+        touches_src,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy("t_ts", "event_id")
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.desc("t_ts"), F.desc("event_id")
+    )
+    ranked = touches.select(
+        "purchase_id",
+        "value",
+        "touch_type",
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    is_view = F.col("touch_type") == "view"
+    is_click = F.col("touch_type") == "click"
+    return ranked.agg(
+        F.sum(F.when((F.col("rk_first") == 1) & is_view, 1).otherwise(0)).alias(
+            "first_touch_views"
+        ),
+        F.sum(F.when((F.col("rk_first") == 1) & is_click, 1).otherwise(0)).alias(
+            "first_touch_clicks"
+        ),
+        F.round(
+            F.sum(F.when((F.col("rk_last") == 1) & is_view, F.col("value"))), 2
+        ).alias("last_touch_view_rev"),
+        F.round(
+            F.sum(F.when((F.col("rk_last") == 1) & is_click, F.col("value"))), 2
+        ).alias("last_touch_click_rev"),
+    )
+
+
+# --------------------------------------------------------------------
+# Exact-quota stratified sampling (largest-remainder allocation)
+# --------------------------------------------------------------------
+
+_QUOTA_TOTAL = 100
+
+
+@query(
+    "exact_quota_sample",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM sizes),
+    alloc AS (
+      SELECT lang, n,
+             CAST(floor(n / t * {_QUOTA_TOTAL}) AS BIGINT) AS base,
+             n / t * {_QUOTA_TOTAL} - floor(n / t * {_QUOTA_TOTAL}) AS frac
+      FROM sizes, tot
+    ),
+    give AS (
+      SELECT lang, n, base,
+             row_number() OVER (ORDER BY frac DESC, lang) AS frac_rank
+      FROM alloc
+    ),
+    quota AS (
+      SELECT lang, n,
+             base + CASE WHEN frac_rank <=
+               {_QUOTA_TOTAL} - (SELECT sum(base) FROM give)
+               THEN 1 ELSE 0 END AS quota
+      FROM give
+    ),
+    keyed AS (
+      SELECT d.lang, d.doc_id, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648,
+                        d.doc_id) AS rk
+      FROM documents d JOIN quota q ON d.lang = q.lang
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_sampled,
+           min(quota)       AS quota,
+           min(doc_id)      AS min_doc_id
+    FROM keyed WHERE rk <= quota
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="EXACT-size stratified sampling with largest-remainder quota "
+    "allocation: proportional quotas floor-ed per stratum, the "
+    "leftover seats granted to the largest fractional remainders "
+    "(deterministic tie-break), then exactly quota_l rows kept per "
+    "stratum by ranking on a portable LCG hash — total sample size "
+    "is EXACTLY the requested {_QUOTA_TOTAL} regardless of stratum "
+    "skew, which Bernoulli sampling (stratified_sample_lang) cannot "
+    "promise. The quota table is |strata| rows (broadcast); the "
+    "per-stratum rank is one keyed window. The rank-vs-quota shape "
+    "is how production pipelines cut exact train/eval slices.",
+)
+def exact_quota_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = sizes.agg(F.sum("n").cast("double").alias("t"))
+    alloc = sizes.crossJoin(broadcast(tot)).select(
+        "lang",
+        "n",
+        F.floor(F.col("n") / F.col("t") * _QUOTA_TOTAL).alias("base"),
+        (
+            F.col("n") / F.col("t") * _QUOTA_TOTAL
+            - F.floor(F.col("n") / F.col("t") * _QUOTA_TOTAL)
+        ).alias("frac"),
+    )
+    w_frac = Window.orderBy(F.desc("frac"), "lang")
+    give = alloc.withColumn("frac_rank", F.row_number().over(w_frac))
+    base_sum = give.agg(F.sum("base").alias("bs"))
+    quota = give.crossJoin(broadcast(base_sum)).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(
+                F.col("frac_rank") <= _QUOTA_TOTAL - F.col("bs"), 1
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    lcg = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
+    w_rk = Window.partitionBy("lang").orderBy(lcg, "doc_id")
+    keyed = (
+        docs.join(broadcast(quota), "lang")
+        .withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= F.col("quota"))
+    )
+    return (
+        keyed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("quota").alias("quota"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )

@@ -260,6 +260,11 @@ _SCALAR_RESULT_QUERIES = {
     "benford_first_digit",
     # scalar smoothing-vocabulary count broadcast into the score join
     "dsir_importance_scores",
+    # single-row scalar result (global attribution totals)
+    "attribution_first_last_touch",
+    # largest-remainder seat assignment: global window over |strata|
+    # rows (bounded dimension, same class as temperature_mix_weights)
+    "exact_quota_sample",
 }
 
 
