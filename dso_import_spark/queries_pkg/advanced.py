@@ -253,6 +253,10 @@ def _pagerank_oracle() -> str:
 )
 def pagerank_shipments(spark, sf_dir):
     li, orders = tables(spark, sf_dir, "lineitem", "orders")
+    # localCheckpoint truncates lineage once up front: without it every
+    # iteration's DAG re-derives edges from the raw join (measured 44
+    # re-scans of lineitem/orders for 3 iterations) — the same
+    # discipline as operators/dedup.py:connected_components.
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -260,10 +264,14 @@ def pagerank_shipments(spark, sf_dir):
             F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
 
@@ -272,7 +280,9 @@ def pagerank_shipments(spark, sf_dir):
     ranks = nodes.crossJoin(broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    edges_deg = edges.join(broadcast(outdeg), "src")
+    edges_deg = edges.join(broadcast(outdeg), "src").localCheckpoint(
+        eager=True
+    )
     for _ in range(_PR_ITERS):
         inc = (
             edges_deg.join(
@@ -291,6 +301,7 @@ def pagerank_shipments(spark, sf_dir):
                     + _PR_D * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .localCheckpoint(eager=True)  # flat plan per iteration
         )
     return (
         ranks.select("node", F.round("rank", 9).alias("rank"))
@@ -582,6 +593,8 @@ _PSI_EPS = 1e-6
     "which is why PSI (not KS) is the production drift metric.",
 )
 def drift_psi_periods(spark, sf_dir):
+    from pyspark.sql import Window
+
     (events,) = tables(spark, sf_dir, "events")
     cell = (
         events.select(
@@ -597,14 +610,19 @@ def drift_psi_periods(spark, sf_dir):
             F.sum(1 - F.col("is_ref")).alias("n_cur"),
         )
     )
-    tot = cell.groupBy("event_type").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    # per-type totals as a window over the (type, bucket) cell relation
+    # (<= |types| x 10 rows) instead of a second aggregation branch:
+    # a re-aggregation would make Spark RESCAN the events table (no
+    # common-subtree reuse across a DataFrame DAG without caching) —
+    # this keeps the query a genuine single pass.
+    w = Window.partitionBy("event_type")
+    with_tot = cell.withColumn("t_ref", F.sum("n_ref").over(w)).withColumn(
+        "t_cur", F.sum("n_cur").over(w)
     )
     p = F.col("n_ref") / F.col("t_ref") + _PSI_EPS
     q = F.col("n_cur") / F.col("t_cur") + _PSI_EPS
     return (
-        cell.join(broadcast(tot), "event_type")
-        .groupBy("event_type")
+        with_tot.groupBy("event_type")
         .agg(
             F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
             F.sum("n_ref").alias("n_ref"),
@@ -657,6 +675,7 @@ def benford_first_digit(spark, sf_dir):
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # 9 rows, feeds both total and output
     )
     tot = obs.agg(F.sum("n").cast("double").alias("t"))
     benford = F.log10(1 + 1.0 / F.col("digit"))
@@ -1180,7 +1199,11 @@ def exact_quota_sample(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = tables(spark, sf_dir, "documents")
-    sizes = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    # |strata| rows reused by alloc/give/quota — checkpoint so the
+    # seat-assignment arithmetic doesn't rescan the table per branch
+    sizes = docs.groupBy("lang").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=True
+    )
     tot = sizes.agg(F.sum("n").cast("double").alias("t"))
     alloc = sizes.crossJoin(broadcast(tot)).select(
         "lang",

@@ -542,6 +542,10 @@ def dsir_importance_scores(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    # the bigram relation feeds SIX consumers (vocab, two models x two
+    # count tables, the score join) — checkpoint it once or every
+    # branch re-explodes the corpus (measured 7 scans without this)
+    bg = bg.localCheckpoint(eager=True)
     v = (
         bg.select(F.col("w1").alias("w"))
         .unionAll(bg.select(F.col("w2").alias("w")))
