@@ -753,6 +753,9 @@ def triangle_count_parts(spark, sf_dir):
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
         .select("u", "v")
+        # three join consumers (e1/e2/e3) — checkpoint or each one
+        # re-runs the basket self-join that builds the edge list
+        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -844,6 +847,13 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.where(F.col("doc_id") % 10 == 0)
+    # words has four consumers (sizes, df counts, rank join, verify
+    # a/b) and is recomputed per consumer — deliberately NOT
+    # checkpointed: it is a narrow explode over the scan (no shuffle),
+    # and recomputing a narrow map is cheaper than materializing the
+    # exploded relation at every scale (measured: checkpoint was 1.7x
+    # slower at sf0.1). Contrast triangle_count_parts' edges, where
+    # the reused relation embeds a shuffle agg and IS checkpointed.
     words = (
         sample.select(
             "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
