@@ -1252,3 +1252,148 @@ def exact_quota_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# Time-weighted average (TWAP)
+# --------------------------------------------------------------------
+
+@query(
+    "twap_time_weighted",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (epoch_us(nxt) - epoch_us(ts)))
+                 / sum(epoch_us(nxt) - epoch_us(ts)), 6) AS twap,
+           count(*)::BIGINT AS n_segments
+    FROM seg WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average (TWAP — the finance/telemetry mean "
+    "that sampling-rate changes can't bias): each observation is "
+    "weighted by how long it was the current value (lead(ts) - ts), "
+    "making irregular sensors and bursty tickers comparable. One "
+    "keyed window for the lead, one agg — both on the same user key, "
+    "so the second shuffle is free (partitioning reused). The plain "
+    "avg() over the same data would double-count burst periods.",
+)
+def twap_time_weighted(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lead(F.col("ts").cast("timestamp")).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    # integer microseconds on both engines — unix_seconds truncates
+    # while DuckDB's epoch() keeps fractional seconds
+    dur = F.unix_micros("nxt") - F.unix_micros("ts")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twap"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------
+# OHLC bars (open/high/low/close aggregation)
+# --------------------------------------------------------------------
+
+@query(
+    "ohlc_hourly_bars",
+    oracle="""
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+           round(arg_min(value, ts), 6)  AS open,
+           round(max(value), 6)          AS high,
+           round(min(value), 6)          AS low,
+           round(arg_max(value, ts), 6)  AS close,
+           count(*)::BIGINT              AS n_ticks
+    FROM events
+    WHERE user_id % 37 = 0
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="OHLC bars (the market-data/telemetry roll-up): open and "
+    "close are argmin/argmax over the timestamp inside each (entity, "
+    "hour) bucket — Spark's min_by/max_by and DuckDB's arg_min/"
+    "arg_max are the same selector aggregate, so no window or "
+    "self-join is needed: ONE map-side-combinable aggregation "
+    "produces all five measures. The window formulation (first_value/"
+    "last_value over a sorted partition) costs a full sort per key; "
+    "the selector-aggregate formulation is the 100 TB shape. "
+    "Timestamps are unique per user in the fixture, so the "
+    "tie-breakless selectors are deterministic.",
+)
+def ohlc_hourly_bars(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.where(F.col("user_id") % 37 == 0)
+        .groupBy(
+            "user_id",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts").cast("timestamp")),
+                "yyyy-MM-dd HH:00",
+            ).alias("bar"),
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("user_id", "bar")
+    )
+
+
+# --------------------------------------------------------------------
+# Order-independent table content checksum (reconciliation)
+# --------------------------------------------------------------------
+
+@query(
+    "table_content_checksum",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CAST(('0x' || substr(
+                 md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                     || '|' || round(o_totalprice, 2)),
+                 1, 8)) AS BIGINT))::BIGINT AS content_sum
+    FROM orders
+    """,
+    doc="Order-independent table content checksum for cross-system "
+    "reconciliation (replica verification, migration sign-off): each "
+    "row folds to a canonical string, md5 (identical on every "
+    "engine, unlike xxhash64), take 32 bits, SUM — commutative, so "
+    "partition order, file order, and engine never change the "
+    "checksum, and a single flipped row flips it with probability "
+    "~1-2^-32. One narrow map + scalar agg: checksumming 100 TB "
+    "costs exactly one scan, and the per-partition partial sums "
+    "merge losslessly (the same algebraic-combine property "
+    "merge_agg_partials exploits).",
+)
+def table_content_checksum(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2),
+    )
+    h32 = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h32).alias("content_sum"),
+    )

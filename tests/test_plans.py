@@ -265,6 +265,8 @@ _SCALAR_RESULT_QUERIES = {
     # largest-remainder seat assignment: global window over |strata|
     # rows (bounded dimension, same class as temperature_mix_weights)
     "exact_quota_sample",
+    # single-row scalar checksum (partial sums merge map-side)
+    "table_content_checksum",
 }
 
 
