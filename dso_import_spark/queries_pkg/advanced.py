@@ -1397,3 +1397,177 @@ def table_content_checksum(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.sum(h32).alias("content_sum"),
     )
+
+
+# --------------------------------------------------------------------
+# Event-path trigrams (behavioral path mining)
+# --------------------------------------------------------------------
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           count(*)::BIGINT AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Behavioral path mining: the top 3-step event paths across "
+    "all users — consecutive-event trigrams built with two lead() "
+    "columns over the per-user time order (the event-sequence "
+    "analog of text n-grams). One keyed window shuffle, one count "
+    "agg, TakeOrdered top-10; no self-joins, so cost is linear in "
+    "events regardless of path diversity. The product-analytics "
+    "primitive behind 'what do users do before churning/buying'.",
+)
+def event_path_trigrams(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# A/B test statistics (Welch's t)
+# --------------------------------------------------------------------
+
+@query(
+    "ab_test_welch_t",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    stats AS (
+      SELECT variant, count(*)::BIGINT AS n,
+             avg(value) AS mu, var_samp(value) AS s2
+      FROM assign GROUP BY variant
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mu, 6) AS mean_a, round(b.mu, 6) AS mean_b,
+           round((a.mu - b.mu)
+                 / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS welch_t,
+           round(pow(a.s2 / a.n + b.s2 / b.n, 2)
+                 / (pow(a.s2 / a.n, 2) / (a.n - 1)
+                    + pow(b.s2 / b.n, 2) / (b.n - 1)), 2) AS welch_df
+    FROM stats a JOIN stats b ON a.variant = 'A' AND b.variant = 'B'
+    """,
+    doc="A/B experiment readout: Welch's unequal-variance t statistic "
+    "and Welch-Satterthwaite degrees of freedom between two variants "
+    "(deterministic hash assignment stands in for the experiment "
+    "flag). Everything reduces to per-variant (n, mean, variance) — "
+    "one map-side-combined aggregation to TWO rows, then pure scalar "
+    "arithmetic: the 100 TB experiment readout costs one scan, which "
+    "is why every experimentation platform stores exactly these "
+    "moments per variant.",
+)
+def ab_test_welch_t(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    stats = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            "value",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("s2"),
+        )
+        .localCheckpoint(eager=True)  # 2 rows, feeds both join sides
+    )
+    a = stats.where(F.col("variant") == "A").alias("a")
+    b = stats.where(F.col("variant") == "B").alias("b")
+    se2 = F.col("a.s2") / F.col("a.n") + F.col("b.s2") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mu"), 6).alias("mean_a"),
+        F.round(F.col("b.mu"), 6).alias("mean_b"),
+        F.round((F.col("a.mu") - F.col("b.mu")) / F.sqrt(se2), 6).alias("welch_t"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("a.s2") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                + F.pow(F.col("b.s2") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+# --------------------------------------------------------------------
+# Gini coefficient (revenue concentration)
+# --------------------------------------------------------------------
+
+@query(
+    "revenue_gini",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS total
+      FROM per_cust
+    )
+    SELECT round((2.0 * sum(i * rev) / (max(n) * max(total)))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           max(n)::BIGINT AS n_customers
+    FROM ranked
+    """,
+    doc="Gini coefficient of revenue concentration across customers "
+    "(the inequality metric behind 'top 1%% of customers drive X%%'): "
+    "G = 2*sum(i*rev_i)/(n*total) - (n+1)/n over revenue-ranked "
+    "customers. The rank is a GLOBAL sort — the honest cost of an "
+    "exact Gini — but it sorts the per-customer aggregate "
+    "(|customers| rows), never raw orders, and at 100 TB the same "
+    "formula runs on a quantile-bucketed approximation (percentile_"
+    "approx gives the Lorenz curve points) when |customers| itself "
+    "is huge. Deterministic tie-break on the customer key.",
+)
+def revenue_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev"))
+            / (F.count("*") * F.sum("rev"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.count("*").alias("n_customers"),
+    )

@@ -267,6 +267,11 @@ _SCALAR_RESULT_QUERIES = {
     "exact_quota_sample",
     # single-row scalar checksum (partial sums merge map-side)
     "table_content_checksum",
+    # exact Gini needs a global rank — over the per-customer
+    # AGGREGATE (|customers| rows), never raw orders; the query doc
+    # names the percentile_approx Lorenz approximation for when even
+    # that is too large
+    "revenue_gini",
 }
 
 
