@@ -63,15 +63,18 @@ def oracle_queries() -> dict[str, str]:
 # ROUND 3 ROTATION PLAN (apply at the start of round 3): round 2's
 # front-50 was ref_semantics(12)+windows(11)+similarity(6)+text(6)+
 # multimodal(4)+scale(5)+streaming_queries(first 6). Still never
-# driver-verified: tpch_rest(15), wkt_scan(1), advanced(13), the two
+# driver-verified: tpch_rest(15), wkt_scan(1), advanced(22), the two
 # round-2 modern_sql additions (recursive_cte_chain,
 # listagg_order_sequences), stream_interval_left_outer (7th streaming
-# entry), and the round-2 extras tail (cms_frequency_estimate onward).
-# Round 3 import order should be: tpch_rest, wkt_scan, advanced,
-# modern_sql, extras, streaming_queries, then the rest — and if the
-# budget is still 50, move the already-verified extras/modern_sql/
-# streaming decorator blocks below their unverified siblings within
-# each module file.
+# entry), the two llm_pipeline additions (dsir_importance_scores,
+# diversity_distinct_ngrams), and the round-2 extras tail
+# (cms_frequency_estimate onward). That is 43+ entries — more than
+# fits alongside anything else in a 50-query budget, so round 3's
+# import order should be exactly: tpch_rest, wkt_scan, advanced,
+# modern_sql (new entries only fit if the module file is reordered
+# to put them first), then the rest; the remaining unverified tail
+# (extras additions, llm_pipeline additions, streaming 7th) rotates
+# forward in round 4.
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     ref_semantics,
     windows,

@@ -66,6 +66,25 @@ def bloom_join_prune(spark, sf_dir):
 # Market-basket pair affinity (co-occurrence mining)
 # --------------------------------------------------------------------
 
+def _copurchase_pairs(li):
+    """Distinct (order, part) items self-joined on the basket key with
+    part_a < part_b — the within-basket pair relation shared by
+    basket_pair_affinity and triangle_count_parts (a basket-size cap,
+    the production skew guard, would go here once for both)."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+
+
+
 @query(
     "basket_pair_affinity",
     oracle="""
@@ -95,17 +114,7 @@ def bloom_join_prune(spark, sf_dir):
 )
 def basket_pair_affinity(spark, sf_dir):
     (li,) = tables(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
+    pairs = _copurchase_pairs(li)
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
@@ -146,7 +155,7 @@ def basket_pair_affinity(spark, sf_dir):
     "entity-resolution shape where blocking turns O(n^2) comparisons "
     "into sum-over-blocks of C(block,2), and a second blocking "
     "attribute is THE lever when one key leaves hot blocks (the "
-    "single-token blocks here are 12.5%% of the table each; adding "
+    "single-token blocks here are 12.5% of the table each; adding "
     "the size attribute cuts candidate volume ~50x, and the same "
     "move re-splits any hot block at 100 TB). Spark's levenshtein "
     "and DuckDB's are the same textbook DP, so per-pair distances "
@@ -410,10 +419,17 @@ def feature_scale_normalize(spark, sf_dir):
         .select(
             "doc_id",
             "lang",
-            F.round((F.col("n_chars") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+            # try_divide: a single-doc (or constant-length) stratum has
+            # sigma = 0 / hi == lo; ANSI Spark would throw on /0 where
+            # the oracle yields NULL — try_divide matches the oracle
             F.round(
-                (F.col("n_chars") - F.col("lo"))
-                / (F.col("hi") - F.col("lo")).cast("double"),
+                F.try_divide(F.col("n_chars") - F.col("mu"), F.col("sigma")), 6
+            ).alias("zscore"),
+            F.round(
+                F.try_divide(
+                    (F.col("n_chars") - F.col("lo")).cast("double"),
+                    (F.col("hi") - F.col("lo")).cast("double"),
+                ),
                 6,
             ).alias("minmax"),
         )
@@ -619,8 +635,12 @@ def drift_psi_periods(spark, sf_dir):
     with_tot = cell.withColumn("t_ref", F.sum("n_ref").over(w)).withColumn(
         "t_cur", F.sum("n_cur").over(w)
     )
-    p = F.col("n_ref") / F.col("t_ref") + _PSI_EPS
-    q = F.col("n_cur") / F.col("t_cur") + _PSI_EPS
+    # try_divide: an event_type with every row in one period (a NEW
+    # type appearing after the split — the very case drift monitoring
+    # exists for) has t_ref or t_cur = 0; ANSI Spark would abort the
+    # whole readout where the oracle emits a NULL-psi row
+    p = F.try_divide(F.col("n_ref"), F.col("t_ref")) + _PSI_EPS
+    q = F.try_divide(F.col("n_cur"), F.col("t_cur")) + _PSI_EPS
     return (
         with_tot.groupBy("event_type")
         .agg(
@@ -738,17 +758,10 @@ def benford_first_digit(spark, sf_dir):
 )
 def triangle_count_parts(spark, sf_dir):
     (li,) = tables(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _copurchase_pairs(li)
         .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
         )
         .agg(F.count("*").alias("w"))
         .where(F.col("w") >= 2)
@@ -1009,7 +1022,7 @@ def capped_running_balance(spark, sf_dir):
     "how a 100 TB warehouse maintains distinct-users without "
     "re-scanning. The differential contract is the estimator's "
     "accuracy bound (like approx_distinct_sketch): the merged "
-    "estimate must land within 5%% of the exact distinct the oracle "
+    "estimate must land within 5% of the exact distinct the oracle "
     "computes, and the exact count is emitted for the value hash.",
 )
 def incremental_distinct_sketch(spark, sf_dir):
@@ -1199,7 +1212,7 @@ _QUOTA_TOTAL = 100
     "leftover seats granted to the largest fractional remainders "
     "(deterministic tie-break), then exactly quota_l rows kept per "
     "stratum by ranking on a portable LCG hash — total sample size "
-    "is EXACTLY the requested {_QUOTA_TOTAL} regardless of stratum "
+    "is EXACTLY the requested total regardless of stratum "
     "skew, which Bernoulli sampling (stratified_sample_lang) cannot "
     "promise. The quota table is |strata| rows (broadcast); the "
     "per-stratum rank is one keyed window. The rank-vs-quota shape "
@@ -1367,8 +1380,10 @@ def ohlc_hourly_bars(spark, sf_dir):
     oracle="""
     SELECT count(*)::BIGINT AS n_rows,
            sum(CAST(('0x' || substr(
-                 md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
-                     || '|' || round(o_totalprice, 2)),
+                 md5(coalesce(o_orderkey::VARCHAR, chr(0)) || '|'
+                     || coalesce(o_custkey::VARCHAR, chr(0)) || '|'
+                     || coalesce(o_orderstatus, chr(0)) || '|'
+                     || coalesce(round(o_totalprice, 2)::VARCHAR, chr(0))),
                  1, 8)) AS BIGINT))::BIGINT AS content_sum
     FROM orders
     """,
@@ -1385,12 +1400,18 @@ def ohlc_hourly_bars(spark, sf_dir):
 )
 def table_content_checksum(spark, sf_dir):
     (orders,) = tables(spark, sf_dir, "orders")
+    # coalesce each field to a chr(0) sentinel BEFORE concatenation:
+    # concat_ws silently drops NULL fields (colliding (a,NULL,b) with
+    # (a,b,NULL) and diverging from the oracle's NULL-propagating ||)
+    # — reconciliation exists for dirty data, so NULLs must checksum
+    # deterministically and distinctly
+    nz = lambda c: F.coalesce(c.cast("string"), F.lit("\x00"))
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey"),
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.round("o_totalprice", 2),
+        nz(F.col("o_orderkey")),
+        nz(F.col("o_custkey")),
+        nz(F.col("o_orderstatus")),
+        nz(F.round("o_totalprice", 2)),
     )
     h32 = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
     return orders.agg(
@@ -1502,17 +1523,28 @@ def ab_test_welch_t(spark, sf_dir):
     a = stats.where(F.col("variant") == "A").alias("a")
     b = stats.where(F.col("variant") == "B").alias("b")
     se2 = F.col("a.s2") / F.col("a.n") + F.col("b.s2") / F.col("b.n")
+    # try_divide throughout: a variant with a single observation has
+    # var_samp = NULL and (n - 1) = 0 — ANSI Spark checks the zero
+    # divisor before the NULL numerator and would throw where the
+    # oracle returns NULL (small/early experiments must degrade to
+    # NULL stats, not crash the readout)
     return a.crossJoin(b).select(
         F.col("a.n").alias("n_a"),
         F.col("b.n").alias("n_b"),
         F.round(F.col("a.mu"), 6).alias("mean_a"),
         F.round(F.col("b.mu"), 6).alias("mean_b"),
-        F.round((F.col("a.mu") - F.col("b.mu")) / F.sqrt(se2), 6).alias("welch_t"),
         F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(F.col("a.s2") / F.col("a.n"), 2) / (F.col("a.n") - 1)
-                + F.pow(F.col("b.s2") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            F.try_divide(F.col("a.mu") - F.col("b.mu"), F.sqrt(se2)), 6
+        ).alias("welch_t"),
+        F.round(
+            F.try_divide(
+                F.pow(se2, 2),
+                F.try_divide(
+                    F.pow(F.col("a.s2") / F.col("a.n"), 2), F.col("a.n") - 1
+                )
+                + F.try_divide(
+                    F.pow(F.col("b.s2") / F.col("b.n"), 2), F.col("b.n") - 1
+                ),
             ),
             2,
         ).alias("welch_df"),
@@ -1542,7 +1574,7 @@ def ab_test_welch_t(spark, sf_dir):
     FROM ranked
     """,
     doc="Gini coefficient of revenue concentration across customers "
-    "(the inequality metric behind 'top 1%% of customers drive X%%'): "
+    "(the inequality metric behind 'top 1% of customers drive X%'): "
     "G = 2*sum(i*rev_i)/(n*total) - (n+1)/n over revenue-ranked "
     "customers. The rank is a GLOBAL sort — the honest cost of an "
     "exact Gini — but it sorts the per-customer aggregate "
