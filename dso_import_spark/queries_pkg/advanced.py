@@ -1312,7 +1312,12 @@ def twap_time_weighted(spark, sf_dir):
     return (
         seg.groupBy("user_id")
         .agg(
-            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twap"),
+            # try_divide: duplicate timestamps give zero-length
+            # segments; a user whose every segment is zero-length has
+            # sum(dur)=0 — NULL, not a crash, under ANSI
+            F.round(
+                F.try_divide(F.sum(F.col("value") * dur), F.sum(dur)), 6
+            ).alias("twap"),
             F.count("*").alias("n_segments"),
         )
         .orderBy("user_id")
@@ -1596,10 +1601,12 @@ def revenue_gini(spark, sf_dir):
     )
     return ranked.agg(
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("rev"))
-            / (F.count("*") * F.sum("rev"))
-            - (F.count("*") + 1.0) / F.count("*"),
+            F.try_divide(
+                2.0 * F.sum(F.col("i") * F.col("rev")),
+                F.count("*") * F.sum("rev"),
+            )
+            - F.try_divide(F.count("*") + 1.0, F.count("*")),
             6,
-        ).alias("gini"),
+        ).alias("gini"),  # try_divide: empty input → NULL gini, not a crash
         F.count("*").alias("n_customers"),
     )
