@@ -1610,3 +1610,101 @@ def revenue_gini(spark, sf_dir):
         ).alias("gini"),  # try_divide: empty input → NULL gini, not a crash
         F.count("*").alias("n_customers"),
     )
+
+
+# --------------------------------------------------------------------
+# Declarative data-quality expectations report
+# --------------------------------------------------------------------
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    WITH e AS (
+      SELECT
+        count(*)                                            AS n_rows,
+        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)      AS null_value,
+        sum(CASE WHEN event_type IN
+              ('view','click','purchase','signup','error')
+            THEN 0 ELSE 1 END)                              AS bad_type,
+        sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)          AS neg_value,
+        count(DISTINCT event_id)                            AS distinct_ids
+      FROM events
+    ),
+    fk AS (
+      SELECT count(*) AS orphans
+      FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+      SELECT 'value_not_null' AS expectation,
+             null_value::BIGINT AS violations,
+             (null_value = 0) AS passed FROM e
+      UNION ALL
+      SELECT 'event_type_in_set', bad_type::BIGINT, bad_type = 0 FROM e
+      UNION ALL
+      SELECT 'value_non_negative', neg_value::BIGINT, neg_value = 0 FROM e
+      UNION ALL
+      SELECT 'event_id_unique',
+             (n_rows - distinct_ids)::BIGINT,
+             n_rows = distinct_ids FROM e
+      UNION ALL
+      SELECT 'user_id_references_customer', orphans::BIGINT, orphans = 0
+      FROM fk
+    ) ORDER BY expectation
+    """,
+    doc="Declarative data-quality expectations report (the "
+    "Great-Expectations shape, and the generalization of the "
+    "reference's Q1-Q7 gate suite in operators/quality.py): "
+    "not-null, accepted-value-set, range, uniqueness, and "
+    "referential-integrity expectations evaluated over ONE "
+    "conditional-aggregation pass of the fact table plus one "
+    "broadcast anti-join for the FK check — violations counted, "
+    "pass/fail per expectation, rows never copied per check. The "
+    "single-pass shape is what makes a 100-expectation suite cost "
+    "the same scan as a 5-expectation one.",
+)
+def dq_expectations_report(spark, sf_dir):
+    events, customer = tables(spark, sf_dir, "events", "customer")
+    agg = events.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_value"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                0,
+            ).otherwise(1)
+        ).alias("bad_type"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        F.count_distinct("event_id").alias("distinct_ids"),
+    ).localCheckpoint(eager=True)  # 1 row, feeds four report rows
+    orphans = (
+        events.join(
+            broadcast(customer.select("c_custkey")),
+            events.user_id == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("orphans"))
+    )
+    def row(name, viol):
+        return agg.select(
+            F.lit(name).alias("expectation"),
+            viol.alias("violations"),
+            (viol == 0).alias("passed"),
+        )
+    report = (
+        row("value_not_null", F.col("null_value"))
+        .unionByName(row("event_type_in_set", F.col("bad_type")))
+        .unionByName(row("value_non_negative", F.col("neg_value")))
+        .unionByName(
+            row("event_id_unique", F.col("n_rows") - F.col("distinct_ids"))
+        )
+        .unionByName(
+            orphans.select(
+                F.lit("user_id_references_customer").alias("expectation"),
+                F.col("orphans").alias("violations"),
+                (F.col("orphans") == 0).alias("passed"),
+            )
+        )
+    )
+    return report.orderBy("expectation")

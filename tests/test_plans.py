@@ -272,6 +272,8 @@ _SCALAR_RESULT_QUERIES = {
     # names the percentile_approx Lorenz approximation for when even
     # that is too large
     "revenue_gini",
+    # scalar expectation counters (one conditional-agg row + FK count)
+    "dq_expectations_report",
 }
 
 
