@@ -1708,3 +1708,65 @@ def dq_expectations_report(spark, sf_dir):
         )
     )
     return report.orderBy("expectation")
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, ve AS qv
+          FROM v WHERE vec_id % 101 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS negative_id, c.label AS neg_label,
+             round(list_dot_product(q.qv, c.ve) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c.ve, c.ve))), 6) AS cos_sim
+      FROM q CROSS JOIN v c
+      WHERE c.label <> q.q_label)
+    SELECT query_id, rank, negative_id, neg_label, cos_sim
+    FROM (SELECT query_id, negative_id, neg_label, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, negative_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training: for each "
+    "sampled anchor, the top-3 most-similar vectors with a DIFFERENT "
+    "label — the near-misses that make embedding models learn "
+    "boundaries (random negatives are too easy to carry gradient). "
+    "Same exact-cosine baseline shape as ann_brute_force_topk with a "
+    "label-exclusion predicate pushed into the pair filter; the "
+    "scale path swaps the exact scorer for ann_lsh/ivf candidates "
+    "and keeps the exclusion + rank stages unchanged.",
+)
+def hard_negative_mining(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from dso_import_spark.operators.similarity import as_double, cosine
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("neg_label") != F.col("q_label"))
+    scored = pairs.select(
+        "query_id",
+        "negative_id",
+        "neg_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "negative_id", "neg_label", "cos_sim")
+    )

@@ -254,3 +254,4 @@ def embedding_near_dup(spark, sf_dir):
 def ivf_kmeans_train(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     return kmeans_assignments(emb, k=4, iters=2)
+
