@@ -1770,3 +1770,176 @@ def hard_negative_mining(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", "negative_id", "neg_label", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift statistic
+# --------------------------------------------------------------------
+
+@query(
+    "drift_ks_statistic",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type,
+             sum(is_ref)::DOUBLE AS n_ref,
+             sum(1 - is_ref)::DOUBLE AS n_cur
+      FROM tagged GROUP BY event_type
+    ),
+    pts AS (
+      SELECT event_type, value,
+             sum(is_ref) AS d_ref, sum(1 - is_ref) AS d_cur
+      FROM tagged GROUP BY event_type, value
+    ),
+    ecdf AS (
+      SELECT p.event_type,
+             sum(p.d_ref) OVER w / t.n_ref AS f_ref,
+             sum(p.d_cur) OVER w / t.n_cur AS f_cur
+      FROM pts p JOIN tot t ON p.event_type = t.event_type
+      WINDOW w AS (PARTITION BY p.event_type ORDER BY p.value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           round(max(abs(f_ref - f_cur)), 6) AS ks_d
+    FROM ecdf GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic per event "
+    "type between the reference and current periods — the "
+    "distribution-shape drift test PSI's fixed bins can miss (a "
+    "within-bin shift is invisible to PSI, never to KS). D = max "
+    "|ECDF_ref - ECDF_cur| evaluated at every observed value: "
+    "per-(type, value) counts aggregate map-side first, then BOTH "
+    "ECDFs come from one cumulative window over the collapsed "
+    "points, partitioned by type — each type sorts its own distinct "
+    "values independently, so there is no global sort and the "
+    "window input is |distinct values|, not |events|. "
+    "Scale note: a high-cardinality metric first rounds/quantizes "
+    "values (binned KS), trading exactness for bounded point sets — "
+    "the PSI/KS pair covers both ends of that trade.",
+)
+def drift_ks_statistic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_type",
+        "value",
+        F.when(
+            F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 1
+        ).otherwise(0).alias("is_ref"),
+    )
+    # one scan: the per-(type, value) point counts are the only pass
+    # over events; totals re-aggregate the collapsed points (bounded
+    # by |distinct values|), and the checkpoint keeps the two
+    # consumers (totals + ECDF window) from re-running the scan
+    pts = (
+        tagged.groupBy("event_type", "value")
+        .agg(
+            F.sum("is_ref").alias("d_ref"),
+            F.sum(1 - F.col("is_ref")).alias("d_cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = pts.groupBy("event_type").agg(
+        F.sum("d_ref").cast("double").alias("n_ref"),
+        F.sum("d_cur").cast("double").alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = pts.join(broadcast(tot), "event_type").select(
+        "event_type",
+        (F.sum("d_ref").over(w) / F.col("n_ref")).alias("f_ref"),
+        (F.sum("d_cur").over(w) / F.col("n_cur")).alias("f_cur"),
+    )
+    return (
+        ecdf.groupBy("event_type")
+        .agg(F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("ks_d"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# CUPED variance reduction (experiment sensitivity)
+# --------------------------------------------------------------------
+
+@query(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             sum(CASE WHEN ts <  TIMESTAMP '{_PSI_SPLIT}' THEN value END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN value END) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    clean AS (
+      SELECT variant, x, y FROM per_user
+      WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    theta AS (
+      SELECT covar_samp(x, y) / var_samp(x) AS th,
+             avg(x) AS mx
+      FROM clean
+    )
+    SELECT c.variant,
+           count(*)::BIGINT AS n_users,
+           round(avg(c.y), 6) AS mean_y,
+           round(avg(c.y - t.th * (c.x - t.mx)), 6) AS mean_cuped,
+           round(1 - var_samp(c.y - t.th * (c.x - t.mx)) / var_samp(c.y), 6)
+             AS var_reduction
+    FROM clean c, theta t
+    GROUP BY c.variant, t.th, t.mx
+    ORDER BY c.variant
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013, the standard "
+    "experimentation-platform sensitivity boost): adjust each user's "
+    "experiment-period metric y by their PRE-period covariate x via "
+    "theta = cov(x,y)/var(x); the adjusted metric has the same mean "
+    "shift but (1 - rho^2) of the variance, so the same experiment "
+    "detects smaller effects. Per-user (x, y) reduce map-side; theta "
+    "is one scalar moment pass broadcast back; per-variant readout "
+    "is a second bounded agg. Pre-period totals come from the same "
+    "one scan as the experiment metric.",
+)
+def cuped_variance_reduction(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    per_user = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, F.col("value"))).alias("x"),
+            F.sum(F.when(F.col("ts") >= split, F.col("value"))).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            "x",
+            "y",
+        )
+        .localCheckpoint(eager=True)  # feeds theta AND the readout
+    )
+    theta = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        per_user.crossJoin(broadcast(theta))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(F.avg(adj), 6).alias("mean_cuped"),
+            F.round(1 - F.var_samp(adj) / F.var_samp("y"), 6).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )

@@ -274,6 +274,8 @@ _SCALAR_RESULT_QUERIES = {
     "revenue_gini",
     # scalar expectation counters (one conditional-agg row + FK count)
     "dq_expectations_report",
+    # scalar theta (one moment row) broadcast into the variant readout
+    "cuped_variance_reduction",
 }
 
 
