@@ -1943,3 +1943,191 @@ def cuped_variance_reduction(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------
+# Difference-in-differences (the causal companion to CUPED/Welch)
+# --------------------------------------------------------------------
+
+@query(
+    "did_difference_in_differences",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'pre' ELSE 'post' END
+               AS period,
+             avg(value) AS mean_v,
+             count(*)::BIGINT AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT round(a_post.mean_v - a_pre.mean_v, 6) AS delta_a,
+           round(b_post.mean_v - b_pre.mean_v, 6) AS delta_b,
+           round((a_post.mean_v - a_pre.mean_v)
+                 - (b_post.mean_v - b_pre.mean_v), 6) AS did,
+           a_pre.n + a_post.n + b_pre.n + b_post.n AS n_total
+    FROM cells a_pre, cells a_post, cells b_pre, cells b_post
+    WHERE a_pre.variant  = 'A' AND a_pre.period  = 'pre'
+      AND a_post.variant = 'A' AND a_post.period = 'post'
+      AND b_pre.variant  = 'B' AND b_pre.period  = 'pre'
+      AND b_post.variant = 'B' AND b_post.period = 'post'
+    """,
+    doc="Difference-in-differences: the treated group's pre-to-post "
+    "change minus the control group's — cancels any shared trend the "
+    "periods carry (seasonality, launches), the causal-inference "
+    "workhorse when randomization is imperfect. The whole estimator "
+    "reduces to a 2x2 (variant, period) cell-mean table built in ONE "
+    "map-side-combined pass; the arithmetic over four cells is free. "
+    "Completes the experimentation suite next to ab_test_welch_t "
+    "(sampling noise) and cuped_variance_reduction (sensitivity).",
+)
+def did_difference_in_differences(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    cells = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            F.when(F.col("ts") < split, "pre").otherwise("post").alias("period"),
+        )
+        .agg(F.avg("value").alias("mean_v"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # 4 cells, four consumers
+    )
+    def cell(v, p, alias):
+        return cells.where(
+            (F.col("variant") == v) & (F.col("period") == p)
+        ).select(
+            F.col("mean_v").alias(f"m_{alias}"), F.col("n").alias(f"n_{alias}")
+        )
+    j = (
+        cell("A", "pre", "ap").crossJoin(cell("A", "post", "aq"))
+        .crossJoin(cell("B", "pre", "bp"))
+        .crossJoin(cell("B", "post", "bq"))
+    )
+    return j.select(
+        F.round(F.col("m_aq") - F.col("m_ap"), 6).alias("delta_a"),
+        F.round(F.col("m_bq") - F.col("m_bp"), 6).alias("delta_b"),
+        F.round(
+            (F.col("m_aq") - F.col("m_ap")) - (F.col("m_bq") - F.col("m_bp")), 6
+        ).alias("did"),
+        (F.col("n_ap") + F.col("n_aq") + F.col("n_bp") + F.col("n_bq")).alias(
+            "n_total"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Sample-ratio mismatch (the experiment sanity gate)
+# --------------------------------------------------------------------
+
+@query(
+    "srm_sample_ratio_check",
+    oracle="""
+    WITH counts AS (
+      SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS n_a,
+             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)::DOUBLE AS n_b
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           round(pow(n_a - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)
+                 + pow(n_b - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2), 6)
+             AS chi2,
+           (pow(n_a - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)
+            + pow(n_b - (n_a + n_b) / 2, 2) / ((n_a + n_b) / 2)) > 3.841
+             AS srm_detected
+    FROM counts
+    """,
+    doc="Sample-ratio-mismatch check — the sanity gate every "
+    "experiment readout runs FIRST: chi-square of observed variant "
+    "user counts against the designed 50/50 split (3.841 = the 5%% "
+    "critical value at 1 df); a triggered SRM means assignment or "
+    "logging is broken and every downstream metric is untrustworthy. "
+    "One distinct-user pass reduced to two counters; the test is "
+    "scalar arithmetic. Runs before ab_test_welch_t / cuped / did in "
+    "the suite this completes.",
+)
+def srm_sample_ratio_check(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    counts = (
+        events.select("user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("double")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 0, 0).otherwise(1))
+            .cast("double")
+            .alias("n_b"),
+        )
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2
+    chi2 = F.pow(F.col("n_a") - exp, 2) / exp + F.pow(F.col("n_b") - exp, 2) / exp
+    return counts.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+# --------------------------------------------------------------------
+# Winsorized means (robust experiment metric)
+# --------------------------------------------------------------------
+
+@query(
+    "winsorized_variant_means",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    caps AS (
+      SELECT variant, quantile_cont(value, 0.95) AS p95
+      FROM assign GROUP BY variant
+    )
+    SELECT a.variant,
+           count(*)::BIGINT AS n,
+           round(avg(a.value), 6) AS raw_mean,
+           round(avg(least(a.value, c.p95)), 6) AS winsorized_mean,
+           round(c.p95, 6) AS cap_p95
+    FROM assign a JOIN caps c ON a.variant = c.variant
+    GROUP BY a.variant, c.p95
+    ORDER BY a.variant
+    """,
+    doc="Winsorized variant means: cap each observation at its "
+    "variant's exact 95th percentile before averaging — the robust "
+    "metric experimentation platforms report alongside the raw mean "
+    "because a single whale user can flip a t-test. The cap is one "
+    "exact-percentile aggregate per variant (2 rows, broadcast "
+    "back); the winsorize itself is a narrow least(). Interpolated "
+    "percentile matches quantile_cont exactly (the "
+    "percentile_quantity precedent).",
+)
+def winsorized_variant_means(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    assign = events.where(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "value",
+    )
+    caps = assign.groupBy("variant").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95")
+    )
+    return (
+        assign.join(broadcast(caps), "variant")
+        .groupBy("variant", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(F.least(F.col("value"), F.col("p95"))), 6).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "variant",
+            "n",
+            "raw_mean",
+            "winsorized_mean",
+            F.round("p95", 6).alias("cap_p95"),
+        )
+        .orderBy("variant")
+    )

@@ -276,6 +276,8 @@ _SCALAR_RESULT_QUERIES = {
     "dq_expectations_report",
     # scalar theta (one moment row) broadcast into the variant readout
     "cuped_variance_reduction",
+    # scalar chi-square over two counters
+    "srm_sample_ratio_check",
 }
 
 
