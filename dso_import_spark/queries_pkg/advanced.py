@@ -2131,3 +2131,56 @@ def winsorized_variant_means(spark, sf_dir):
         )
         .orderBy("variant")
     )
+
+
+# --------------------------------------------------------------------
+# Grid-blocked spatial KNN (radius-bounded)
+# --------------------------------------------------------------------
+
+@query(
+    "spatial_knn_radius",
+    oracle="""
+    WITH points AS (
+      SELECT c_custkey AS point_id,
+             1000 + (c_custkey * 7919) % 10000 AS px,
+             1000 + (c_custkey * 104729) % 10000 AS py
+      FROM customer),
+    q AS (SELECT point_id AS query_id, px AS qx, py AS qy
+          FROM points WHERE point_id % 101 = 0),
+    pairs AS (
+      SELECT q.query_id, p.point_id,
+             (q.qx - p.px) * (q.qx - p.px)
+             + (q.qy - p.py) * (q.qy - p.py) AS dist_sq
+      FROM q CROSS JOIN points p
+      WHERE q.query_id <> p.point_id)
+    SELECT query_id, rank, point_id, dist_sq::BIGINT AS dist_sq
+    FROM (SELECT query_id, point_id, dist_sq,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist_sq, point_id) AS rank
+          FROM pairs WHERE dist_sq <= 500 * 500)
+    WHERE rank <= 3
+    """,
+    doc="Radius-bounded spatial k-nearest-neighbors via grid blocking "
+    "(operators/spatial.py:grid_knn_within_radius): cell edge = "
+    "search radius makes the 3x3 neighborhood provably complete, so "
+    "the distance join becomes an equi-join on the cell key — the "
+    "query side replicates x9 (bounded, small side only), the corpus "
+    "hashes to one cell, distances compare as exact squared "
+    "integers. The oracle is the naive cross join with the same "
+    "radius cut, proving the blocked plan finds the identical "
+    "neighbor set. Unbounded KNN needs iterative ring expansion; "
+    "'nearest within R' is the honest one-pass contract.",
+)
+def spatial_knn_radius(spark, sf_dir):
+    from dso_import_spark.operators.spatial import grid_knn_within_radius
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    points = customer.select(
+        F.col("c_custkey").alias("point_id"),
+        (1000 + (F.col("c_custkey") * 7919) % 10000).alias("px"),
+        (1000 + (F.col("c_custkey") * 104729) % 10000).alias("py"),
+    )
+    queries = points.where(F.col("point_id") % 101 == 0).select(
+        F.col("point_id").alias("query_id"), "px", "py"
+    )
+    return grid_knn_within_radius(queries, points, radius=500.0, k=3)
