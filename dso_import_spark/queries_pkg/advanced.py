@@ -2184,3 +2184,124 @@ def spatial_knn_radius(spark, sf_dir):
         F.col("point_id").alias("query_id"), "px", "py"
     )
     return grid_knn_within_radius(queries, points, radius=500.0, k=3)
+
+
+# --------------------------------------------------------------------
+# Period-over-period growth rates
+# --------------------------------------------------------------------
+
+@query(
+    "weekly_growth_rates",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             date_trunc('week', ts) AS wk,
+             count(*)::BIGINT AS n,
+             round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(wk, '%Y-%m-%d') AS week_start,
+           n,
+           round((n - lag(n) OVER w) / lag(n) OVER w::DOUBLE, 6) AS n_growth,
+           round((total - lag(total) OVER w) / lag(total) OVER w, 6)
+             AS value_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    ORDER BY event_type, week_start
+    """,
+    doc="Week-over-week growth rates per event type — the KPI delta "
+    "every dashboard leads with: weekly aggregate (map-side "
+    "combined), then lag() over the tiny per-type week series. The "
+    "window input is |types| x |weeks| rows, so the growth step is "
+    "free no matter how many raw events; the first week's growth is "
+    "NULL by definition on both engines.",
+)
+def weekly_growth_rates(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("wk"),
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return (
+        weekly.select(
+            "event_type",
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            "n",
+            F.round(
+                (F.col("n") - F.lag("n").over(w))
+                / F.lag("n").over(w).cast("double"),
+                6,
+            ).alias("n_growth"),
+            F.round(
+                (F.col("total") - F.lag("total").over(w)) / F.lag("total").over(w),
+                6,
+            ).alias("value_growth"),
+        )
+        .orderBy("event_type", "week_start")
+    )
+
+
+# --------------------------------------------------------------------
+# Data-arrival anomaly detection (pipeline observability)
+# --------------------------------------------------------------------
+
+@query(
+    "arrival_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    ),
+    trailed AS (
+      SELECT d, n,
+             avg(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_avg,
+             row_number() OVER (ORDER BY d) AS day_no
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n,
+           round(trail_avg, 2) AS trail_avg,
+           round(n / trail_avg, 4) AS arrival_ratio,
+           (n < 0.5 * trail_avg) AS under_delivered
+    FROM trailed
+    WHERE day_no > 7
+    ORDER BY day
+    """,
+    doc="Data-arrival anomaly monitor — the pipeline-observability "
+    "check that catches a broken upstream BEFORE quality gates see "
+    "bad rows: per-day row counts vs the trailing 7-day average "
+    "(excluding today), flagging days under 50%% of trend. Daily "
+    "counts reduce map-side to |days| rows; the trailing window runs "
+    "over that bounded series. The first 7 days have no full trail "
+    "and are excluded on both engines. A partitioned warehouse runs "
+    "this from partition row counts without scanning data at all.",
+)
+def arrival_anomaly_days(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    wn = Window.orderBy("d")
+    trailed = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(w).alias("trail_avg"),
+        F.row_number().over(wn).alias("day_no"),
+    ).where(F.col("day_no") > 7)
+    return trailed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("trail_avg", 2).alias("trail_avg"),
+        F.round(F.col("n") / F.col("trail_avg"), 4).alias("arrival_ratio"),
+        (F.col("n") < 0.5 * F.col("trail_avg")).alias("under_delivered"),
+    ).orderBy("day")

@@ -278,6 +278,9 @@ _SCALAR_RESULT_QUERIES = {
     "cuped_variance_reduction",
     # scalar chi-square over two counters
     "srm_sample_ratio_check",
+    # global trailing window over the per-DAY aggregate (|days| rows,
+    # bounded dimension — same class as temperature_mix_weights)
+    "arrival_anomaly_days",
 }
 
 
