@@ -2305,3 +2305,179 @@ def arrival_anomaly_days(spark, sf_dir):
         F.round(F.col("n") / F.col("trail_avg"), 4).alias("arrival_ratio"),
         (F.col("n") < 0.5 * F.col("trail_avg")).alias("under_delivered"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------
+# Funnel time-to-convert percentiles
+# --------------------------------------------------------------------
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT epoch_us(first_purchase) - epoch_us(first_view) AS us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase > first_view
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           round(quantile_cont(us / 3600e6, 0.50), 4) AS p50_hours,
+           round(quantile_cont(us / 3600e6, 0.90), 4) AS p90_hours
+    FROM conv
+    """,
+    doc="Funnel latency: exact p50/p90 hours from first view to first "
+    "purchase per converting user — the 'how long does conversion "
+    "take' readout that funnel_conversion's depth counts don't give. "
+    "Per-user firsts are one keyed min-agg (map-side combined); the "
+    "percentile runs over |converted users| deltas in integer "
+    "microseconds (engine-exact before the single float division).",
+)
+def funnel_time_to_convert(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", ts)).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / 3600e6
+        ).alias("hours")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.50)), 4).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.90)), 4).alias("p90_hours"),
+    )
+
+
+# --------------------------------------------------------------------
+# ABC / Pareto revenue classification
+# --------------------------------------------------------------------
+
+@query(
+    "abc_pareto_classes",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(rev) OVER () AS cum_share
+      FROM per_cust
+    ),
+    classed AS (
+      SELECT rev,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           count(*)::BIGINT AS n_customers,
+           round(sum(rev), 2) AS revenue
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+    doc="ABC / Pareto classification: customers ranked by revenue, "
+    "classed by cumulative share (A = first 80%% of revenue, B = next "
+    "15%%, C = tail) — the 'top customers drive the business' "
+    "segmentation next to revenue_gini's scalar. Like Gini, the "
+    "global cumulative window runs over the per-customer AGGREGATE, "
+    "never raw orders; the class agg after is bounded at 3 rows.",
+)
+def abc_pareto_classes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all)).alias("cum_share"),
+    )
+    classed = ranked.select(
+        "rev",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("abc")
+    )
+
+
+# --------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# --------------------------------------------------------------------
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next type | type) — the behavioral model behind "
+    "next-action prediction and absorbing-state churn analysis (and "
+    "the 1-gram cousin of event_path_trigrams). One keyed window for "
+    "lead(), one count agg; the row-normalization window runs over "
+    "the |types|^2 count matrix, not events.",
+)
+def event_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return (
+        cnt.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w_row).cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

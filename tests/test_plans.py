@@ -281,6 +281,11 @@ _SCALAR_RESULT_QUERIES = {
     # global trailing window over the per-DAY aggregate (|days| rows,
     # bounded dimension — same class as temperature_mix_weights)
     "arrival_anomaly_days",
+    # scalar percentile over per-user conversion deltas
+    "funnel_time_to_convert",
+    # global cumulative-share window over the per-customer AGGREGATE
+    # (same class as revenue_gini)
+    "abc_pareto_classes",
 }
 
 
