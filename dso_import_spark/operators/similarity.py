@@ -34,29 +34,48 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 6,
+    query_extra: tuple = (),
+    corpus_extra: tuple = (),
+    pair_filter=None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Deterministic rank: (rounded cosine desc, neighbor id asc).
-    Returns (query_id, rank, neighbor_id, cos_sim). Self-matches
-    (same id) are excluded.
+    Returns (query_id, rank, neighbor_id, cos_sim, *extras).
+    Self-matches (same id) are excluded.
+
+    ``query_extra`` / ``corpus_extra`` carry additional columns into
+    the pair relation (query-side columns are prefixed ``q_``);
+    ``pair_filter`` is an optional Column predicate applied to each
+    pair before ranking — hard-negative mining passes labels through
+    and filters q_label != label, so the shared score/rank tail is
+    maintained once.
     """
     q = queries.select(
-        F.col(query_id).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        *[F.col(c).alias(f"q_{c}") for c in query_extra],
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        *[F.col(c) for c in corpus_extra],
     )
     pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
     sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
-    scored = pairs.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    extras = [f"q_{c}" for c in query_extra] + list(corpus_extra)
+    scored = pairs.select(
+        "query_id", "neighbor_id", sim.alias("cos_sim"), *extras
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .select("query_id", "rank", "neighbor_id", "cos_sim", *extras)
     )
 
 

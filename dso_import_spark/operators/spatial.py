@@ -95,6 +95,7 @@ def grid_knn_within_radius(
     k: int = 3,
     query_id: str = "query_id",
     corpus_id: str = "point_id",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """k nearest corpus points within ``radius`` of each query point,
     via grid blocking with cell_size = radius.
@@ -108,11 +109,20 @@ def grid_knn_within_radius(
     Unbounded exact KNN needs iterative ring expansion; bounding the
     radius is what keeps the operator one-pass, and is also the honest
     production contract ("nearest within 5 km", not "nearest
-    anywhere"). Distances compare as squared integers — no sqrt, no
-    float ties, engine-exact.
+    anywhere"). Squared distances keep the INPUT's numeric type
+    (integer coordinates stay exact integers — no sqrt, no float
+    ties) and the radius bound compares against the exact float
+    radius**2, so non-integer radii and float coordinates are both
+    handled faithfully.
+
+    ``exclude_same_id`` (default True) drops corpus points whose id
+    equals the query's id — correct when queries are drawn FROM the
+    corpus (the self-match is meaningless); pass False when the two
+    sides are unrelated tables whose id spaces may collide.
 
     Expects columns (id, px, py) on both inputs; returns
-    (query_id, rank, point_id, dist_sq).
+    (query_id, rank, point_id, dist_sq) with dist_sq in the
+    coordinates' arithmetic type.
     """
     cell = float(radius)
     q = queries.select(
@@ -142,17 +152,19 @@ def grid_knn_within_radius(
         F.floor(F.col("px") / cell).cast("long").alias("gx"),
         F.floor(F.col("py") / cell).cast("long").alias("gy"),
     )
-    d2 = (F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2
-    pairs = (
-        q9.join(c, ["gx", "gy"])
-        .where(F.col(query_id) != F.col(corpus_id))
-        .select(
-            query_id,
-            corpus_id,
-            d2.cast("long").alias("dist_sq"),
-        )
-        .where(F.col("dist_sq") <= int(radius) * int(radius))
-    )
+    # explicit multiplication (not **, which promotes to double) keeps
+    # integer coordinates exactly integral; the radius bound uses the
+    # exact float radius**2, so a radius of 5.5 means 30.25, never a
+    # truncated 25
+    dx = F.col("qx") - F.col("px")
+    dy = F.col("qy") - F.col("py")
+    d2 = dx * dx + dy * dy
+    pairs = q9.join(c, ["gx", "gy"])
+    if exclude_same_id:
+        pairs = pairs.where(F.col(query_id) != F.col(corpus_id))
+    pairs = pairs.select(
+        query_id, corpus_id, d2.alias("dist_sq")
+    ).where(F.col("dist_sq") <= float(radius) ** 2)
     w = Window.partitionBy(query_id).orderBy("dist_sq", corpus_id)
     return (
         pairs.withColumn("rank", F.row_number().over(w))

@@ -1740,35 +1740,23 @@ def dq_expectations_report(spark, sf_dir):
     "and keeps the exclusion + rank stages unchanged.",
 )
 def hard_negative_mining(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from dso_import_spark.operators.similarity import as_double, cosine
+    from dso_import_spark.operators.similarity import brute_force_topk
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 101 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        as_double(F.col("embedding")).alias("qv"),
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") % 101 == 0),
+        emb,
+        k=3,
+        query_extra=("label",),
+        corpus_extra=("label",),
+        pair_filter=F.col("label") != F.col("q_label"),
     )
-    c = emb.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("neg_label"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
-    pairs = q.crossJoin(c).filter(F.col("neg_label") != F.col("q_label"))
-    scored = pairs.select(
+    return out.select(
         "query_id",
-        "negative_id",
-        "neg_label",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("negative_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "rank", "negative_id", "neg_label", "cos_sim")
+        "rank",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        "cos_sim",
     )
 
 
@@ -1782,7 +1770,7 @@ def hard_negative_mining(spark, sf_dir):
     WITH tagged AS (
       SELECT event_type, value,
              CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     tot AS (
       SELECT event_type,
@@ -1825,7 +1813,11 @@ def drift_ks_statistic(spark, sf_dir):
     from pyspark.sql import Window
 
     (events,) = tables(spark, sf_dir, "events")
-    tagged = events.select(
+    # NULL values are excluded on BOTH engines: an ECDF is defined
+    # over observed values (missingness belongs to dq_expectations_
+    # report), and Spark sorts NULLS FIRST where DuckDB sorts them
+    # LAST — including them would silently diverge the cumulative sums
+    tagged = events.where(F.col("value").isNotNull()).select(
         "event_type",
         "value",
         F.when(
@@ -2039,7 +2031,7 @@ def did_difference_in_differences(spark, sf_dir):
     """,
     doc="Sample-ratio-mismatch check — the sanity gate every "
     "experiment readout runs FIRST: chi-square of observed variant "
-    "user counts against the designed 50/50 split (3.841 = the 5%% "
+    "user counts against the designed 50/50 split (3.841 = the 5% "
     "critical value at 1 df); a triggered SRM means assignment or "
     "logging is broken and every downstream metric is untrustworthy. "
     "One distinct-user pass reduced to two counters; the test is "
@@ -2277,7 +2269,7 @@ def weekly_growth_rates(spark, sf_dir):
     doc="Data-arrival anomaly monitor — the pipeline-observability "
     "check that catches a broken upstream BEFORE quality gates see "
     "bad rows: per-day row counts vs the trailing 7-day average "
-    "(excluding today), flagging days under 50%% of trend. Daily "
+    "(excluding today), flagging days under 50 percent of trend. Daily "
     "counts reduce map-side to |days| rows; the trailing window runs "
     "over that bounded series. The first 7 days have no full trail "
     "and are excluded on both engines. A partitioned warehouse runs "
@@ -2392,8 +2384,8 @@ def funnel_time_to_convert(spark, sf_dir):
     FROM classed GROUP BY abc ORDER BY abc
     """,
     doc="ABC / Pareto classification: customers ranked by revenue, "
-    "classed by cumulative share (A = first 80%% of revenue, B = next "
-    "15%%, C = tail) — the 'top customers drive the business' "
+    "classed by cumulative share (A = first 80% of revenue, B = next "
+    "15%, C = tail) — the 'top customers drive the business' "
     "segmentation next to revenue_gini's scalar. Like Gini, the "
     "global cumulative window runs over the per-customer AGGREGATE, "
     "never raw orders; the class agg after is bounded at 3 rows.",
