@@ -2473,3 +2473,244 @@ def event_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding
+# --------------------------------------------------------------------
+
+_HRW_SHARDS = 4
+
+
+@query(
+    "rendezvous_sharding",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, s.shard,
+             CAST(('0x' || substr(md5(doc_id || ':' || s.shard), 1, 8))
+                  AS BIGINT) AS w
+      FROM documents,
+           (SELECT unnest(range(0, {_HRW_SHARDS})) AS shard) s
+    ),
+    assigned AS (
+      SELECT doc_id, shard
+      FROM (SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY w DESC, shard) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT shard,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id)      AS min_doc_id
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    doc="Rendezvous / highest-random-weight sharding: each key goes "
+    "to the shard maximizing hash(key, shard) — the assignment rule "
+    "whose defining property is MINIMAL DISPLACEMENT: removing one "
+    "shard remaps only that shard's keys (1/n of the data), where "
+    "mod-N sharding remaps nearly everything. The per-key argmax is "
+    "a bounded x|shards| explode + row_number over |shards| rows per "
+    "key — a narrow map at any scale, no shuffle until the reporting "
+    "agg. md5-derived weights make both engines assign identically. "
+    "This is how a 100 TB pipeline pins work to workers across "
+    "cluster resizes without a full reshuffle.",
+)
+def rendezvous_sharding(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_HRW_SHARDS - 1))
+        ).alias("shard"),
+    ).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id"), F.lit(":"), F.col("shard"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("w"), "shard")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "shard")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------
+# Session duration statistics
+# --------------------------------------------------------------------
+
+@query(
+    "session_duration_stats",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800e6
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM tagged
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             count(*)::BIGINT AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) / 60e6 AS minutes
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT count(*)::BIGINT AS n_sessions,
+           round(avg(n_events), 4) AS avg_events,
+           round(quantile_cont(minutes, 0.5), 4) AS p50_minutes,
+           round(quantile_cont(minutes, 0.9), 4) AS p90_minutes
+    FROM per_session
+    """,
+    doc="Session-duration statistics: sessionize (30-minute gap, the "
+    "same gaps-and-islands tagging sessionize_events pins) then "
+    "reduce each session to (event count, duration) and summarize — "
+    "the engagement readout product teams watch weekly. Two stacked "
+    "windows on the user key share ONE shuffle (same partitioning "
+    "and ordering, the capped_running_balance pattern); the "
+    "percentile runs over |sessions| rows. Durations are integer "
+    "microseconds until one final division.",
+)
+def session_duration_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(ts).over(w)
+    tagged = events.select(
+        "user_id",
+        ts.alias("tss"),
+        F.when(
+            prev.isNull()
+            | ((F.unix_micros(ts) - F.unix_micros(prev)) > 1800e6),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = tagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("tss")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max("tss")) - F.unix_micros(F.min("tss"))) / 60e6
+        ).alias("minutes"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.percentile("minutes", F.lit(0.5)), 4).alias("p50_minutes"),
+        F.round(F.percentile("minutes", F.lit(0.9)), 4).alias("p90_minutes"),
+    )
+
+
+# --------------------------------------------------------------------
+# Daily retention (D1 / D7)
+# --------------------------------------------------------------------
+
+@query(
+    "daily_retention_d1_d7",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS d0 FROM user_days GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM user_days u
+                                 WHERE u.user_id = f.user_id
+                                   AND u.d = f.d0 + 1) THEN 1 ELSE 0 END)::BIGINT
+             AS d1_retained,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM user_days u
+                                 WHERE u.user_id = f.user_id
+                                   AND u.d = f.d0 + 7) THEN 1 ELSE 0 END)::BIGINT
+             AS d7_retained
+    FROM firsts f
+    """,
+    doc="Classic D1/D7 retention: of all users, how many were active "
+    "exactly one and exactly seven days after their FIRST activity — "
+    "the mobile-analytics headline metric (cohort_retention gives "
+    "the weekly matrix; this is the daily point estimate). Distinct "
+    "(user, day) pairs reduce map-side; first-day per user is one "
+    "keyed min-agg; the D1/D7 probes are two semi-joins on "
+    "(user, exact date) — no window, no explode, three bounded "
+    "shuffles on the user key.",
+)
+def daily_retention_d1_d7(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+    ).distinct().localCheckpoint(eager=True)  # three consumers
+    firsts = user_days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    d1 = user_days.select("user_id", F.col("d").alias("d1"))
+    d7 = user_days.select("user_id", F.col("d").alias("d7"))
+    probed = (
+        firsts.join(
+            d1,
+            (firsts.user_id == d1.user_id)
+            & (F.col("d1") == F.date_add(F.col("d0"), 1)),
+            "left_semi",
+        )
+        .select(F.col("user_id").alias("u1"))
+    )
+    probed7 = (
+        firsts.join(
+            d7,
+            (firsts.user_id == d7.user_id)
+            & (F.col("d7") == F.date_add(F.col("d0"), 7)),
+            "left_semi",
+        )
+        .select(F.col("user_id").alias("u7"))
+    )
+    return (
+        firsts.join(
+            probed.withColumn("r1", F.lit(1)),
+            firsts.user_id == F.col("u1"),
+            "left",
+        )
+        .join(
+            probed7.withColumn("r7", F.lit(1)),
+            firsts.user_id == F.col("u7"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("r1"), F.lit(0))).alias("d1_retained"),
+            F.sum(F.coalesce(F.col("r7"), F.lit(0))).alias("d7_retained"),
+        )
+    )

@@ -283,6 +283,10 @@ _SCALAR_RESULT_QUERIES = {
     "arrival_anomaly_days",
     # scalar percentile over per-user conversion deltas
     "funnel_time_to_convert",
+    # scalar percentile over per-session stats
+    "session_duration_stats",
+    # single-row retention counters
+    "daily_retention_d1_d7",
     # global cumulative-share window over the per-customer AGGREGATE
     # (same class as revenue_gini)
     "abc_pareto_classes",
