@@ -52,29 +52,11 @@ def oracle_queries() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
 
 
-# Importing the modules below populates REGISTRY via the decorator.
-# ORDER MATTERS for the external differential harness, which verifies
-# registry entries front-to-back with a per-round budget: modules whose
-# queries still lack a green correctness row are imported FIRST so they
-# get driver evidence this round (round 1 verified the first 50 —
-# cleaning/core/dedup/extras/layout/llm_pipeline/modern_sql — so those
-# rotate to the back; tpch_rest/wkt_scan rotate forward next round).
-#
-# ROUND 3 ROTATION PLAN (apply at the start of round 3): round 2's
-# front-50 was ref_semantics(12)+windows(11)+similarity(6)+text(6)+
-# multimodal(4)+scale(5)+streaming_queries(first 6). Still never
-# driver-verified: tpch_rest(15), wkt_scan(1), advanced(22), the two
-# round-2 modern_sql additions (recursive_cte_chain,
-# listagg_order_sequences), stream_interval_left_outer (7th streaming
-# entry), the two llm_pipeline additions (dsir_importance_scores,
-# diversity_distinct_ngrams), and the round-2 extras tail
-# (cms_frequency_estimate onward). That is 43+ entries — more than
-# fits alongside anything else in a 50-query budget, so round 3's
-# import order should be exactly: tpch_rest, wkt_scan, advanced,
-# modern_sql (new entries only fit if the module file is reordered
-# to put them first), then the rest; the remaining unverified tail
-# (extras additions, llm_pipeline additions, streaming 7th) rotates
-# forward in round 4.
+# Importing the modules below populates REGISTRY via the decorator;
+# the explicit ROUND3_FRONT reorder below then pins the driver-facing
+# front block exactly (the external harness verifies registry entries
+# front-to-back with a ~50/round budget, so the front block is a
+# deliberate, rotated choice — see dso_import_spark/rotation.py).
 from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     ref_semantics,
     windows,
@@ -94,3 +76,85 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     llm_pipeline,
     advanced,
 )
+
+# ROUND 3 FRONT BLOCK (applied): exactly 50 queries that have never had
+# a green driver correctness row, chosen per the round-2 rotation plan:
+# the two ex-red fixes first, the 15 remaining TPC-H queries, the
+# custom Python DataSource scan, modern-SQL trio, the two most
+# failure-prone streaming features (watermark-closed LOJ padding and
+# exactly-once tail-source offsets), the two round-3-fixed weak
+# operators, then the head of `advanced`.
+ROUND3_FRONT = [
+    # ex-red: json oracle cast fixed r2 (core.py), LSH oracle added r2
+    "json_extract_events", "dedup_minhash_lsh",
+    # TPC-H remainder
+    "q02_min_cost_supplier", "q07_volume_shipping", "q08_market_share",
+    "q09_product_type_profit", "q10_returned_items", "q11_important_balances",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    # splittable custom Python DataSource
+    "wkt_file_scan",
+    # modern SQL (Spark 4): collation, recursive CTE, listagg
+    "collated_dedup_groups", "recursive_cte_chain", "listagg_order_sequences",
+    # streaming certs
+    "stream_interval_left_outer", "stream_tail_ingest",
+    # round-3 weak-op fixes (max-df cap / ANN candidate path)
+    "sparse_tfidf_topk", "hard_negative_mining",
+    # advanced head
+    "bloom_join_prune", "basket_pair_affinity", "record_linkage_fuzzy",
+    "pagerank_shipments", "incremental_agg_refresh", "feature_scale_normalize",
+    "notin_null_semantics", "ewma_fixed_lags", "drift_psi_periods",
+    "benford_first_digit", "triangle_count_parts", "dedup_prefix_filter_pairs",
+    "capped_running_balance", "incremental_distinct_sketch",
+    "attribution_first_last_touch", "exact_quota_sample", "twap_time_weighted",
+    "ohlc_hourly_bars", "table_content_checksum", "event_path_trigrams",
+    "ab_test_welch_t", "revenue_gini", "dq_expectations_report",
+    "drift_ks_statistic", "cuped_variance_reduction",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded.
+# Bump when rotating (tests/test_rotation.py checks the choice against
+# exactly these rounds, so a *new* round's results landing mid-cycle
+# doesn't retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 2
+
+# ROUND 4 QUEUE (pre-staged): the never-verified remainder after round
+# 3 lands, in intended order — promote to the front block next round.
+ROUND4_QUEUE = [
+    # llm_pipeline
+    "lm_bigram_quality", "source_overlap_matrix", "quality_classifier_score",
+    "priority_sample_topk", "dsir_importance_scores",
+    "diversity_distinct_ngrams",
+    # extras remainder
+    "dedup_cluster_canonical", "cms_frequency_estimate",
+    "bpe_regex_token_count", "vocab_oov_rates", "temperature_mix_weights",
+    "ann_pq_topk", "ann_ivf_pq_topk", "hopping_window_counts",
+    "stream_hopping_hour", "stream_static_enrich", "funnel_conversion",
+    "gapfill_locf_hourly", "semdedup_prune", "cohort_retention",
+    "sliding_distinct_users", "activity_streaks", "mode_event_type",
+    "value_outliers_mad",
+    # advanced tail
+    "did_difference_in_differences", "srm_sample_ratio_check",
+    "winsorized_variant_means", "spatial_knn_radius", "weekly_growth_rates",
+    "arrival_anomaly_days", "funnel_time_to_convert", "abc_pareto_classes",
+    "event_transition_matrix", "rendezvous_sharding",
+    "session_duration_stats", "daily_retention_d1_d7",
+]
+
+
+def _apply_front_block(front: list[str]) -> None:
+    """Reorder REGISTRY in place: `front` first, rest in import order."""
+    missing = [n for n in front if n not in REGISTRY]
+    if missing:  # fail loudly — a typo here silently wastes driver slots
+        raise KeyError(f"front-block names not in registry: {missing}")
+    chosen = set(front)
+    reordered = {n: REGISTRY[n] for n in front}
+    reordered.update((n, s) for n, s in REGISTRY.items() if n not in chosen)
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_apply_front_block(ROUND3_FRONT)

@@ -8,27 +8,53 @@ at the start of a round to get:
 
 - every query with a green row (hash_match true) in ANY recorded round,
 - the never-verified remainder IN REGISTRY ORDER (the candidates to
-  front-load), grouped by module so the import-reorder in queries.py
+  front-load), grouped by module so the front-block edit in queries.py
   is mechanical,
+- greens whose defining module changed AFTER the round that verified
+  them (``stale_green`` — re-verify these once the never-verified pool
+  drains),
 - a warning if the current front-50 wastes slots on already-green
   queries.
 
-tests/test_registry_order.py pins the chosen front block; update both
-in the same commit when rotating.
+tests/test_registry_order.py pins the chosen front block; update it,
+``ROUND3_FRONT``-style lists, and ``FRONT_CHOSEN_AGAINST_ROUND`` in
+queries.py in the same commit when rotating.
 """
 
 from __future__ import annotations
 
 import json
+import re
+import subprocess
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+_ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
 
-def green_queries(repo: Path = REPO) -> set[str]:
-    """Names with a fully-green row in any CORRECTNESS_r*.json."""
-    green: set[str] = set()
+
+def _round_files(repo: Path, max_round: int | None = None) -> list[Path]:
+    out = []
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = _ROUND_RE.search(f.name)
+        if m and (max_round is None or int(m.group(1)) <= max_round):
+            out.append(f)
+    return out
+
+
+def green_queries(repo: Path = REPO, max_round: int | None = None) -> set[str]:
+    """Names with a fully-green row in any CORRECTNESS_r*.json
+    (optionally only rounds <= max_round)."""
+    return set(green_rounds(repo, max_round))
+
+
+def green_rounds(
+    repo: Path = REPO, max_round: int | None = None
+) -> dict[str, int]:
+    """name -> latest round number with a fully-green row."""
+    green: dict[str, int] = {}
+    for f in _round_files(repo, max_round):
+        rnd = int(_ROUND_RE.search(f.name).group(1))
         try:
             data = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
@@ -40,15 +66,57 @@ def green_queries(repo: Path = REPO) -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
 
 
-def rotation_report(budget: int = 50, repo: Path = REPO) -> dict:
+def _module_last_commit_ts(path: Path, repo: Path) -> int | None:
+    """Unix ts of the last commit touching `path`, or None if unknown."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", str(path)],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        )
+        return int(out.stdout.strip()) if out.stdout.strip() else None
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+
+
+def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
+    """Green queries whose defining module was committed AFTER the
+    CORRECTNESS artifact that last verified them: the driver evidence
+    is stale even though the local differential suite still covers
+    them. Re-verify these once never-verified queries run out."""
+    from dso_import_spark.queries import REGISTRY
+
+    greens = green_rounds(repo, max_round)
+    artifact_mtime: dict[int, float] = {
+        int(_ROUND_RE.search(f.name).group(1)): f.stat().st_mtime
+        for f in _round_files(repo, max_round)
+    }
+    mod_ts: dict[str, int | None] = {}
+    stale: list[str] = []
+    for name, rnd in greens.items():
+        spec = REGISTRY.get(name)
+        if spec is None or rnd not in artifact_mtime:
+            continue
+        mod = spec.spark.__module__
+        if mod not in mod_ts:
+            mod_file = repo / Path(mod.replace(".", "/") + ".py")
+            mod_ts[mod] = _module_last_commit_ts(mod_file, repo)
+        ts = mod_ts[mod]
+        if ts is not None and ts > artifact_mtime[rnd]:
+            stale.append(name)
+    return [n for n in REGISTRY if n in set(stale)]  # registry order
+
+
+def rotation_report(
+    budget: int = 50, repo: Path = REPO, max_round: int | None = None
+) -> dict:
     from dso_import_spark.queries import REGISTRY
 
     names = list(REGISTRY)
-    green = green_queries(repo) & set(names)
+    green = green_queries(repo, max_round) & set(names)
     never = [n for n in names if n not in green]
     front = names[:budget]
     wasted = [n for n in front if n in green]
@@ -65,6 +133,7 @@ def rotation_report(budget: int = 50, repo: Path = REPO) -> dict:
         "never_by_module": by_module,
         "front_budget": budget,
         "front_wasted_on_green": wasted,
+        "stale_green": stale_green(repo, max_round),
     }
 
 
@@ -75,6 +144,10 @@ def main() -> None:  # pragma: no cover - convenience CLI
     for mod, names in r["never_by_module"].items():
         print(f"  {mod} ({len(names)}): {', '.join(names[:6])}"
               + (" ..." if len(names) > 6 else ""))
+    if r["stale_green"]:
+        print(f"stale greens (module changed after verification): "
+              f"{len(r['stale_green'])}: {', '.join(r['stale_green'][:10])}"
+              + (" ..." if len(r["stale_green"]) > 10 else ""))
     if r["front_wasted_on_green"]:
         print(
             f"WARNING: {len(r['front_wasted_on_green'])} of the front-"
@@ -82,7 +155,8 @@ def main() -> None:  # pragma: no cover - convenience CLI
             + ", ".join(r["front_wasted_on_green"][:8])
         )
     else:
-        print(f"front-{r['front_budget']} contains no already-green queries — rotation is optimal")
+        print(f"front-{r['front_budget']} contains no already-green queries"
+              " — rotation is optimal")
 
 
 if __name__ == "__main__":

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import json
 
-from dso_import_spark.rotation import green_queries, rotation_report
+from dso_import_spark.rotation import (
+    green_queries,
+    green_rounds,
+    rotation_report,
+    stale_green,
+)
 
 
 def test_green_parsing(tmp_path):
@@ -17,14 +22,34 @@ def test_green_parsing(tmp_path):
     assert green_queries(tmp_path) == {"good"}
 
 
-def test_report_against_live_registry():
-    r = rotation_report()
-    from dso_import_spark.queries import REGISTRY
+def test_green_rounds_and_max_round(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    assert green_rounds(tmp_path) == {"a": 2, "b": 2}
+    assert green_queries(tmp_path, max_round=1) == {"a"}
 
+
+def test_report_against_live_registry():
+    # The front block was chosen against rounds <= FRONT_CHOSEN_AGAINST_ROUND;
+    # bound the check there so a NEW round's results landing mid-cycle can't
+    # retroactively red the suite (it's the next rotation's input instead).
+    from dso_import_spark.queries import FRONT_CHOSEN_AGAINST_ROUND, REGISTRY
+
+    r = rotation_report(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     assert r["total"] == len(REGISTRY)
-    # round 1 verified 48 queries; all of them exist in the registry
     assert r["green"] >= 40
-    # every never-verified name is a real registry entry
     assert set(r["never_verified"]) <= set(REGISTRY)
-    # round 2's front-50 was chosen to contain no already-green rows
+    # the front block must waste no slot on an already-green query
     assert r["front_wasted_on_green"] == []
+
+
+def test_stale_green_runs():
+    # smoke: registry-ordered subset of greens, no crash without git data
+    s = stale_green()
+    assert isinstance(s, list)
+    assert set(s) <= set(green_queries())
