@@ -163,6 +163,87 @@ def ivf_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_probe: int | None = None,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Hard-negative mining via IVF cell routing: for each query, the
+    top-k most-cosine-similar corpus vectors with a DIFFERENT label,
+    found by probing other-label cells — never a query×corpus
+    cartesian product.
+
+    Shape (the IVF candidate path the brute-force baseline lacks):
+    1. per-label centroids (n_labels rows) broadcast;
+    2. each query ranks the OTHER-label centroids by cosine and keeps
+       its ``n_probe`` nearest cells (None = all other cells — exact,
+       because cell == label here, so every different-label vector
+       lives in a probed cell);
+    3. candidates come from an equi-join on the cell id — the corpus
+       hash-partitions by label, queries fan out n_probe rows each —
+       then exact cosine reranks candidates only.
+
+    At 100 TB, ``n_probe`` bounds work to the n_probe nearest cells'
+    volume (the recall/cost knob every IVF index exposes); the plan
+    contains no CartesianProduct at any setting. Deterministic rank:
+    (rounded cosine desc, neighbor id asc).
+    Returns (query_id, rank, negative_id, neg_label, cos_sim).
+    """
+    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    probed = (
+        q.crossJoin(cents)  # broadcast nested loop over n_labels rows
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "qv",
+            "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+        )
+    )
+    if n_probe is not None:
+        cw = Window.partitionBy("query_id").orderBy(
+            F.col("cent_sim").desc(), F.col("label")
+        )
+        probed = (
+            probed.withColumn("crk", F.row_number().over(cw))
+            .filter(F.col("crk") <= n_probe)
+        )
+    probed = probed.select("query_id", "q_label", "qv", "label")
+    c = corpus.select(
+        F.col(corpus_id).alias("negative_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    cands = probed.join(c, "label")  # cell-pruned equi-join
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_scale)
+    scored = cands.select(
+        "query_id",
+        "negative_id",
+        F.col("label").alias("neg_label"),
+        sim.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "negative_id", "neg_label", "cos_sim")
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1734,29 +1734,21 @@ def dq_expectations_report(spark, sf_dir):
     "sampled anchor, the top-3 most-similar vectors with a DIFFERENT "
     "label — the near-misses that make embedding models learn "
     "boundaries (random negatives are too easy to carry gradient). "
-    "Same exact-cosine baseline shape as ann_brute_force_topk with a "
-    "label-exclusion predicate pushed into the pair filter; the "
-    "scale path swaps the exact scorer for ann_lsh/ivf candidates "
-    "and keeps the exclusion + rank stages unchanged.",
+    "Runs on the IVF candidate path (operators/similarity."
+    "hard_negative_topk): broadcast per-label centroids route each "
+    "query to other-label cells, candidates come from a label "
+    "equi-join (corpus hash-partitioned by cell — no query×corpus "
+    "cartesian product), exact cosine reranks candidates only. "
+    "n_probe bounds the probed-cell volume at scale; here it probes "
+    "all 9 other cells, which is exact (cell == label), so the "
+    "brute-force DuckDB oracle stays the falsifiable baseline.",
 )
 def hard_negative_mining(spark, sf_dir):
-    from dso_import_spark.operators.similarity import brute_force_topk
+    from dso_import_spark.operators.similarity import hard_negative_topk
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    out = brute_force_topk(
-        emb.filter(F.col("vec_id") % 101 == 0),
-        emb,
-        k=3,
-        query_extra=("label",),
-        corpus_extra=("label",),
-        pair_filter=F.col("label") != F.col("q_label"),
-    )
-    return out.select(
-        "query_id",
-        "rank",
-        F.col("neighbor_id").alias("negative_id"),
-        F.col("label").alias("neg_label"),
-        "cos_sim",
+    return hard_negative_topk(
+        emb.filter(F.col("vec_id") % 101 == 0), emb, k=3, n_probe=None
     )
 
 

