@@ -112,8 +112,13 @@ def bloom_prune(
 
     The 1-row bitmap rides in on a broadcast nested-loop append; the
     bit tests are pure Column arithmetic — no UDF, no shuffle, no
-    change to probe partitioning.
+    change to probe partitioning. The probe schema must not already
+    contain ``__bloom_words`` (reserved working column).
     """
+    if "__bloom_words" in probe.columns:
+        raise ValueError(
+            "probe already has a __bloom_words column (reserved)"
+        )
     checks = [
         (
             F.call_function(
@@ -146,9 +151,12 @@ def bloom_pruned_join(
 ) -> DataFrame:
     """Inner equi-join with the probe side Bloom-pruned first.
 
-    Row-identical to ``probe.join(build, keys)`` — the filter has no
-    false negatives — but the probe side entering the join exchange
-    carries only might-match rows.
+    Same matched pairs as ``probe.join(build, probe.probe_key ==
+    build.build_key)`` — the filter has no false negatives — but the
+    probe side entering the join exchange carries only might-match
+    rows. Like that expression join, the result retains BOTH key
+    columns (``probe_key`` and ``build_key``); select/drop one if the
+    coalesced single-key shape is wanted.
     """
     bloom = bloom_build(build, build_key, m, k)
     pruned = bloom_prune(probe, bloom, probe_key, m, k)

@@ -219,9 +219,13 @@ def merge_agg_partials(
 
     ``base_agg`` is the stored aggregate table (one row per key group);
     ``delta`` is the new raw rows. ``metrics`` maps each output column
-    to ``(source_column, kind)`` with kind in {sum, count, min, max} —
-    the algebraic aggregates whose partials combine losslessly
-    (sum+=sum, count+=count, min=min(min), max=max(max)). avg is
+    to ``(source_column, kind)`` with kind in {sum, count, count_star,
+    min, max} — the algebraic aggregates whose partials combine
+    losslessly (sum+=sum, count+=count, min=min(min), max=max(max)).
+    ``count`` is SQL count(col): NON-NULL values of the source column
+    only; ``count_star`` is count(*): rows regardless of NULLs (the
+    source column is ignored) — a NULL-bearing delta diverges between
+    the two, pick the one your recompute contract uses. avg is
     maintained as sum/count by the caller; non-algebraic aggregates
     (distinct, median) need sketches (see approx_distinct_sketch) or a
     recompute.
@@ -240,6 +244,7 @@ def merge_agg_partials(
             {
                 "sum": F.sum,
                 "count": F.count,
+                "count_star": lambda _src: F.count(F.lit(1)),
                 "min": F.min,
                 "max": F.max,
             }[kind](src).alias(out)
@@ -249,6 +254,7 @@ def merge_agg_partials(
     combine = {
         "sum": F.sum,
         "count": F.sum,  # counts combine by summing partial counts
+        "count_star": F.sum,
         "min": F.min,
         "max": F.max,
     }

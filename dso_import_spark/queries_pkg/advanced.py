@@ -350,7 +350,8 @@ def pagerank_shipments(spark, sf_dir):
 def incremental_agg_refresh(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     metrics = {
-        "n_events": ("value", "count"),
+        # count_star == the oracle's count(*): rows, not non-null values
+        "n_events": ("value", "count_star"),
         "total_value": ("value", "sum"),
         "min_value": ("value", "min"),
         "max_value": ("value", "max"),
@@ -358,7 +359,7 @@ def incremental_agg_refresh(spark, sf_dir):
     history = events.where(F.col("event_id") % 7 != 0)
     delta = events.where(F.col("event_id") % 7 == 0)
     base = history.groupBy("event_type").agg(
-        F.count("value").alias("n_events"),
+        F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
@@ -542,15 +543,19 @@ def ewma_fixed_lags(spark, sf_dir):
     weights = [
         _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)
     ]
-    lags = [F.col("value")] + [
-        F.lag("value", j).over(win) for j in range(1, _EWMA_K)
-    ]
-    num = sum(
-        (F.coalesce(c, F.lit(0.0)) * w for c, w in zip(lags, weights)),
+    lag_cols = [F.lag("value", j).over(win) for j in range(1, _EWMA_K)]
+    # the lag-0 term is NOT coalesced: a NULL current value must yield
+    # a NULL ewma (as the oracle's 0.5*value propagates), while missing
+    # *history* near series start renormalizes over the lags that exist
+    num = F.col("value") * weights[0] + sum(
+        (F.coalesce(c, F.lit(0.0)) * w for c, w in zip(lag_cols, weights[1:])),
         F.lit(0.0),
     )
-    den = sum(
-        (F.when(c.isNull(), 0.0).otherwise(w) for c, w in zip(lags, weights)),
+    den = F.lit(weights[0]) + sum(
+        (
+            F.when(c.isNull(), 0.0).otherwise(w)
+            for c, w in zip(lag_cols, weights[1:])
+        ),
         F.lit(0.0),
     )
     return (

@@ -123,3 +123,31 @@ def test_did_equals_cell_arithmetic(spark, sf_dir):
     # rounded to 6 decimals, so the identity can legitimately drift by
     # up to 2e-6 when the roundings land on opposite sides
     assert abs(r["did"] - round(r["delta_a"] - r["delta_b"], 6)) <= 2.1e-6
+
+
+def test_ewma_null_current_value_yields_null(spark, tmp_path):
+    # oracle semantics: numerator 0.5*value propagates NULL — a NULL
+    # current value must NOT be renormalized into a number. Drives the
+    # REAL registered query over a tmp fixture (the shipped fixture has
+    # no NULL values, which is exactly the latent gap).
+    import pandas as pd
+
+    from dso_import_spark.queries import REGISTRY
+
+    # event_ids multiples of 101 so the query's sample filter keeps them
+    rows = [
+        (0, 1, 10.0, "2024-01-01 00:00:00"),
+        (101, 1, None, "2024-01-01 00:01:00"),
+        (202, 1, 30.0, "2024-01-01 00:02:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["event_type"] = "x"
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = {
+        r.event_id: r.ewma
+        for r in REGISTRY["ewma_fixed_lags"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == 10.0
+    assert out[101] is None        # NULL current value → NULL ewma
+    assert out[202] is not None    # NULL history renormalizes, not NULLs

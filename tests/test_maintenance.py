@@ -270,3 +270,27 @@ def test_merge_agg_partials_new_and_untouched_keys(spark):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in out.collect()}
     assert got == {"a": (3, 17.0), "b": (1, 5.0), "c": (1, 1.0)}
+
+
+def test_merge_agg_count_vs_count_star_null_delta(spark):
+    # 'count' = non-null source values; 'count_star' = rows. A
+    # NULL-bearing delta must diverge between the two exactly as
+    # count(col) vs count(*) do in SQL.
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.maintenance import merge_agg_partials
+
+    base = spark.createDataFrame(
+        [("a", 2, 2)], "k string, n_vals long, n_rows long"
+    )
+    delta = spark.createDataFrame(
+        [("a", None), ("a", 5.0)], "k string, v double"
+    )
+    out = merge_agg_partials(
+        base,
+        delta,
+        ["k"],
+        {"n_vals": ("v", "count"), "n_rows": ("v", "count_star")},
+    ).collect()[0]
+    assert out.n_vals == 3   # 2 + one non-null
+    assert out.n_rows == 4   # 2 + two rows
