@@ -43,12 +43,45 @@ class MergePlan:
     merged: DataFrame  # the post-merge table contents
 
 
-def plan_merge(existing: DataFrame, staged: DataFrame, key: str = "id") -> MergePlan:
+# non-key column count at/above which plan_merge's "auto" compare
+# switches to the narrow fingerprint path (the shuffle is width-bound:
+# SCALING.md measured the full-row compare at 28× for 100× data)
+NARROW_WIDTH = 4
+
+
+def plan_merge(
+    existing: DataFrame,
+    staged: DataFrame,
+    key: str = "id",
+    compare: str = "auto",
+) -> MergePlan:
     """Build the insert-new / update-changed / never-delete merge plan.
 
     Column sets of both sides must match (enforced). The merged output
     is existing-unchanged ∪ staged-changed ∪ staged-new — i.e. exactly
     what Postgres holds after the reference's transaction.
+
+    ``compare`` picks the change-detection plan:
+
+    - ``"exact"`` — full-width join on ``key``, NULL-safe whole-tuple
+      struct compare (Postgres ``IS DISTINCT FROM``). The shuffle
+      carries full row width on both sides.
+    - ``"fingerprint"`` — the 100 TB path: both sides first project to
+      ``(key, 64-bit NULL-safe fingerprint)``, one NARROW full-outer
+      join classifies every key as new/changed/unchanged/deleted, and
+      the wide outputs come from key semi-joins back into the original
+      relations (Catalyst prunes those to the key column when a
+      consumer only counts). The changed/unchanged split can miscount
+      with probability 2^-64 per matched pair (fingerprint collision);
+      ``merged`` content is exact regardless — every key's surviving
+      row is the staged row, and fp-equal rows are content-equal up to
+      that same bound, so ``merged`` IS the staged relation.
+    - ``"auto"`` (default) — ``fingerprint`` when the table has >=
+      ``NARROW_WIDTH`` non-key columns, else ``exact``.
+
+    In exact mode the ``unchanged`` output carries the EXISTING rows,
+    in fingerprint mode the staged rows — content-equal by definition
+    of unchanged.
 
     The staged side is renamed (``__s_`` prefix) before joining, so the
     plan stays unambiguous even when ``staged`` is derived from
@@ -61,6 +94,12 @@ def plan_merge(existing: DataFrame, staged: DataFrame, key: str = "id") -> Merge
         )
     cols = existing.columns
     non_key = [c for c in cols if c != key]
+    if compare not in ("auto", "exact", "fingerprint"):
+        raise ValueError(f"unknown compare mode: {compare!r}")
+    if compare == "auto":
+        compare = "fingerprint" if len(non_key) >= NARROW_WIDTH else "exact"
+    if compare == "fingerprint":
+        return _plan_merge_narrow(existing, staged, key, cols, non_key)
     s = staged.select([F.col(c).alias(f"__s_{c}") for c in cols])
     skey = F.col(f"__s_{key}")
 
@@ -87,6 +126,51 @@ def plan_merge(existing: DataFrame, staged: DataFrame, key: str = "id") -> Merge
         unchanged=unchanged,
         deleted=deleted,
         merged=merged,
+    )
+
+
+def _plan_merge_narrow(
+    existing: DataFrame,
+    staged: DataFrame,
+    key: str,
+    cols: list[str],
+    non_key: list[str],
+) -> MergePlan:
+    """Fingerprint-mode plan body (see plan_merge): narrow classify,
+    then key semi-joins back into the wide relations."""
+    # both narrow sides rename the key: existing/staged often share
+    # lineage (staged derived from existing), and distinct names keep
+    # every later join free of ambiguous-self-join resolution
+    e = existing.select(
+        F.col(key).alias("__ke"), row_fingerprint(non_key).alias("__fp_e")
+    )
+    s = staged.select(
+        F.col(key).alias("__ks"), row_fingerprint(non_key).alias("__fp_s")
+    )
+    cls = s.join(e, F.col("__ks") == F.col("__ke"), "full_outer").select(
+        F.coalesce(F.col("__ks"), F.col("__ke")).alias("__k"),
+        F.col("__fp_e").isNull().alias("__is_new"),
+        F.col("__fp_s").isNull().alias("__is_del"),
+        (
+            F.col("__fp_e").isNotNull()
+            & F.col("__fp_s").isNotNull()
+            & (F.col("__fp_e") != F.col("__fp_s"))
+        ).alias("__is_chg"),
+    )
+
+    def back(wide: DataFrame, flag) -> DataFrame:
+        keys = cls.filter(flag).select("__k")
+        return wide.join(
+            keys, F.col(key) == F.col("__k"), "left_semi"
+        ).select(cols)
+
+    new, chg, dele = F.col("__is_new"), F.col("__is_chg"), F.col("__is_del")
+    return MergePlan(
+        inserted=back(staged, new),
+        updated=back(staged, chg),
+        unchanged=back(staged, ~new & ~dele & ~chg),
+        deleted=back(existing, dele),
+        merged=staged.select(cols),  # content-exact: see plan_merge doc
     )
 
 

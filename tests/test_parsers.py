@@ -176,3 +176,32 @@ def test_merge_nullsafe_array_compare(spark):
     assert plan.updated.count() == 1  # only c (array changed)
     assert plan.unchanged.count() == 2  # NULL == NULL is not a change
     assert plan.inserted.count() == 0
+
+
+def test_plan_merge_modes_agree_on_updates(spark):
+    # fingerprint vs exact: same classified rows, including the
+    # self-derived-lineage case (staged computed from existing) that
+    # trips Spark's ambiguous-self-join analysis if keys leak names
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.merge import plan_merge
+
+    existing = spark.createDataFrame(
+        [(1, 10, "a", None, 1.0), (2, 20, "b", "q", 2.0), (3, 30, None, "r", None)],
+        "id int, x int, y string, z string, w double",
+    )
+    staged = existing.withColumn(
+        "x", F.when(F.col("id") == 2, 99).otherwise(F.col("x"))
+    ).unionByName(
+        spark.createDataFrame([(4, 40, "d", None, 4.0)], existing.schema)
+    )
+    exact = plan_merge(existing, staged, key="id", compare="exact")
+    narrow = plan_merge(existing, staged, key="id", compare="fingerprint")
+    for field in ("inserted", "updated", "unchanged", "deleted", "merged"):
+        got_e = sorted(map(tuple, getattr(exact, field).collect()))
+        got_n = sorted(map(tuple, getattr(narrow, field).collect()))
+        assert got_e == got_n, field
+    # 5 non-key columns → auto picks the fingerprint plan
+    auto = plan_merge(existing, staged, key="id")
+    plan_str = auto.updated._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan_str

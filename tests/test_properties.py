@@ -150,19 +150,23 @@ def test_merge_partition_and_idempotence(spark, existing, staged):
     schema = "id int, x int, y string"
     e = spark.createDataFrame(existing, schema)
     s = spark.createDataFrame(staged, schema)
-    plan = plan_merge(e, s, key="id")
+    # both compare modes must satisfy every invariant identically —
+    # the narrow fingerprint plan is a drop-in for the exact plan
+    # (NULL-bearing tuples included: row_fingerprint is NULL-safe)
+    for mode in ("exact", "fingerprint"):
+        plan = plan_merge(e, s, key="id", compare=mode)
 
-    e_keys = {r[0] for r in existing}
-    s_keys = {r[0] for r in staged}
-    n_ins = plan.inserted.count()
-    n_upd = plan.updated.count()
-    n_unch = plan.unchanged.count()
-    assert n_ins == len(s_keys - e_keys)
-    assert n_ins + n_upd + n_unch == len(s_keys)
-    assert plan.deleted.count() == len(e_keys - s_keys)
-    assert sorted(map(tuple, plan.merged.collect())) == sorted(staged)
+        e_keys = {r[0] for r in existing}
+        s_keys = {r[0] for r in staged}
+        n_ins = plan.inserted.count()
+        n_upd = plan.updated.count()
+        n_unch = plan.unchanged.count()
+        assert n_ins == len(s_keys - e_keys)
+        assert n_ins + n_upd + n_unch == len(s_keys)
+        assert plan.deleted.count() == len(e_keys - s_keys)
+        assert sorted(map(tuple, plan.merged.collect())) == sorted(staged)
 
-    replay = plan_merge(plan.merged, plan.merged, key="id")
-    assert replay.inserted.count() == 0
-    assert replay.updated.count() == 0
-    assert replay.deleted.count() == 0
+        replay = plan_merge(plan.merged, plan.merged, key="id", compare=mode)
+        assert replay.inserted.count() == 0
+        assert replay.updated.count() == 0
+        assert replay.deleted.count() == 0
