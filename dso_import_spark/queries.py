@@ -75,6 +75,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     layout,
     llm_pipeline,
     advanced,
+    corpus_quality,
 )
 
 # ROUND 3 FRONT BLOCK (applied): exactly 50 queries that have never had
