@@ -123,8 +123,8 @@ def boilerplate_ngram_mass(spark, sf_dir):
     "tie-break. Pairs come from a narrow array zip (sequence + "
     "element_at, no window and no per-doc shuffle); the only "
     "exchange is the map-side-combined pair count, bounded by "
-    "vocabulary², and the final top-k is a WindowGroupLimit over "
-    "that collapsed table — the plan a distributed BPE trainer "
+    "vocabulary², and the final top-k ranks only that collapsed "
+    "table — the plan a distributed BPE trainer "
     "runs per merge round over 100 TB of tokenized text.",
 )
 def bpe_pair_merge_counts(spark, sf_dir):
