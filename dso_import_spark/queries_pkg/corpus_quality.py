@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dso_import_spark.queries import query
-from dso_import_spark.queries_pkg.util import tables
+from dso_import_spark.queries_pkg.util import spread_for_explode, tables
 
 # shingle width for the duplicated-mass signal: 2 on this fixture's
 # 31-term vocabulary (961 possible bigrams — collisions are the
@@ -67,6 +67,7 @@ _BP_DF = 0.05
 )
 def boilerplate_ngram_mass(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
     ws = F.split(F.col("text"), " ")
     shingled = docs.select(
         "doc_id",
@@ -131,6 +132,7 @@ def bpe_pair_merge_counts(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("text"))
     ws = F.split(F.col("text"), " ")
     pairs = docs.select(
         F.explode(

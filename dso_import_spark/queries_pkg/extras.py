@@ -1401,8 +1401,10 @@ def sliding_distinct_users(spark, sf_dir):
 def sparse_tfidf_topk(spark, sf_dir):
     from pyspark.sql import Window
 
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
-    t = docs.select(
+    t = spread_for_explode(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )

@@ -51,3 +51,22 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     tune_session(spark)
     ensure_shipped(spark)
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def spread_for_explode(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition a relation ahead of a high-amplification
+    explode (shingles, token pairs, n-grams).
+
+    Input-split sizing is the wrong parallelism unit for explode-heavy
+    plans: `files.maxPartitionBytes` bounds *bytes read*, but a 300×
+    amplification turns a single modest split into one task holding
+    hundreds of millions of generated rows (measured: the ×10
+    documents fixture reads as ONE split and bpe_pair_merge_counts ran
+    single-threaded, 23 s; spread, it uses every core). The extra
+    exchange carries the narrow pre-explode projection — the cheapest
+    relation in the whole plan. No effect on results: repartitioning
+    never changes aggregation semantics (asserted engine-wide by the
+    differential suite).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(max(8, n), *key_cols) if key_cols else df.repartition(max(8, n))
