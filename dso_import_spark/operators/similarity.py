@@ -760,6 +760,11 @@ def semantic_dedup(
             F.transform(v, lambda x: x / norm(v)).alias("u"),
         )
         .join(assign.select("vec_id", "cluster"), "vec_id")
+        # three consumers (both pair-join sides + the final left join)
+        # would each replay the normalize + k-means-assignment join;
+        # the relation is |corpus| rows of (id, unit vec, cluster) —
+        # materialize once (README "truncate lineage when reused")
+        .localCheckpoint(eager=True)
     )
     n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     a = base.select(
