@@ -95,3 +95,50 @@ def test_payload_sha_stable(media):
            for r in media.limit(10).collect()}
     for r in got:
         assert r["sha"] == hashlib.sha256(raw[r["doc_id"]]).hexdigest()
+
+
+def test_decode_netpbm_real_images():
+    # the REAL codec tier: binary netpbm parsed from the public spec
+    from dso_import_spark.operators.multimodal import decode_netpbm
+
+    # P6 RGB 2x2, maxval 255, with a header comment
+    raster = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    p6 = b"P6\n# a comment\n2 2\n255\n" + raster
+    assert decode_netpbm(p6) == (2, 2, round(sum(raster) / 12, 6))
+    # P5 grayscale 3x1
+    p5 = b"P5 3 1 255 " + bytes([0, 128, 255])
+    assert decode_netpbm(p5) == (3, 1, round((0 + 128 + 255) / 3, 6))
+    # rejects: truncated raster, 16-bit maxval, not an image
+    assert decode_netpbm(b"P6\n2 2\n255\n" + raster[:-1]) is None
+    assert decode_netpbm(b"P5 2 2 65535 " + raster) is None
+    assert decode_netpbm(b"DSO1\x01whatever") is None
+    assert decode_netpbm(b"") is None
+
+
+def test_decode_media_mixed_real_and_synthetic(spark):
+    # one mapInPandas pass decodes real netpbm rows for real and DSO1
+    # rows through the gated stub — identical batch shape
+    from dso_import_spark.operators.multimodal import (
+        MAGIC,
+        decode_media,
+        synthesize_media,
+    )
+
+    raster = bytes(range(12))
+    p6 = b"P6 2 2 255 " + raster
+    real = spark.createDataFrame(
+        [(999999, bytearray(p6))], "doc_id long, payload binary"
+    )
+    docs = spark.createDataFrame(
+        [(0, "hello world")], "doc_id long, text string"
+    )
+    synth = synthesize_media(docs).select("doc_id", "payload")
+    out = {
+        r.doc_id: r
+        for r in decode_media(real.unionByName(synth), allow_fake=True).collect()
+    }
+    assert out[999999].media_type == "image"
+    assert (out[999999].width, out[999999].height) == (2, 2)
+    assert out[999999].mean_byte == round(sum(raster) / 12, 6)
+    assert out[0].media_type == "image"  # doc_id 0 -> image modality
+    assert bytes(MAGIC) not in bytes(p6)
