@@ -441,10 +441,15 @@ def duplicated_span_stats(
     (doc_id, n_tokens, n_dup_spans, n_dup_shingles, covered_tokens,
     dup_coverage) — zero-filled for documents with no duplicated span.
     """
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    sized = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).withColumn(
-        "n", F.size("t").cast("long")
-    )
+    # ~n_tokens× shingle amplification: parallelize by rows, not input
+    # splits (see spread_for_explode — one modest split otherwise
+    # explodes single-threaded)
+    sized = spread_for_explode(
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("t")), "doc_id"
+    ).withColumn("n", F.size("t").cast("long"))
     starts = F.when(
         F.col("n") >= n, F.sequence(F.lit(1).cast("long"), F.col("n") - (n - 1))
     ).otherwise(F.array().cast("array<long>"))

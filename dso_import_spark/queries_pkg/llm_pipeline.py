@@ -146,7 +146,11 @@ def seq_packing_bins(spark, sf_dir):
     "duplicated_span_stats.",
 )
 def decontam_ngram_overlap(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
+    # ~300x gram amplification: parallelize by rows, not input splits
+    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
     w = F.split(F.lower(F.col("text")), " ")
     # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
     # explicitly (DuckDB generate_series(1, 0) is empty).
