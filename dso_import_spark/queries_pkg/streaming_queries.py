@@ -287,3 +287,59 @@ def stream_interval_left_outer(spark, sf_dir):
         "purchase_id",
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+@query(
+    "stream_interval_full_outer",
+    oracle="""
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.event_id AS view_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           b.event_id AS purchase_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(b.value, 6) AS purchase_value
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-28') a
+    FULL JOIN (SELECT * FROM events
+               WHERE event_type = 'purchase'
+                 AND ts < TIMESTAMP '2024-01-28') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream FULL OUTER interval join — the "
+    "completion of the outer-join matrix: matched pairs as windows "
+    "close, unmatched views null-padded when no purchase can still "
+    "arrive, and unmatched purchases null-padded when no view can "
+    "still arrive (conversions with no preceding impression — the "
+    "attribution-gap half neither inner nor left-outer emission can "
+    "surface). Both sides are cut before stream end so every "
+    "retained window provably closes under the final availableNow "
+    "watermark, making append-mode output equal the batch FULL "
+    "JOIN; runs under multipleWatermarkPolicy=max (restored after) "
+    "because both sides are artificially ended by their cutoffs.",
+)
+def stream_interval_full_outer(spark, sf_dir):
+    from dso_import_spark.streaming.events import interval_join_full_outer
+
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev = spark.conf.get(policy_key, "min")
+    spark.conf.set(policy_key, "max")
+    try:
+        out = drain_to_memory(
+            interval_join_full_outer(
+                _stream(spark, sf_dir), safe_before="2024-01-28"
+            ),
+            "q_stream_interval_full_outer",
+            "append",
+        )
+    finally:
+        spark.conf.set(policy_key, prev)
+    return out.select(
+        "user_id",
+        "view_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

@@ -365,6 +365,77 @@ def interval_join_left_outer(
     )
 
 
+def interval_join_full_outer(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    safe_before: str | None = None,
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join — completes
+    the outer-join matrix: matched pairs as their windows close,
+    unmatched VIEWS null-padded when no purchase can still arrive,
+    and unmatched PURCHASES null-padded when no view can still arrive
+    (a purchase matches views in [purchase_ts - gap, purchase_ts], so
+    its side closes once the view watermark passes purchase_ts).
+
+    State is bounded on both sides: a view evicts at watermark >
+    view_ts + gap, a purchase at watermark > purchase_ts. The
+    "orphaned purchases" half answers the attribution-gap question —
+    conversions with no preceding impression — which neither inner
+    nor left-outer emission can surface on an unbounded stream.
+
+    ``safe_before`` applies the closure cutoff to BOTH sides (unlike
+    the left-outer variant, both sides emit null-padded rows, so both
+    must provably close under the final availableNow watermark for
+    the append-mode result to equal the batch FULL JOIN). Crucially
+    the watermark is assigned BEFORE the cutoff filter: a filtered
+    side's own watermark otherwise stalls at cutoff − delay and can
+    never close its own tail (cut rows stop arriving, so nothing
+    advances event time past them) — tracking the full stream while
+    joining only the cut rows lets the watermark sweep past both
+    cutoffs and close every retained window.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    if safe_before is not None:
+        views = views.filter(F.col("view_ts") < F.lit(safe_before))
+        purchases = purchases.filter(F.col("purchase_ts") < F.lit(safe_before))
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+        )
+    )
+    return views.join(purchases, cond, "full_outer").select(
+        # user_id comes from whichever side matched (NULL on the other)
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def latest_per_user(events: DataFrame) -> DataFrame:
     """Deterministic latest-event-per-user reduction: max (ts, event_id)."""
     from pyspark.sql.window import Window

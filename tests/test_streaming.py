@@ -135,3 +135,18 @@ def test_stream_upsert_latest_incremental(spark, sf_dir, batch_events, tmp_path)
         if not f.startswith(".")
     ]
     assert len(commits) == 3
+
+
+def test_full_outer_interval_join_emits_both_orphan_sides(spark, sf_dir):
+    # the FULL OUTER completion: null-padded rows appear on BOTH
+    # sides, and the matched core equals the left-outer variant's
+    from dso_import_spark.queries import REGISTRY
+
+    rows = REGISTRY["stream_interval_full_outer"].spark(spark, sf_dir).collect()
+    assert rows
+    orphan_views = [r for r in rows if r.purchase_id is None]
+    orphan_purchases = [r for r in rows if r.view_id is None]
+    matched = [r for r in rows if r.view_id is not None and r.purchase_id is not None]
+    assert orphan_views and orphan_purchases and matched
+    # every row carries a user_id (coalesced from whichever side exists)
+    assert all(r.user_id is not None for r in rows)
