@@ -124,6 +124,9 @@ FRONT_CHOSEN_AGAINST_ROUND = 2
 
 # ROUND 4 QUEUE (pre-staged): the never-verified remainder after round
 # 3 lands, in intended order — promote to the front block next round.
+# Ends with the four operators ADDED in round 3 (corpus_quality ×3 and
+# the FULL OUTER streaming join); ~10 spare round-4 slots go to
+# `stale_green` re-verifies (python -m dso_import_spark.rotation).
 ROUND4_QUEUE = [
     # llm_pipeline
     "lm_bigram_quality", "source_overlap_matrix", "quality_classifier_score",
@@ -143,19 +146,26 @@ ROUND4_QUEUE = [
     "arrival_anomaly_days", "funnel_time_to_convert", "abc_pareto_classes",
     "event_transition_matrix", "rendezvous_sharding",
     "session_duration_stats", "daily_retention_d1_d7",
+    # added in round 3, never driver-checked
+    "boilerplate_ngram_mass", "bpe_pair_merge_counts",
+    "length_quantile_filter", "stream_interval_full_outer",
 ]
 
 
-def _apply_front_block(front: list[str]) -> None:
-    """Reorder REGISTRY in place: `front` first, rest in import order."""
-    missing = [n for n in front if n not in REGISTRY]
+def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
+    """Reorder REGISTRY in place: `front` first, then `then` (the
+    staged next-round queue — if the driver's per-round budget ever
+    exceeds the front block, the surplus lands on never-verified
+    queries instead of already-green ones), rest in import order."""
+    missing = [n for n in [*front, *then] if n not in REGISTRY]
     if missing:  # fail loudly — a typo here silently wastes driver slots
         raise KeyError(f"front-block names not in registry: {missing}")
-    chosen = set(front)
-    reordered = {n: REGISTRY[n] for n in front}
+    head = [*front, *(n for n in then if n not in set(front))]
+    chosen = set(head)
+    reordered = {n: REGISTRY[n] for n in head}
     reordered.update((n, s) for n, s in REGISTRY.items() if n not in chosen)
     REGISTRY.clear()
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND3_FRONT)
+_apply_front_block(ROUND3_FRONT, ROUND4_QUEUE)
