@@ -578,38 +578,45 @@ def q20_part_promotion_suppliers(spark, sf_dir):
     GROUP BY s.s_name
     """,
     doc="TPC-H Q21-style 'suppliers who kept orders waiting': the only "
-    "late supplier on multi-supplier finished orders (exists + "
-    "not-exists re-expressed as per-order distinct-supplier counts — "
-    "two aggregates instead of two correlated self-joins).",
+    "late supplier on multi-supplier finished orders. The exists + "
+    "not-exists pair collapses into ONE pass: lineitem joins finished "
+    "orders once, then a single per-order aggregate computes distinct "
+    "suppliers, distinct LATE suppliers, the sole late supplier "
+    "(max over a 1-element set), and the late-row count — three "
+    "lineitem scans become one scan + one shuffle, and the oracle "
+    "keeps the textbook multi-CTE formulation as the falsifiable "
+    "contract.",
 )
 def q21_waiting_suppliers(spark, sf_dir):
     li, orders, supp = tables(spark, sf_dir, "lineitem", "orders", "supplier")
     finished = orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    late = (
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    # one pass: every finished order's lineitems, late-ness as a flag
+    per_order = (
         li.join(finished, finished.o_orderkey == li.l_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
-    )
-    sole_late = (
-        late.groupBy(F.col("l_orderkey").alias("lo"))
-        .agg(F.countDistinct("l_suppkey").alias("n_late"))
-        .filter(F.col("n_late") == 1)
-        .select("lo")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            # the sole late supplier (valid under the n_late_supp == 1
+            # filter: max over a one-element set)
+            F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_rows"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        late.join(multi, "l_orderkey")
-        .join(sole_late, sole_late.lo == late.l_orderkey)
-        .join(F.broadcast(supp), supp.s_suppkey == late.l_suppkey)
+        per_order.join(
+            F.broadcast(supp), supp.s_suppkey == per_order.late_supp
+        )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
     )
 
 
