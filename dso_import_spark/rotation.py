@@ -137,6 +137,21 @@ def rotation_report(
     }
 
 
+def next_front(
+    budget: int = 50, repo: Path = REPO, max_round: int | None = None
+) -> list[str]:
+    """The recommended next-round front block: every never-verified
+    query in registry order (the staged queue sits right behind the
+    current front, so this is the queue plus any newer additions),
+    then stale greens (module changed after their verifying round),
+    truncated to the driver budget. Paste into queries.py as the next
+    ROUND*_FRONT and bump FRONT_CHOSEN_AGAINST_ROUND."""
+    r = rotation_report(budget, repo, max_round)
+    picks = list(r["never_verified"])
+    picks += [n for n in r["stale_green"] if n not in set(picks)]
+    return picks[:budget]
+
+
 def main() -> None:  # pragma: no cover - convenience CLI
     r = rotation_report()
     print(f"registry: {r['total']} queries; driver-green: {r['green']}")
@@ -157,6 +172,8 @@ def main() -> None:  # pragma: no cover - convenience CLI
     else:
         print(f"front-{r['front_budget']} contains no already-green queries"
               " — rotation is optimal")
+    nf = next_front()
+    print(f"recommended next front-{len(nf)}: {', '.join(nf[:8])} ...")
 
 
 if __name__ == "__main__":

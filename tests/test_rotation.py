@@ -53,3 +53,25 @@ def test_stale_green_runs():
     s = stale_green()
     assert isinstance(s, list)
     assert set(s) <= set(green_queries())
+
+
+def test_next_front_prefers_never_verified_then_stale(tmp_path):
+    import json
+
+    from dso_import_spark.queries import REGISTRY
+    from dso_import_spark.rotation import next_front
+
+    # all-green world: next front should consist of stale greens only
+    # (none here, no git data in tmp repo) — and never crash
+    names = list(REGISTRY)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in names
+    }))
+    nf = next_front(budget=10, repo=tmp_path)
+    assert isinstance(nf, list) and len(nf) <= 10
+    # real repo: the recommendation starts with never-verified queries
+    # in registry order and fits the budget
+    real = next_front(budget=50)
+    assert len(real) == 50
+    assert real[0] in set(names)
