@@ -76,6 +76,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     llm_pipeline,
     advanced,
     corpus_quality,
+    curation,
 )
 
 # ROUND 3 FRONT BLOCK (applied): exactly 50 queries that have never had

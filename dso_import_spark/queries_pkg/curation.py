@@ -1,0 +1,429 @@
+"""Corpus-curation statistics: quality gating and embedding prep.
+
+Second round-3 batch of training-data-pipeline operators, covering the
+two curation stages the earlier modules left open:
+
+- text-quality *decisions* rather than raw signals:
+  ``char_entropy_quality`` (gibberish detector),
+  ``gopher_quality_gate`` (a composite rule funnel with per-rule drop
+  counts, the shape of Gopher/C4 document filtering),
+  ``ngram_novelty_decay`` (how fast a growing corpus stops
+  contributing new shingles — the crawl-more-or-stop signal),
+  ``word_zipf_slope`` (per-source Zipf exponent fit, a
+  distribution-health check);
+- embedding-corpus preparation:
+  ``embedding_dim_stats`` (per-dimension moments for whitening/PCA
+  prep), ``embedding_quantize_int8`` (symmetric per-dimension int8
+  quantization with reconstruction-error report — the vector-DB
+  compression step).
+
+All are pure DataFrame plans with exact DuckDB oracles. Scale notes
+live on each operator; the common shape is explode → map-side-combined
+aggregate bounded by a small domain (charset, vocabulary, dims), which
+is the only explode pattern that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import spread_for_explode, tables
+
+# gopher_quality_gate rule constants (mirrored literally in the oracle)
+_G_MIN_WORDS = 30
+_G_MAX_WORDS = 120
+_G_MIN_WLEN = 3.0
+_G_MAX_WLEN = 8.0
+_G_MIN_STOP = 2  # occurrences of {'the','a'}
+_G_MAX_REP = 0.125  # max single-word share of the document
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH ch AS (SELECT doc_id, source,
+                       unnest(string_split(text, '')) AS ch
+                FROM documents),
+    cnt AS (SELECT doc_id, source, ch, count(*)::DOUBLE AS c
+            FROM ch GROUP BY doc_id, source, ch),
+    ent AS (SELECT doc_id, source,
+                   log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+            FROM cnt GROUP BY doc_id, source)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(h), 6) AS avg_entropy,
+           round(min(h), 6) AS min_entropy,
+           round(max(h), 6) AS max_entropy
+    FROM ent GROUP BY source ORDER BY source
+    """,
+    doc="Per-document character-distribution Shannon entropy, "
+    "aggregated per source — the classic gibberish/encoding-noise "
+    "detector (mojibake and base64 blobs sit far from natural-language "
+    "entropy; low-entropy docs are repeated-char padding). Uses the "
+    "shuffle-free identity H = log2(n) - sum(c*log2 c)/n so one "
+    "map-side-combined (doc, char) count feeds one per-doc aggregate; "
+    "the char explode amplifies ~400x, so the input is hash-spread "
+    "first (see spread_for_explode). The (doc, char) relation is "
+    "bounded by |doc| x |charset| — at 100 TB the per-task combine "
+    "collapses it to ~100 distinct chars per doc before any exchange.",
+)
+def char_entropy_quality(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("doc_id", "source", "text"), "doc_id")
+    chars = docs.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
+    )
+    cnt = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    ent = cnt.groupBy("doc_id", "source").agg(
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("h")
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    pw AS (SELECT doc_id, w, count(*)::DOUBLE AS c
+           FROM w GROUP BY doc_id, w),
+    pd AS (SELECT doc_id,
+                  sum(c) AS n_words,
+                  sum(c * length(w)) / sum(c) AS mean_wlen,
+                  sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END)
+                    AS n_stop,
+                  max(c) AS max_c
+           FROM pw GROUP BY doc_id),
+    flags AS (SELECT
+                CASE WHEN n_words < {_G_MIN_WORDS}
+                       OR n_words > {_G_MAX_WORDS} THEN 1 ELSE 0 END
+                  AS f_len,
+                CASE WHEN mean_wlen < {_G_MIN_WLEN}
+                       OR mean_wlen > {_G_MAX_WLEN} THEN 1 ELSE 0 END
+                  AS f_wlen,
+                CASE WHEN n_stop < {_G_MIN_STOP} THEN 1 ELSE 0 END
+                  AS f_stop,
+                CASE WHEN max_c / n_words > {_G_MAX_REP} THEN 1 ELSE 0
+                  END AS f_rep
+              FROM pd)
+    SELECT count(*)::BIGINT AS n_docs,
+           sum(f_len)::BIGINT AS n_fail_length,
+           sum(f_wlen)::BIGINT AS n_fail_word_length,
+           sum(f_stop)::BIGINT AS n_fail_stopwords,
+           sum(f_rep)::BIGINT AS n_fail_repetition,
+           sum(CASE WHEN f_len + f_wlen + f_stop + f_rep = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass
+    FROM flags
+    """,
+    doc="Gopher-style composite document-quality gate as a funnel "
+    "report: word-count bounds, mean-word-length bounds, minimum "
+    "stopword occurrences, and a max single-word repetition share, "
+    "with per-rule failure counts plus the pass-all count (the "
+    "numbers a curation run publishes before committing a filter). "
+    "One explode feeds one (doc, word) map-side-combined count from "
+    "which every rule statistic derives in a single per-doc "
+    "aggregate — no joins, no windows; the final funnel is a "
+    "single-row global aggregate. Rule thresholds are constants "
+    "mirrored in the oracle (Gopher's published values, rescaled to "
+    "the fixture's 30-120-word documents).",
+)
+def gopher_quality_gate(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    pw = w.groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("c"))
+    pd = pw.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_wlen"),
+        F.sum(
+            F.when(F.col("w").isin("the", "a"), F.col("c")).otherwise(0.0)
+        ).alias("n_stop"),
+        F.max("c").alias("max_c"),
+    )
+    flags = pd.select(
+        F.when(
+            (F.col("n_words") < _G_MIN_WORDS)
+            | (F.col("n_words") > _G_MAX_WORDS),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_len"),
+        F.when(
+            (F.col("mean_wlen") < _G_MIN_WLEN)
+            | (F.col("mean_wlen") > _G_MAX_WLEN),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_wlen"),
+        F.when(F.col("n_stop") < _G_MIN_STOP, 1).otherwise(0).alias("f_stop"),
+        F.when(F.col("max_c") / F.col("n_words") > _G_MAX_REP, 1)
+        .otherwise(0)
+        .alias("f_rep"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_len").alias("n_fail_length"),
+        F.sum("f_wlen").alias("n_fail_word_length"),
+        F.sum("f_stop").alias("n_fail_stopwords"),
+        F.sum("f_rep").alias("n_fail_repetition"),
+        F.sum(
+            F.when(
+                F.col("f_len")
+                + F.col("f_wlen")
+                + F.col("f_stop")
+                + F.col("f_rep")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+    )
+
+
+@query(
+    "ngram_novelty_decay",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                      generate_subscripts(string_split(text, ' '), 1)
+                        AS pos
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, w || ' ' || lead(w, 1) OVER
+                      (PARTITION BY doc_id ORDER BY pos) AS g
+             FROM t) z
+           WHERE g IS NOT NULL),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+    per_doc AS (SELECT sh.doc_id,
+                       avg(CASE WHEN f.first_doc = sh.doc_id
+                                THEN 1.0 ELSE 0.0 END) AS novelty
+                FROM sh JOIN firsts f USING (g)
+                GROUP BY sh.doc_id),
+    bucketed AS (SELECT novelty,
+                        ntile(10) OVER (ORDER BY doc_id) AS bucket
+                 FROM per_doc)
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           round(avg(novelty), 6) AS avg_novelty
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+    doc="N-gram novelty decay: for each ingestion decile (doc_id "
+    "order), the average fraction of a document's distinct word "
+    "shingles never seen in any earlier document — the curve a crawl "
+    "operator reads to decide whether more of a source still adds "
+    "information (novelty flat near zero means the source is mined "
+    "out). Shingling is the boilerplate_ngram_mass plan; first-seen "
+    "is one min-combine per shingle joined back shuffle-on-shingle. "
+    "The only global window (ntile over doc order) runs on the "
+    "per-document aggregate — corpus/1000-sized — not the shingle "
+    "relation; at 100 TB replace it with range-bucketing on the "
+    "known id/date domain for a window-free plan.",
+)
+def ngram_novelty_decay(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
+    ws = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(
+                    0.0
+                )
+            ).alias("novelty")
+        )
+    )
+    bucketed = per_doc.select(
+        "novelty", F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "word_zipf_slope",
+    oracle="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    freq AS (SELECT source, w, count(*)::DOUBLE AS c
+             FROM w GROUP BY source, w),
+    ranked AS (SELECT source, c,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY c DESC, w) AS r
+               FROM freq)
+    SELECT source,
+           count(*)::BIGINT AS n_terms,
+           round(covar_pop(ln(c), ln(r)) / var_pop(ln(r)), 6)
+             AS zipf_slope
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    doc="Per-source Zipf exponent: least-squares slope of log-"
+    "frequency against log-rank over the source's word-frequency "
+    "table — a distribution-health check for scraped sources "
+    "(natural language sits near -1; template farms and spam runs "
+    "flatten or steepen the curve). The frequency table is one "
+    "map-side-combined count bounded by |source| x vocabulary; "
+    "ranking windows only that collapsed table, and the fit is a "
+    "closed-form covar/var aggregate — no iteration, no UDF.",
+)
+def word_zipf_slope(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs.select("source", "text"), "source")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    freq = w.groupBy("source", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("c"), F.col("w"))
+    ranked = freq.select(
+        "source", "c", F.row_number().over(win).alias("r")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.covar_pop(F.log("c"), F.log("r"))
+                / F.var_pop(F.log("r")),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH v AS (SELECT unnest(embedding)::DOUBLE AS val,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT dim,
+           count(*)::BIGINT AS n,
+           round(avg(val), 6) AS mean_val,
+           round(stddev_pop(val), 6) AS std_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM v GROUP BY dim ORDER BY dim
+    """,
+    doc="Per-dimension moments of the embedding corpus (mean, "
+    "population stddev, min, max) — the statistics a whitening/PCA "
+    "or normalization pass precomputes before indexing. posexplode "
+    "then one map-side-combined aggregate whose result is bounded by "
+    "the dimensionality (64 here), independent of corpus size: the "
+    "canonical 100 TB-safe explode. Partial aggregation collapses "
+    "each task to dims rows before the single exchange.",
+)
+def embedding_dim_stats(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    v = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("val").cast("double")
+    )
+    return (
+        v.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_pop("val"), 6).alias("std_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT unnest(embedding)::DOUBLE AS val,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings),
+    scales AS (SELECT dim, max(abs(val)) AS scale FROM v GROUP BY dim),
+    q AS (SELECT v.dim, v.val, s.scale,
+                 greatest(-127.0, least(127.0,
+                   floor(v.val / s.scale * 127.0 + 0.5))) AS code
+          FROM v JOIN scales s ON v.dim = s.dim),
+    err AS (SELECT dim, scale,
+                   val - code * scale / 127.0 AS e
+            FROM q)
+    SELECT dim,
+           round(any_value(scale), 6) AS scale,
+           round(avg(e * e) * 1e6, 6) AS mse_ppm,
+           round(max(abs(e)), 6) AS max_abs_err
+    FROM err GROUP BY dim ORDER BY dim
+    """,
+    doc="Symmetric per-dimension int8 quantization of the embedding "
+    "corpus with a reconstruction-error report (per-dim scale, MSE "
+    "in parts-per-million, max abs error) — the compression step a "
+    "vector store runs before building an index, and the error "
+    "numbers that decide int8 vs fp16. Two passes: a dims-bounded "
+    "absmax aggregate, broadcast back onto the exploded values "
+    "(scales table is dims rows — never a shuffle), then one "
+    "dims-bounded error aggregate. Quantization uses an explicit "
+    "floor(x+0.5) so both engines round identically.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    v = emb.select(F.posexplode("embedding").alias("pos", "val")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("val").cast("double")
+    )
+    scales = v.groupBy("dim").agg(F.max(F.abs("val")).alias("scale"))
+    q = v.join(F.broadcast(scales), "dim").select(
+        "dim",
+        "scale",
+        F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(F.col("val") / F.col("scale") * 127.0 + 0.5).cast(
+                    "double"
+                ),
+            ),
+        ).alias("code"),
+        F.col("val"),
+    )
+    err = q.select(
+        "dim",
+        "scale",
+        (F.col("val") - F.col("code") * F.col("scale") / 127.0).alias("e"),
+    )
+    return (
+        err.groupBy("dim")
+        .agg(
+            F.round(F.first("scale"), 6).alias("scale"),
+            F.round(F.avg(F.col("e") * F.col("e")) * 1e6, 6).alias("mse_ppm"),
+            F.round(F.max(F.abs("e")), 6).alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )
