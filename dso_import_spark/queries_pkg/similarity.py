@@ -255,3 +255,163 @@ def ivf_kmeans_train(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     return kmeans_assignments(emb, k=4, iters=2)
 
+
+
+@query(
+    "ann_recall_report",
+    oracle="""
+    WITH v0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+                FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, ve AS qv
+           FROM v0 WHERE vec_id % 101 = 0),
+    ex_scored AS (
+      SELECT q0.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q0.qv, c.ve) /
+               (sqrt(list_dot_product(q0.qv, q0.qv)) *
+                sqrt(list_dot_product(c.ve, c.ve))) AS cos_sim
+      FROM q0 CROSS JOIN v0 c WHERE q0.query_id <> c.vec_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cos_sim, 6) DESC, neighbor_id) AS rank
+        FROM ex_scored) WHERE rank <= 5),
+    e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
+          FROM v0, UNNEST(generate_series(1, len(v0.ve))) AS u(pos)
+          GROUP BY label, u.pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+             FROM e GROUP BY label),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q0.query_id, q0.qv, cent.label,
+               row_number() OVER (PARTITION BY q0.query_id
+                 ORDER BY list_dot_product(q0.qv, cent.centroid) /
+                          (sqrt(list_dot_product(q0.qv, q0.qv)) *
+                           sqrt(list_dot_product(cent.centroid,
+                                                 cent.centroid)))
+                          DESC, cent.label) AS rn
+        FROM q0 CROSS JOIN cent)
+      WHERE rn = 1),
+    ivf_scored AS (
+      SELECT r.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(r.qv, c.ve) /
+               (sqrt(list_dot_product(r.qv, r.qv)) *
+                sqrt(list_dot_product(c.ve, c.ve))) AS cos_sim
+      FROM routed r JOIN v0 c
+        ON r.label = c.label AND r.query_id <> c.vec_id),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cos_sim, 6) DESC, neighbor_id) AS rank
+        FROM ivf_scored) WHERE rank <= 5),
+    zq AS (SELECT vec_id, ve,
+                  list_transform(ve,
+                    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qi
+           FROM v0),
+    bits AS (
+      SELECT zq.vec_id, b.b,
+             CASE WHEN sum(CASE WHEN ((b.b * 8191 + u.pos) * 2654435761)
+                                     % 97 < 48
+                                THEN zq.qi[u.pos]
+                                ELSE -zq.qi[u.pos] END) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM zq
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS b) b,
+      UNNEST(generate_series(1, len(zq.qi))) AS u(pos)
+      GROUP BY zq.vec_id, b.b),
+    buckets AS (
+      SELECT vec_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id),
+    vb AS (SELECT zq.vec_id, zq.ve, bk.bucket
+           FROM zq JOIN buckets bk USING (vec_id)),
+    qb AS (SELECT * FROM vb WHERE vec_id % 101 = 0),
+    lsh_scored AS (
+      SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qb.ve, c.ve) /
+               (sqrt(list_dot_product(qb.ve, qb.ve)) *
+                sqrt(list_dot_product(c.ve, c.ve))) AS cos_sim
+      FROM qb JOIN vb c
+        ON qb.bucket = c.bucket AND qb.vec_id <> c.vec_id),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(cos_sim, 6) DESC, neighbor_id) AS rank
+        FROM lsh_scored) WHERE rank <= 5),
+    per_q AS (
+      SELECT 'ivf' AS method, e.query_id,
+             sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+               / 5.0 AS recall
+      FROM exact e LEFT JOIN ivf a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+      UNION ALL
+      SELECT 'lsh', e.query_id,
+             sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+               / 5.0
+      FROM exact e LEFT JOIN lsh a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+    SELECT method,
+           count(*)::BIGINT AS n_queries,
+           round(avg(recall), 6) AS mean_recall,
+           round(min(recall), 6) AS min_recall,
+           sum(CASE WHEN recall = 1.0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_perfect
+    FROM per_q GROUP BY method ORDER BY method
+    """,
+    doc="ANN recall certification: recall@5 of the IVF and LSH "
+    "approximate paths against the exact brute-force neighbors, per "
+    "method (query count, mean/min recall, perfect-recall count) — "
+    "the measurement a production vector pipeline publishes before "
+    "swapping an exact scan for an index, here as a first-class "
+    "relational op composing three existing operators. The exact "
+    "side runs only on the SAMPLED query set (vec_id % 101), which "
+    "is how recall certification stays affordable at 100 TB: "
+    "brute-force cost is |sample| x corpus, the approximate sides "
+    "are bucketed, and the recall join is per-(query, neighbor) on "
+    "k-row-per-query relations. Oracle replays all three searches "
+    "in SQL from the same fixture. On THIS fixture the measured "
+    "recall is low (IVF 0.2, LSH 0.08 at sf0.01) because the "
+    "synthetic embeddings are near-uniform — top-5 cosine neighbors "
+    "are essentially arbitrary directions no partition scheme "
+    "predicts; that is the true answer, and precisely the situation "
+    "this report exists to catch before an index replaces an exact "
+    "scan (real text embeddings cluster, pushing IVF recall toward "
+    "the 0.9+ regime).",
+)
+def ann_recall_report(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    exact = brute_force_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.localCheckpoint(eager=False)  # one exact scan, 2 uses
+
+    def per_q(approx, method):
+        a = approx.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            exact.join(a, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg((F.sum(F.coalesce("hit", F.lit(0))) / 5.0).alias("recall"))
+            .select(F.lit(method).alias("method"), "query_id", "recall")
+        )
+
+    both = per_q(ivf_topk(queries, emb, k=5), "ivf").unionByName(
+        per_q(lsh_topk(queries, emb, k=5, n_bits=6), "lsh")
+    )
+    return (
+        both.groupBy("method")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.round(F.min("recall"), 6).alias("min_recall"),
+            F.sum(F.when(F.col("recall") == 1.0, 1).otherwise(0)).alias(
+                "n_perfect"
+            ),
+        )
+        .orderBy("method")
+    )
