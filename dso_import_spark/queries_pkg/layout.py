@@ -250,3 +250,100 @@ def partitioned_events_scan(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def schema_evolution_path(sf_dir: str) -> str:
+    """Deterministic local path for the two-version documents copy
+    (same (mtime, size) cache-keying as partitioned_events_path)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    return os.path.join(
+        tempfile.gettempdir(),
+        "dso_import_spark_layout",
+        f"{tag}-{stamp}",
+        "documents_versions",
+    )
+
+
+def _versioned_documents(spark, sf_dir):
+    """Write (once) documents as two schema versions under one root:
+    v=1 files carry only (doc_id, text, lang) — the schema an early
+    ingest produced; v=2 files add (source, n_chars). Reading the root
+    with mergeSchema=true unions the file schemas, NULL-filling the
+    columns absent from old files — the drift situation every
+    long-lived lake table hits."""
+    out = schema_evolution_path(sf_dir)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (docs,) = tables(spark, sf_dir, "documents")
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text", "lang")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "v=1"))
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(out, "v=2"))
+        )
+        # root-level marker for the write-once gate
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(os.path.join(out, "v=1"), os.path.join(out, "v=2"))
+    )
+
+
+@query(
+    "schema_evolution_scan",
+    oracle="""
+    SELECT 1 AS v,
+           count(*)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_null_source,
+           count(*)::BIGINT AS n_null_nchars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 2,
+           count(*)::BIGINT,
+           0::BIGINT,
+           0::BIGINT
+    FROM documents WHERE doc_id % 2 = 1
+    ORDER BY v
+    """,
+    doc="Schema-evolution read: two parquet file generations under one "
+    "table root — v=1 files predate the (source, n_chars) columns, "
+    "v=2 files carry them — read with mergeSchema=true + a basePath "
+    "partition column, then a per-version audit of NULL-filled "
+    "columns. This is the lake-table drift case (old files never "
+    "rewritten when the schema grows); the oracle recomputes the "
+    "expected per-version null counts from the original table. "
+    "mergeSchema's footer union costs one planning-time pass over "
+    "file footers — at 100 TB pin the merged schema in a catalog "
+    "and pass it explicitly instead (same read path, no footer "
+    "sweep); the NULL-fill itself is free columnar metadata.",
+)
+def schema_evolution_scan(spark, sf_dir):
+    merged = _versioned_documents(spark, sf_dir)
+    return (
+        merged.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).alias("n_null_source"),
+            F.sum(
+                F.when(F.col("n_chars").isNull(), 1).otherwise(0)
+            ).alias("n_null_nchars"),
+        )
+        .orderBy("v")
+    )
