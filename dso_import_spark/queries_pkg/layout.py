@@ -347,3 +347,84 @@ def schema_evolution_scan(spark, sf_dir):
         )
         .orderBy("v")
     )
+
+
+def dpo_events_path(sf_dir: str) -> str:
+    """Deterministic local path for the partition-overwrite demo table
+    (same (mtime, size) cache-keying as partitioned_events_path)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    return os.path.join(
+        tempfile.gettempdir(),
+        "dso_import_spark_layout",
+        f"{tag}-{stamp}",
+        "events_dpo",
+    )
+
+
+_DPO_CUTOFF = "2024-01-24"
+
+
+@query(
+    "partition_overwrite_merge",
+    oracle=f"""
+    WITH merged AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) >= DATE '{_DPO_CUTOFF}'
+                  THEN value * 2 ELSE value END AS value
+      FROM events)
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Dynamic partition overwrite — the incremental-rewrite merge "
+    "for partitioned fact tables: a corrected delta covering only "
+    "the last week is written with "
+    "partitionOverwriteMode=dynamic, which replaces exactly the day "
+    "partitions present in the delta and leaves every older "
+    "partition's files untouched (verified by the per-type totals: "
+    "old days keep original values, overwritten days carry the "
+    "corrected ones). This is how a 100 TB table absorbs late "
+    "restatements without a full rewrite — cost scales with the "
+    "restated days, not table size. Overwriting the same partitions "
+    "with the same deterministic delta makes the op idempotent "
+    "across calls. Oracle computes the expected post-merge state "
+    "from the source table.",
+)
+def partition_overwrite_merge(spark, sf_dir):
+    out = dpo_events_path(sf_dir)
+    (events,) = tables(spark, sf_dir, "events")
+    base = events.withColumn("dt", F.to_date("ts"))
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            base.repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(out)
+        )
+    delta = (
+        base.filter(F.col("dt") >= _DPO_CUTOFF)
+        .withColumn("value", F.col("value") * 2)
+        .repartition("dt")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta.write.mode("overwrite").partitionBy("dt").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
