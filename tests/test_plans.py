@@ -290,6 +290,12 @@ _SCALAR_RESULT_QUERIES = {
     # global cumulative-share window over the per-customer AGGREGATE
     # (same class as revenue_gini)
     "abc_pareto_classes",
+    # single-row rule-funnel result (partial states merge map-side)
+    "gopher_quality_gate",
+    # global ntile over the per-DOCUMENT aggregate (corpus/1000-sized;
+    # the query doc names range-bucketing on the id domain as the
+    # window-free form at 100 TB) — same class as revenue_gini
+    "ngram_novelty_decay",
 }
 
 
