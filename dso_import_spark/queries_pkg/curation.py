@@ -437,3 +437,78 @@ def embedding_quantize_int8(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT
+             AS n_risky_groups,
+           sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT
+             AS n_risky_rows,
+           min(n)::BIGINT AS min_group_size
+    FROM g
+    """,
+    doc="k-anonymity audit over the quasi-identifier pair (nation, "
+    "market segment): how many identifier combinations have fewer "
+    "than k=10 members, and how many rows sit in those re-"
+    "identifiable groups — the privacy gate a training-data release "
+    "runs before shipping user-derived records. One map-side-"
+    "combined group count bounded by the quasi-identifier domain, "
+    "then a single-row summary of that collapsed table; at 100 TB "
+    "the group table is |QI-domain| rows regardless of input size.",
+)
+def k_anonymity_audit(spark, sf_dir):
+    (cust,) = tables(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n") < 10, 1).otherwise(0)).alias(
+            "n_risky_groups"
+        ),
+        F.sum(F.when(F.col("n") < 10, F.col("n")).otherwise(0)).alias(
+            "n_risky_rows"
+        ),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (SELECT user_id, count(*)::BIGINT AS n
+                     FROM events GROUP BY user_id)
+    SELECT count(*)::BIGINT AS n_keys,
+           max(n)::BIGINT AS max_rows,
+           round(avg(n), 4) AS avg_rows,
+           round(quantile_cont(n, 0.5), 4) AS p50_rows,
+           round(quantile_cont(n, 0.99), 4) AS p99_rows,
+           round(max(n) / avg(n), 4) AS skew_ratio
+    FROM per_key
+    """,
+    doc="Join/shuffle-key skew profile for a prospective key "
+    "(events.user_id): per-key row counts collapsed to a single-row "
+    "distribution summary (max, mean, exact p50/p99, max/mean skew "
+    "ratio) — the diagnostic that decides between a plain shuffle "
+    "join, AQE skew splitting, and explicit salting BEFORE burning a "
+    "cluster-day discovering the hot key. One map-side-combined "
+    "count (bounded by key cardinality) feeds a 1-row combine; exact "
+    "percentiles run over the per-key aggregate — swap in "
+    "percentile_approx at extreme key cardinality, same plan shape.",
+)
+def join_key_skew_profile(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
