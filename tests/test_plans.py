@@ -292,6 +292,10 @@ _SCALAR_RESULT_QUERIES = {
     "abc_pareto_classes",
     # single-row rule-funnel result (partial states merge map-side)
     "gopher_quality_gate",
+    # single-row audit/profile summaries over a bounded-cardinality
+    # per-group aggregate (QI domain / join-key cardinality)
+    "k_anonymity_audit",
+    "join_key_skew_profile",
     # global ntile over the per-DOCUMENT aggregate (corpus/1000-sized;
     # the query doc names range-bucketing on the id domain as the
     # window-free form at 100 TB) — same class as revenue_gini
