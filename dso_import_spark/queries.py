@@ -150,6 +150,11 @@ ROUND4_QUEUE = [
     # added in round 3, never driver-checked
     "boilerplate_ngram_mass", "bpe_pair_merge_counts",
     "length_quantile_filter", "stream_interval_full_outer",
+    # round-3 second batch (curation / certification / layout)
+    "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
+    "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
+    "ann_recall_report", "schema_evolution_scan", "partition_overwrite_merge",
+    "k_anonymity_audit", "join_key_skew_profile",
 ]
 
 
