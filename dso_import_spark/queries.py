@@ -154,7 +154,7 @@ ROUND4_QUEUE = [
     "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
     "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
     "ann_recall_report", "schema_evolution_scan", "partition_overwrite_merge",
-    "k_anonymity_audit", "join_key_skew_profile",
+    "k_anonymity_audit", "join_key_skew_profile", "cdc_apply_changes",
 ]
 
 

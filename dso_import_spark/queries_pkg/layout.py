@@ -428,3 +428,63 @@ def partition_overwrite_merge(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (SELECT * FROM (
+        SELECT user_id, event_id, ts, value, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feed) WHERE rn = 1)
+    SELECT user_id,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           round(value, 6) AS last_value
+    FROM latest WHERE op <> 'D' ORDER BY user_id
+    """,
+    doc="CDC change-feed apply with delete semantics: a keyed feed of "
+    "op-coded records (U/D, here derived deterministically from "
+    "event_type) collapses to final table state — last op per key by "
+    "(ts, event_id) wins, a terminal D removes the key. The plan is "
+    "ONE map-side-combinable arg-max aggregate (max_by over a "
+    "(ts, event_id) struct), not a per-key window sort: partial "
+    "arg-max states merge associatively, so out-of-order and "
+    "cross-partition arrival need no global ordering pass, and at "
+    "100 TB the shuffle carries one candidate row per key per map "
+    "task instead of the full feed. Deletes filter AFTER the "
+    "aggregate (a delete must beat earlier upserts, not hide them). "
+    "Oracle uses the equivalent window formulation.",
+)
+def cdc_apply_changes(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    feed = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    latest = feed.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "value", "op"),
+            F.struct("ts", "event_id"),
+        ).alias("r")
+    )
+    return (
+        latest.filter(F.col("r.op") != "D")
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("last_event_id"),
+            F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+            F.round("r.value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
