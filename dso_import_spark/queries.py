@@ -77,6 +77,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     advanced,
     corpus_quality,
     curation,
+    analytics,
 )
 
 # ROUND 3 FRONT BLOCK (applied): exactly 50 queries that have never had
@@ -155,6 +156,8 @@ ROUND4_QUEUE = [
     "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
     "ann_recall_report", "schema_evolution_scan", "partition_overwrite_merge",
     "k_anonymity_audit", "join_key_skew_profile", "cdc_apply_changes",
+    "rfm_segmentation", "bitmap_exact_distinct",
+    "seasonal_baseline_residuals",
 ]
 
 

@@ -1,0 +1,192 @@
+"""Customer-analytics and engine-pattern additions (round 3, batch 3).
+
+- ``rfm_segmentation`` — recency/frequency/monetary quintile scoring,
+  the standard customer-base segmentation report.
+- ``bitmap_exact_distinct`` — EXACT distinct counting via segmented
+  bitmap aggregation: the partial-aggregable alternative to
+  ``count(distinct)``'s expand-and-reshuffle, and the pattern that
+  makes exact distinct affordable at 100 TB when ids are dense.
+- ``seasonal_baseline_residuals`` — day-of-week x hour seasonal
+  baseline with z-scored residual anomalies, the within-week
+  seasonality monitor (arrival_anomaly_days covers day-grain trends).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS r,
+             count(*)::BIGINT AS f,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, m,
+             ntile(5) OVER (ORDER BY r, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY m, o_custkey) AS m_score
+      FROM per_cust)
+    SELECT r_score || '-' || f_score || '-' || m_score AS rfm_segment,
+           count(*)::BIGINT AS n_customers,
+           round(sum(m) / 100.0, 2) AS total_monetary
+    FROM scored GROUP BY rfm_segment ORDER BY rfm_segment
+    """,
+    doc="RFM customer segmentation: per-customer recency (last order "
+    "date), frequency (order count) and monetary (total spend) "
+    "reduced to quintile scores (5 = best), reported as segment "
+    "sizes + average spend — the standard customer-base health "
+    "report. The per-customer aggregate is one map-side-combined "
+    "pass over orders; the three ntile windows run over that "
+    "|customers|-sized aggregate with exact integer-cent monetary sums and deterministic (metric, "
+    "custkey) tie-breaks so both engines tile identically. At "
+    "100 TB replace the global ntiles with precomputed quantile "
+    "edges (percentile_approx) + width-free bucket lookup — same "
+    "scores, window-free plan.",
+)
+def rfm_segmentation(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r"),
+        F.count("*").alias("f"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("m"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "m",
+        F.ntile(5).over(Window.orderBy("r", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("m") / 100.0, 2).alias("total_monetary"),
+        )
+        .orderBy("rfm_segment")
+    )
+
+
+@query(
+    "bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="EXACT distinct users per event type via segmented bitmap "
+    "aggregation (bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_count): ids land in fixed-width "
+    "bitmap segments that OR together associatively, so the "
+    "aggregate is fully partial-aggregable — each map task emits at "
+    "most one bitmap per (type, bucket) instead of count(distinct)'s "
+    "expanded (type, user) rows, and the shuffle is bounded by "
+    "type x touched-buckets. This is the pattern that keeps exact "
+    "(not HLL) distinct affordable at 100 TB for dense id spaces; "
+    "the oracle certifies it equals plain count(distinct). The "
+    "row-count column rides the same aggregate for free.",
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.bitmap_construct_agg("pos").alias("bm"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "seasonal_baseline_residuals",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d,
+             extract(hour FROM ts) AS hr,
+             dayofweek(ts) AS dow,
+             count(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT dow, hr,
+             avg(n) AS mu,
+             stddev_pop(n) AS sigma
+      FROM hourly GROUP BY dow, hr)
+    SELECT strftime(h.d, '%Y-%m-%d') AS d, h.hr AS hr,
+           h.n::BIGINT AS n_events,
+           round(b.mu, 4) AS baseline,
+           round((h.n - b.mu) / b.sigma, 4) AS z
+    FROM hourly h JOIN base b ON h.dow = b.dow AND h.hr = b.hr
+    WHERE b.sigma > 0 AND abs(h.n - b.mu) > 1.5 * b.sigma
+    ORDER BY d, h.hr
+    """,
+    doc="Within-week seasonal anomaly detection: hourly event counts "
+    "z-scored against their own (day-of-week, hour) baseline over "
+    "the window — traffic at Monday 9am is compared to other Monday "
+    "9ams, not to a global mean, which is what makes weekday/weekend "
+    "and diurnal cycles invisible to the detector and true anomalies "
+    "visible (threshold 1.5 sigma: the fixture's near-uniform arrivals put ~1/7 of hours past it, so the differential check is non-empty; production monitors use 3+). Two stacked aggregates (hourly counts, then the "
+    "168-row baseline) and a broadcast-sized join back; every "
+    "exchange is bounded by the calendar, not the event volume. "
+    "dayofweek/extract(hour) agree across engines under the pinned "
+    "UTC session.",
+)
+def seasonal_baseline_residuals(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("hr"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .groupBy("d", "hr", "dow")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    base = hourly.groupBy("dow", "hr").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hr"])
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("n") - F.col("mu")) > 1.5 * F.col("sigma"))
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("hr").cast("long"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mu", 4).alias("baseline"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z"
+            ),
+        )
+        .orderBy("d", "hr")
+    )
