@@ -328,3 +328,129 @@ def sample_frames(media: DataFrame, n_frames_default: int = 4) -> DataFrame:
         "doc_id", "payload", F.col("meta.n_frames").alias("n_frames")
     )
     return vids.mapInPandas(gen, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV / RIFF audio tier: REAL synthesis + REAL decode (public RIFF spec)
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+_WAV_RATE = 16000
+
+
+def _le_bytes(n, width: int):
+    """Little-endian byte encoding of a non-negative int Column as a
+    ``width``-byte BINARY, in pure Column expressions: fixed-width hex,
+    byte-pair reversal, unhex. Keeps WAV synthesis inside whole-stage
+    codegen — no UDF writes the header."""
+    h = F.lpad(F.hex(n), width * 2, "0")
+    pairs = [
+        F.substring(h, i * 2 + 1, 2) for i in reversed(range(width))
+    ]
+    return F.unhex(F.concat(*pairs))
+
+
+def wav_payload_expr(body):
+    """Canonical 44-byte-header WAV file as a Column: RIFF/WAVE with a
+    16-byte PCM fmt chunk (mono, 8-bit unsigned, 16 kHz) and ``body``
+    as the data chunk — a byte-exact, spec-conformant file any audio
+    tool can open. All lengths are computed little-endian via
+    ``_le_bytes``; static header fields are byte literals."""
+    n = F.octet_length(body)
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(n + 36, 4),
+        F.lit(b"WAVEfmt "),
+        F.lit(bytes([16, 0, 0, 0])),  # fmt chunk size
+        F.lit(bytes([1, 0])),  # PCM
+        F.lit(bytes([1, 0])),  # mono
+        F.lit((16000).to_bytes(4, "little")),  # sample rate
+        F.lit((16000).to_bytes(4, "little")),  # byte rate (8-bit mono)
+        F.lit(bytes([1, 0])),  # block align
+        F.lit(bytes([8, 0])),  # bits per sample
+        F.lit(b"data"),
+        _le_bytes(n, 4),
+        body,
+    )
+
+
+def synthesize_wav(documents: DataFrame) -> DataFrame:
+    """Real WAV files from fixture docs: the utf-8 text bytes become
+    the 8-bit PCM sample stream (unsigned, 128-centred silence).
+    Pure Column expressions — the files are genuine RIFF/WAVE, not
+    DSO1 blobs, so the decode side exercises the real parser."""
+    body = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        "doc_id", "source", wav_payload_expr(body).alias("payload")
+    )
+
+
+def decode_wav(b: bytes) -> tuple[int, int, float, float] | None:
+    """REAL audio decode for RIFF/WAVE PCM payloads, implemented from
+    the public RIFF spec (chunk walk, not fixed offsets — handles
+    extra chunks and odd-size padding). Returns (sample_rate,
+    n_samples, duration_s, rms) for 8-bit mono PCM, or None when the
+    payload is not such a file. RMS is over centred samples
+    (sample - 128), the 8-bit PCM zero line."""
+    if not b or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or channels != 1 or bits != 8 or rate <= 0:
+        return None
+    n = len(data)
+    if n == 0:
+        return rate, 0, 0.0, 0.0
+    ss = sum((x - 128) ** 2 for x in data)  # exact integer sum
+    import math
+
+    return rate, n, n / rate, math.sqrt(ss / n)
+
+
+def wav_stats(audio: DataFrame) -> DataFrame:
+    """Arrow-batched real-WAV decode: (doc_id, source, payload) →
+    per-file (sample_rate, n_samples, duration_s, rms). Same batch
+    shape as decode_media; rows that fail the RIFF parse are dropped
+    (count them upstream if a reject channel is needed)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                dec = decode_wav(bytes(payload))
+                if dec is None:
+                    continue
+                rate, n, dur, rms = dec
+                out.append((int(doc_id), source, rate, n, dur, rms))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return audio.mapInPandas(gen, WAV_STATS_SCHEMA)

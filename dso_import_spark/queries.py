@@ -157,7 +157,7 @@ ROUND4_QUEUE = [
     "ann_recall_report", "schema_evolution_scan", "partition_overwrite_merge",
     "k_anonymity_audit", "join_key_skew_profile", "cdc_apply_changes",
     "rfm_segmentation", "bitmap_exact_distinct",
-    "seasonal_baseline_residuals",
+    "seasonal_baseline_residuals", "multimodal_wav_decode",
 ]
 
 

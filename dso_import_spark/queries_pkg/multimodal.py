@@ -147,3 +147,61 @@ def multimodal_features(spark, sf_dir):
         ),
         F.round(F.array_max("features").cast("double"), 4).alias("feature_max"),
     )
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH a AS (SELECT doc_id, source, text FROM documents
+               WHERE doc_id % 3 = 1),
+    ch AS (SELECT doc_id, source,
+                  ascii(unnest(string_split(text, ''))) AS code
+           FROM a),
+    per AS (SELECT doc_id, source,
+                   count(*)::BIGINT AS n,
+                   sqrt(sum((code - 128) * (code - 128)) * 1.0
+                        / count(*)) AS rms
+            FROM ch GROUP BY doc_id, source)
+    SELECT source,
+           count(*)::BIGINT AS n_audio,
+           sum(n)::BIGINT AS total_samples,
+           round(avg(n / 16000.0), 6) AS avg_duration_s,
+           round(avg(rms), 6) AS avg_rms
+    FROM per GROUP BY source ORDER BY source
+    """,
+    doc="REAL audio codec round-trip: byte-exact RIFF/WAVE files "
+    "(canonical 44-byte header, 8-bit mono PCM at 16 kHz, "
+    "little-endian lengths packed by pure Column hex arithmetic — "
+    "no UDF writes the header) synthesized from the audio-modality "
+    "docs, then decoded by the pure-Python RIFF chunk walker "
+    "(operators/multimodal.py decode_wav — handles extra chunks and "
+    "odd-size padding per the public spec) in one Arrow-batched "
+    "mapInPandas pass; per-source duration and centred-RMS report. "
+    "The oracle recomputes duration and RMS from the text bytes "
+    "(ascii codes) without ever seeing a WAV file, so a single "
+    "header-offset or byte-order bug anywhere in synth or parse "
+    "fails the hash. Decode is the only Python stage and is "
+    "batch-vectorized; everything around it is codegen'd Columns "
+    "and a source-bounded aggregate.",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    from dso_import_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_stats,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    audio = synthesize_wav(docs.filter(F.col("doc_id") % 3 == 1))
+    stats = wav_stats(audio)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_audio"),
+            F.sum("n_samples").alias("total_samples"),
+            F.round(F.avg(F.col("n_samples") / 16000.0), 6).alias(
+                "avg_duration_s"
+            ),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+        )
+        .orderBy("source")
+    )
