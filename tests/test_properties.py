@@ -170,3 +170,55 @@ def test_merge_partition_and_idempotence(spark, existing, staged):
         assert replay.inserted.count() == 0
         assert replay.updated.count() == 0
         assert replay.deleted.count() == 0
+
+
+# --- WAV codec properties (pure Python, no Spark job per example) ---
+
+import math
+import struct
+
+from dso_import_spark.operators.multimodal import decode_wav
+
+
+def _ref_wav(body: bytes, rate: int = 16000) -> bytes:
+    return (
+        b"RIFF" + struct.pack("<I", len(body) + 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=192000),
+)
+def test_wav_decode_round_trips_any_body(body, rate):
+    """decode_wav recovers rate, sample count, duration and the exact
+    integer-sum RMS for every possible 8-bit PCM body."""
+    got = decode_wav(_ref_wav(body, rate))
+    assert got is not None
+    r, n, dur, rms = got
+    assert r == rate and n == len(body)
+    assert dur == len(body) / rate
+    ss = sum((x - 128) ** 2 for x in body)
+    assert rms == math.sqrt(ss / len(body))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=200), st.integers(0, 43))
+def test_wav_decode_rejects_any_truncation(body, cut):
+    """A file cut anywhere inside the 44-byte header (or losing data
+    bytes) must never parse as valid."""
+    full = _ref_wav(body)
+    assert decode_wav(full[:cut]) is None
+    if len(body) > 1:
+        assert decode_wav(full[:-1]) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=120))
+def test_wav_decode_never_crashes_on_garbage(data):
+    """Arbitrary bytes: parse or reject, never raise."""
+    decode_wav(data)
+    decode_wav(b"RIFF" + data)
