@@ -106,3 +106,82 @@ def wkt_file_scan(spark, sf_dir):
         coerce_wkt("wkt", "multipolygon").alias("geom_multipolygon"),
         coerce_wkt("wkt", "point").alias("geom_point"),
     )
+
+
+def _wkt_write_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "part.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    return os.path.join(
+        tempfile.gettempdir(),
+        "dso_import_spark_wkt",
+        f"{tag}-{stamp}",
+        "roundtrip",
+    )
+
+
+@query(
+    "wkt_write_roundtrip",
+    oracle="""
+    WITH w AS (SELECT p_partkey AS k,
+        CASE p_partkey % 3
+          WHEN 0 THEN 'POINT(' || p_size || ' ' || (p_partkey % 97) || ')'
+          WHEN 1 THEN 'POLYGON((0 0,' || p_size || ' 0,' || p_size
+                        || ' ' || p_size || ',0 0))'
+          ELSE 'POLYGON((0 0,1 1' END AS wkt
+      FROM part)
+    SELECT k % 3 AS wkt_case,
+           count(*)::BIGINT AS n,
+           sum(length(wkt))::BIGINT AS total_chars
+    FROM w GROUP BY k % 3 ORDER BY wkt_case
+    """,
+    doc="Custom Python DataSource WRITE path (Spark 4) certified by a "
+    "full round-trip: WKT rows built from part are written through "
+    "the two-phase-commit wkt sink (per-task invisible temp files, "
+    "driver-side rename + _SUCCESS manifest publish — "
+    "sources/wkt_source.py WktDataSourceWriter), read back through "
+    "the byte-range-split reader, and aggregated; the oracle "
+    "recomputes the expected multiset straight from part, so a lost "
+    "task, double-published temp, partial line, or slice-boundary "
+    "bug anywhere in the write+read pipeline changes the "
+    "(case, count, total_chars) rows and fails the hash. Write "
+    "fans out over 5 tasks, read re-splits each part file.",
+)
+def wkt_write_roundtrip(spark, sf_dir):
+    register_wkt_source(spark)
+    (part,) = tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s_ = F.col("p_size").cast("string")
+    wkt = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("POINT("), s_, F.lit(" "), (k % 97).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("POLYGON((0 0,"), s_, F.lit(" 0,"), s_, F.lit(" "),
+                s_, F.lit(",0 0))"),
+            ),
+        )
+        .otherwise(F.lit("POLYGON((0 0,1 1"))
+    )
+    rows = part.select(k.cast("string").alias("id"), wkt.alias("wkt"))
+    out = _wkt_write_dir(sf_dir)
+    rows.repartition(5).write.format("wkt").mode("overwrite").save(out)
+    back = spark.read.format("wkt").option("numPartitions", 4).load(out)
+    return (
+        back.groupBy((F.col("id").cast("long") % 3).alias("wkt_case"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("wkt")).alias("total_chars"),
+        )
+        .orderBy("wkt_case")
+    )

@@ -34,7 +34,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _DEFAULT_PARTITIONS = 8
 
@@ -104,6 +110,94 @@ class WktDataSourceReader(DataSourceReader):
                 yield (ident, wkt if wkt else None)
 
 
+class _WktCommit(WriterCommitMessage):
+    """Per-task commit message: the invisible temp file the task wrote
+    and its row count. Nothing a task writes is readable until the
+    driver's commit() publishes it."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class WktDataSourceWriter(DataSourceWriter):
+    """Two-phase-commit writer for the ``id|WKT`` format (Spark 4
+    Python DataSource write path).
+
+    Protocol — the same shape every exactly-once file committer uses:
+    - ``write`` (executor, per task): rows go to a dot-prefixed temp
+      file the reader ignores; the task returns its temp name + count.
+      A failed/retried task leaves only an orphaned temp, never a
+      visible partial output.
+    - ``commit`` (driver, once, only if EVERY task succeeded): delete
+      any previously published part files (overwrite semantics),
+      rename each temp to its final ``part-NNNNN.wkt`` name, then
+      write the ``_SUCCESS`` manifest with the total row count —
+      readers that check the manifest never observe a half-published
+      table.
+    - ``abort`` (driver, on any failure): remove the temps; the
+      previous committed state stays fully intact.
+
+    Local-filesystem rename is the publish primitive here (this
+    container); on object storage the identical protocol publishes by
+    manifest instead of rename — same task/driver split, same
+    messages.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wkt sink requires a path: .save('/dir')")
+        self.delimiter = options.get("delimiter", "|")
+        if not overwrite:
+            raise ValueError(
+                "wkt sink supports mode('overwrite') only — append to a "
+                "pipe-file table is a new write with a merged manifest"
+            )
+
+    def write(self, iterator) -> _WktCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp_name = f".part-{uuid.uuid4().hex}.wkt.tmp"
+        n = 0
+        with open(
+            os.path.join(self.path, tmp_name), "w", encoding="utf-8"
+        ) as f:
+            for row in iterator:
+                ident, wkt = row[0], row[1]
+                f.write(f"{ident}{self.delimiter}{wkt if wkt is not None else ''}\n")
+                n += 1
+        return _WktCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        for fn in sorted(os.listdir(self.path)):
+            if fn.endswith(".wkt") and fn.startswith("part-"):
+                os.remove(os.path.join(self.path, fn))
+        total = 0
+        seq = 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, f"part-{seq:05d}.wkt"),
+            )
+            total += m.n_rows
+            seq += 1
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
 class WktDataSource(DataSource):
     """``spark.read.format("wkt")`` — schema is fixed (id, wkt)."""
 
@@ -116,6 +210,13 @@ class WktDataSource(DataSource):
 
     def reader(self, schema) -> WktDataSourceReader:
         return WktDataSourceReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WktDataSourceWriter":
+        if len(schema.fields) != 2:
+            raise ValueError(
+                f"wkt sink expects exactly (id, wkt) columns, got {schema}"
+            )
+        return WktDataSourceWriter(self.options, overwrite)
 
 
 _REGISTERED: set[int] = set()

@@ -83,3 +83,55 @@ def test_empty_file(spark, tmp_path):
     p.write_text("")
     assert _read(spark, str(p)).count() == 0
     assert os.path.getsize(p) == 0
+
+
+def test_writer_two_phase_commit(spark, tmp_path):
+    """Temps are invisible to the reader; commit publishes atomically;
+    a second overwrite fully replaces the first state."""
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.sources.wkt_source import register_wkt_source
+
+    register_wkt_source(spark)
+    out = str(tmp_path / "rt")
+    df = spark.range(0, 50).select(
+        F.col("id").cast("string"),
+        F.concat(F.lit("POINT("), F.col("id"), F.lit(" 2)")).alias("wkt"),
+    )
+    df.repartition(3).write.format("wkt").mode("overwrite").save(out)
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert [n for n in names if n.endswith(".tmp")] == []
+    assert len([n for n in names if n.startswith("part-")]) == 3
+    assert open(os.path.join(out, "_SUCCESS")).read() == "50"
+    back = spark.read.format("wkt").load(out)
+    assert back.count() == 50
+    # stray uncommitted temp from a dead task must never be read
+    with open(os.path.join(out, ".part-dead.wkt.tmp"), "w") as f:
+        f.write("999|POINT(0 0)\n")
+    assert spark.read.format("wkt").load(out).count() == 50
+    # overwrite with fewer rows replaces, never merges
+    df.limit(10).repartition(2).write.format("wkt").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("wkt").load(out).count() == 10
+    assert open(os.path.join(out, "_SUCCESS")).read() == "10"
+
+
+def test_writer_rejects_append_and_bad_schema(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.sources.wkt_source import register_wkt_source
+
+    register_wkt_source(spark)
+    df2 = spark.range(3).select(
+        F.col("id").cast("string"), F.lit("POINT(0 0)").alias("wkt")
+    )
+    with pytest.raises(Exception, match="overwrite"):
+        df2.write.format("wkt").mode("append").save(str(tmp_path / "a"))
+    df3 = df2.withColumn("extra", F.lit(1))
+    with pytest.raises(Exception, match="id, wkt"):
+        df3.write.format("wkt").mode("overwrite").save(str(tmp_path / "b"))
