@@ -158,7 +158,7 @@ ROUND4_QUEUE = [
     "k_anonymity_audit", "join_key_skew_profile", "cdc_apply_changes",
     "rfm_segmentation", "bitmap_exact_distinct",
     "seasonal_baseline_residuals", "multimodal_wav_decode",
-    "wkt_write_roundtrip",
+    "wkt_write_roundtrip", "stream_session_dynamic_gap",
 ]
 
 

@@ -1645,3 +1645,66 @@ def stream_tail_ingest(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return drain_to_memory(agg, "q_stream_tail_ingest", "complete")
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 43200000000::BIGINT
+                  ELSE 21600000000::BIGINT END AS gap_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, value, us,
+             CASE WHEN max(us + gap_us) OVER w IS NULL
+                    OR us > max(us + gap_us) OVER w
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Structured Streaming session windows with a PER-EVENT gap "
+    "(dynamic gap duration Column): purchase/signup hold the session "
+    "open 12 h, ambient events 6 h — one inactivity threshold "
+    "misfits both kinds of activity, which is why the dynamic form "
+    "exists. Unlike the fixed-gap case, the batch oracle cannot "
+    "compare each event to its predecessor: a long-gap event "
+    "extends the session past later short-gap ends, so the islands "
+    "break condition is ts > running-max of all previous interval "
+    "ends (cummax window over us+gap), not a lag diff. Streaming "
+    "state merges intervals and watermark-evicts exactly as with a "
+    "fixed gap; the cummax formulation is the 100 TB batch "
+    "equivalent (one per-user window scan).",
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    from dso_import_spark.queries_pkg.streaming_queries import _stream
+    from dso_import_spark.streaming.events import (
+        drain_to_memory,
+        session_counts_dynamic,
+    )
+
+    out = drain_to_memory(
+        session_counts_dynamic(_stream(spark, sf_dir)),
+        "q_stream_dyn_sessions",
+        "complete",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sum_value",
+    )

@@ -184,6 +184,37 @@ def session_counts(
     )
 
 
+def session_counts_dynamic(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap (dynamic gap duration):
+    conversion-grade events (purchase/signup) hold a session open for
+    12 hours, ambient events for 6 — the shape real engagement
+    analytics needs, because one inactivity threshold misfits both
+    kinds of activity. ``session_window`` accepts a gap Column; each
+    event contributes [ts, ts+gap(event)) and overlapping intervals
+    merge, so a long-gap event extends the session even when later
+    short-gap events would not. State is watermark-evicted exactly as
+    with a fixed gap."""
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("12 hours")
+    ).otherwise(F.lit("6 hours"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 RUNNING_TOTAL_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
