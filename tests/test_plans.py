@@ -448,3 +448,32 @@ def test_sparse_tfidf_topk_window_partitions_by_query(spark, sf_dir, qs):
     # global single-partition sort.
     assert re.search(r"hashpartitioning\((query_id|doc_id)#\d+", plan), plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cdc_apply_is_argmax_aggregate_not_window(spark, sf_dir, qs):
+    """Last-writer-wins must stay a combine-able max_by aggregate: a
+    Window formulation would sort whole partitions per key."""
+    df = qs["cdc_apply_changes"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan
+    assert "max_by" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in executed  # arg-max states merge map-side
+
+
+def test_bitmap_distinct_combines_map_side(spark, sf_dir, qs):
+    """The bitmap aggregate must emit partial bitmaps below the
+    exchange — the wire carries segments, never (type, user) rows."""
+    df = qs["bitmap_exact_distinct"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "partial_bitmap_construct_agg" in plan
+    assert "bitmapCount" in plan
+
+
+def test_rfm_is_window_free(spark, sf_dir, qs):
+    """Quintile scores come from broadcast quantile edges, never a
+    global ntile window."""
+    plan = plan_of(qs["rfm_segmentation"](spark, sf_dir), "simple")
+    assert "Window" not in plan
+    assert "percentile" in plan
