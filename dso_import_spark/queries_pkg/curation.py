@@ -341,7 +341,7 @@ def word_zipf_slope(spark, sf_dir):
                FROM embeddings)
     SELECT dim,
            count(*)::BIGINT AS n,
-           round(avg(val), 6) AS mean_val,
+           round(avg(val), 6) + 0.0 AS mean_val,
            round(stddev_pop(val), 6) AS std_val,
            round(min(val), 6) AS min_val,
            round(max(val), 6) AS max_val
@@ -364,7 +364,7 @@ def embedding_dim_stats(spark, sf_dir):
         v.groupBy("dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("val"), 6).alias("mean_val"),
+            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("mean_val"),
             F.round(F.stddev_pop("val"), 6).alias("std_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
@@ -511,4 +511,81 @@ def join_key_skew_profile(spark, sf_dir):
         F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_rows"),
         F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_rows"),
         F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           round(covar_pop(a.val, b.val), 6) + 0.0 AS cov
+    FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    ORDER BY dim_i, dim_j
+    """,
+    doc="Upper-triangle covariance matrix of the embedding corpus — "
+    "the input to PCA/whitening (eigendecomposition of the dims x "
+    "dims result is a bounded driver-side step, like k-means "
+    "centroid updates). Scale shape: per-dimension means come from "
+    "the dims-bounded stats aggregate (broadcast back as literals "
+    "via a 1-row cross join), then each vector explodes to its "
+    "dims(dims+1)/2 centred products — a fixed 2080x amplification "
+    "at 64 dims — feeding ONE map-side-combined aggregate whose "
+    "result is dims^2-bounded regardless of corpus size. No "
+    "self-join: the oracle uses the (vec_id-join x covar_pop) "
+    "formulation precisely because the engines should reach the "
+    "same matrix by different plans. round() preserves IEEE -0.0 and the two plans can land on opposite zero signs for a cell that is exactly zero at 6 decimals, so both sides add +0.0 to collapse the sign.",
+)
+def embedding_covariance(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "ve"
+        )
+    )
+    dims = 64
+    means_row = (
+        v.select(F.posexplode("ve").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mv")
+        )
+    )
+    centred = v.crossJoin(F.broadcast(means_row)).select(
+        F.zip_with(
+            F.col("ve"), F.col("mv"), lambda x, m: x - m
+        ).alias("c")
+    )
+    pairs = centred.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dims)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dims)),
+                        lambda j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (
+                                F.element_at(F.col("c"), i)
+                                * F.element_at(F.col("c"), j)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.dim_i", "e.dim_j", "e.p")
+    return (
+        pairs.groupBy("dim_i", "dim_j")
+        .agg((F.round(F.avg("p"), 6) + F.lit(0.0)).alias("cov"))
+        .orderBy("dim_i", "dim_j")
     )
