@@ -564,28 +564,42 @@ def embedding_covariance(spark, sf_dir):
             F.col("ve"), F.col("mv"), lambda x, m: x - m
         ).alias("c")
     )
-    pairs = centred.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(dims)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dims)),
-                        lambda j: F.struct(
-                            i.alias("dim_i"),
-                            j.alias("dim_j"),
-                            (
-                                F.element_at(F.col("c"), i)
-                                * F.element_at(F.col("c"), j)
-                            ).alias("p"),
-                        ),
-                    ),
-                )
+
+    # Arrow-batched BLAS partials: each batch emits ONE dims x dims
+    # X^T X partial (as upper-triangle rows) + its row count — a pure
+    # Column explode of the dims(dims+1)/2 products per VECTOR was
+    # measured at 29x for x100 vectors (a billion generated rows);
+    # the per-BATCH matmul emits 2080 rows per ~10k-vector batch.
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dims)
+    part_schema = (
+        "dim_i int, dim_j int, s double, n long"
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(a, dtype=np.float64) for a in pdf["c"]]
             )
-        ).alias("e")
-    ).select("e.dim_i", "e.dim_j", "e.p")
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0] + 1,
+                    "dim_j": iu[1] + 1,
+                    "s": g[iu],
+                    "n": len(pdf),
+                }
+            )
+
+    pairs = centred.mapInPandas(partials, part_schema)
     return (
         pairs.groupBy("dim_i", "dim_j")
-        .agg((F.round(F.avg("p"), 6) + F.lit(0.0)).alias("cov"))
+        .agg(
+            (F.round(F.sum("s") / F.sum("n"), 6) + F.lit(0.0)).alias("cov")
+        )
         .orderBy("dim_i", "dim_j")
     )
