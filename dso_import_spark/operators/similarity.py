@@ -795,3 +795,106 @@ def semantic_dedup(
             "max_sim_lower",
         )
     )
+
+
+def covariance_partials(vectors: DataFrame, vec_col: str = "ve"):
+    """Distributed mean + covariance for an embedding column, in the
+    batch-matmul shape (see queries_pkg.curation.embedding_covariance):
+    returns (mean ndarray, cov ndarray dims x dims, n). Driver state is
+    dims + dims^2 floats — bounded like a k-means centroid update."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mean = np.asarray([r["m"] for r in rows], dtype=np.float64)
+    dims = len(mean)
+
+    import pandas as pd
+
+    iu = np.triu_indices(dims)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(a, dtype=np.float64) for a in pdf["__v"]]
+            ) - mean
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0],
+                    "dim_j": iu[1],
+                    "s": g[iu],
+                    "n": len(pdf),
+                }
+            )
+
+    cells = (
+        vectors.select(F.col(vec_col).alias("__v"))
+        .mapInPandas(partials, "dim_i int, dim_j int, s double, n long")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+    n = max(int(cells[0]["n"]), 1) if cells else 1
+    cov = np.zeros((dims, dims))
+    for r in cells:
+        cov[r["dim_i"], r["dim_j"]] = r["s"] / n
+        cov[r["dim_j"], r["dim_i"]] = r["s"] / n
+    return mean, cov, n
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Distributed PCA projection: covariance via batch-matmul
+    partials, eigendecomposition on the driver (dims x dims — the
+    bounded synchronization step every distributed PCA has), then one
+    Arrow-batched pass projects every vector onto the top-k
+    components. Returns (projected DF (id, proj array<double>),
+    explained-variance ratios desc).
+
+    Not registry-exposed: the eigen step has no SQL-oracle
+    counterpart, so its contract lives in tests
+    (orthonormal basis, monotone explained variance, reconstruction
+    error shrinking with k, parity with a local numpy reference).
+    """
+    import numpy as np
+
+    v = df.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
+    )
+    mean, cov, _n = covariance_partials(v, "ve")
+    w_all, u = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w_all)[::-1]
+    evr = (w_all[order] / max(w_all.sum(), 1e-300)).tolist()
+    comps = u[:, order[:k]]  # dims x k
+
+    import pandas as pd
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(a, dtype=np.float64) for a in pdf["ve"]]
+            ) - mean
+            p = x @ comps
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "proj": [row.tolist() for row in p],
+                }
+            )
+
+    out = v.mapInPandas(project, "vec_id long, proj array<double>")
+    return out, evr[:k]

@@ -67,3 +67,47 @@ def test_pq_codes_are_not_degenerate(spark, sf_dir):
     cents = train_centroids(z, k=4, iters=2)
     assert len(cents) == 4
     assert len({tuple(c) for c in cents}) > 1, "all centroids identical"
+
+
+def test_pca_project_contract(spark, sf_dir):
+    """Orthonormal basis, monotone explained variance, reconstruction
+    error shrinking with k, and parity with a local numpy PCA."""
+    import numpy as np
+
+    from dso_import_spark.operators.similarity import pca_project
+    from dso_import_spark.queries_pkg.util import tables
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    out, evr = pca_project(emb, k=8)
+    rows = out.orderBy("vec_id").collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["proj"]) == 8 for r in rows)
+    # explained variance: non-negative, sorted desc, sums <= 1
+    assert all(e >= -1e-12 for e in evr)
+    assert all(evr[i] >= evr[i + 1] - 1e-12 for i in range(len(evr) - 1))
+    assert sum(evr) <= 1 + 1e-9
+
+    # numpy reference on the collected data
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.orderBy("vec_id").collect()]
+    )
+    xc = x - x.mean(axis=0)
+    cov = (xc.T @ xc) / len(x)
+    w, u = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    comps = u[:, order[:8]]
+    ref = xc @ comps
+    got = np.asarray([r["proj"] for r in rows])
+    # eigenvectors are sign-ambiguous: compare per-column up to sign
+    for j in range(8):
+        d = min(
+            np.abs(got[:, j] - ref[:, j]).max(),
+            np.abs(got[:, j] + ref[:, j]).max(),
+        )
+        assert d < 1e-6, (j, d)
+
+    # variance captured grows with k (projection onto more components)
+    var_k2 = np.var(got[:, :2], axis=0).sum()
+    var_k8 = np.var(got, axis=0).sum()
+    assert var_k8 >= var_k2 - 1e-12
