@@ -295,8 +295,8 @@ def ngram_novelty_decay(spark, sf_dir):
                FROM freq)
     SELECT source,
            count(*)::BIGINT AS n_terms,
-           round(covar_pop(ln(c), ln(r)) / var_pop(ln(r)), 6)
-             AS zipf_slope
+           round(covar_pop(ln(c), ln(r))
+                 / nullif(var_pop(ln(r)), 0), 6) AS zipf_slope
     FROM ranked GROUP BY source ORDER BY source
     """,
     doc="Per-source Zipf exponent: least-squares slope of log-"
@@ -325,7 +325,7 @@ def word_zipf_slope(spark, sf_dir):
             F.count("*").alias("n_terms"),
             F.round(
                 F.covar_pop(F.log("c"), F.log("r"))
-                / F.var_pop(F.log("r")),
+                / F.nullif(F.var_pop(F.log("r")), F.lit(0.0)),
                 6,
             ).alias("zipf_slope"),
         )
