@@ -243,15 +243,25 @@ def semi_join_big_spenders(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_custs
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1998-01-01')
     GROUP BY c.c_mktsegment
     """,
-    doc="NOT EXISTS → left_anti join (J4/J5 shape).",
+    doc="NOT EXISTS → left_anti join (J4/J5 shape). The anti side is "
+    "bounded to recent orders: against the full table every fixture "
+    "customer has an order and the result is empty — a zero-row "
+    "differential check certifies nothing, so the date bound keeps "
+    "real rows flowing through the anti join (8 lapsed customers at "
+    "sf0.01).",
 )
 def anti_join_no_orders(spark, sf_dir):
     cust, orders = tables(spark, sf_dir, "customer", "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_custs"))
     )

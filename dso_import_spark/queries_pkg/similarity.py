@@ -164,14 +164,18 @@ def ann_lsh_topk(spark, sf_dir):
     FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.ve, b.ve) /
                 (sqrt(list_dot_product(a.ve, a.ve)) *
-                 sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.9
+                 sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
     """,
     doc="Embedding near-dup pairs blocked by the portable LSH bucket "
     "instead of the label column — the scale path: bucket count grows "
     "with corpus size (2^n_bits tunable) where label blocks grow "
     "linearly, so per-block pair blowup stays bounded. Near-identical "
     "vectors land in the same signed-projection bucket with high "
-    "probability; the oracle reproduces buckets exactly (integer math).",
+    "probability; the oracle reproduces buckets exactly (integer "
+    "math). Threshold 0.3 on this near-orthogonal synthetic fixture "
+    "(production near-dup runs 0.9+ — the plan is threshold-"
+    "independent): at 0.9 the fixture has no qualifying pair and a "
+    "zero-row differential green is vacuous.",
 )
 def embedding_near_dup_lsh(spark, sf_dir):
     from dso_import_spark.operators.similarity import lsh_bucket
@@ -181,7 +185,7 @@ def embedding_near_dup_lsh(spark, sf_dir):
         "bucket", lsh_bucket("embedding", n_bits=6)
     )
     return embedding_near_dup_pairs(
-        sample, threshold=0.9, block_col="bucket"
+        sample, threshold=0.3, block_col="bucket"
     )
 
 
@@ -197,15 +201,17 @@ def embedding_near_dup_lsh(spark, sf_dir):
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.ve, b.ve) /
                 (sqrt(list_dot_product(a.ve, a.ve)) *
-                 sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.9
+                 sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.3
     """,
     doc="Embedding-cosine near-duplicate pairs, label-blocked self-join "
-    "(embedding_near_dup_pairs operator).",
+    "(embedding_near_dup_pairs operator). Threshold 0.3 on the "
+    "near-orthogonal fixture so the pair set is non-empty (5 pairs "
+    "at sf0.01); production uses 0.9+, same plan.",
 )
 def embedding_near_dup(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 4 == 0)
-    return embedding_near_dup_pairs(sample, threshold=0.9)
+    return embedding_near_dup_pairs(sample, threshold=0.3)
 
 
 @query(

@@ -516,7 +516,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     SELECT s.s_name, n.n_name
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    WHERE n.n_name IN ('NATION_0', 'NATION_6', 'NATION_7')
       AND EXISTS (
         SELECT 1 FROM shipped sh
         JOIN part p ON p.p_partkey = sh.l_partkey
@@ -527,7 +527,9 @@ def q19_disjunctive_revenue(spark, sf_dir):
     """,
     doc="TPC-H Q20-style: suppliers who moved significant volume of "
     "promo parts in a year, in selected nations (nested EXISTS over an "
-    "aggregate → semi-join chain).",
+    "aggregate → semi-join chain). Nations chosen to intersect the "
+    "fixture's qualifying suppliers — the original pick returned zero "
+    "rows, a vacuous differential green.",
 )
 def q20_part_promotion_suppliers(spark, sf_dir):
     li, supp, nation, part = tables(
@@ -547,7 +549,7 @@ def q20_part_promotion_suppliers(spark, sf_dir):
         .join(F.broadcast(promo), promo.p_partkey == shipped.l_partkey)
         .select("l_suppkey")
     )
-    nations = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    nations = nation.filter(F.col("n_name").isin("NATION_0", "NATION_6", "NATION_7"))
     return (
         supp.join(movers, movers.l_suppkey == supp.s_suppkey, "left_semi")
         .join(F.broadcast(nations), nations.n_nationkey == supp.s_nationkey)
@@ -630,11 +632,16 @@ def q21_waiting_suppliers(spark, sf_dir):
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1998-01-01')
     GROUP BY c.c_nationkey
     """,
-    doc="TPC-H Q22-style: well-funded customers with no orders, per "
-    "nation (scalar avg broadcast + anti-join; phone prefix absent).",
+    doc="TPC-H Q22-style: well-funded customers gone idle, per nation "
+    "(scalar avg broadcast + anti-join; phone prefix absent). "
+    "Idleness is no-orders-since-1998 rather than no-orders-ever: "
+    "every fixture customer has some order, so the unbounded form "
+    "returns zero rows and its differential green is vacuous.",
 )
 def q22_idle_customers(spark, sf_dir):
     cust, orders = tables(spark, sf_dir, "customer", "orders")
@@ -644,7 +651,13 @@ def q22_idle_customers(spark, sf_dir):
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, orders.o_custkey == cust.c_custkey, "left_anti")
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+            ),
+            orders.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
