@@ -296,6 +296,9 @@ _SCALAR_RESULT_QUERIES = {
     # per-group aggregate (QI domain / join-key cardinality)
     "k_anonymity_audit",
     "join_key_skew_profile",
+    # 1-row per-dimension means table (a dims-row aggregate collapsed
+    # to one broadcast row — same class as temperature_mix_weights)
+    "embedding_covariance",
     # 1-row quantile-edge aggregate over the per-CUSTOMER relation
     # (three numeric columns into one exact-percentile combine; the
     # doc names percentile_approx as the 100 TB swap-in)
