@@ -159,7 +159,7 @@ ROUND4_QUEUE = [
     "rfm_segmentation", "bitmap_exact_distinct",
     "seasonal_baseline_residuals", "multimodal_wav_decode",
     "wkt_write_roundtrip", "stream_session_dynamic_gap",
-    "embedding_covariance",
+    "embedding_covariance", "decimal_money_totals",
 ]
 
 

@@ -534,3 +534,37 @@ def q18_large_orders(spark, sf_dir):
             F.round("sum_qty_raw", 2).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "decimal_money_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_price,
+           max(CAST(o_totalprice AS DECIMAL(18, 2))) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Exact DECIMAL money aggregation: order totals cast to "
+    "DECIMAL(18,2) before summing, so the result is EXACT and "
+    "independent of partitioning/summation order — the correctness "
+    "property double aggregation cannot give (cross-engine double "
+    "sums differ in the last ulp and can flip a rounded cent; see "
+    "the rfm_segmentation integer-cent workaround). Spark sums "
+    "decimals in a widened unscaled long/int128 accumulator with "
+    "map-side partials — same plan shape as a double sum, exact "
+    "semantics; this query needs NO round() on either side, which "
+    "is itself the point.",
+)
+def decimal_money_totals(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money).alias("total_price"),
+            F.max(money).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
