@@ -426,9 +426,15 @@ def decode_wav(b: bytes) -> tuple[int, int, float, float] | None:
     n = len(data)
     if n == 0:
         return rate, 0, 0.0, 0.0
-    ss = sum((x - 128) ** 2 for x in data)  # exact integer sum
     import math
 
+    import numpy as np
+
+    # exact integer square-sum, vectorized: int64 is exact here
+    # (max n * 127^2 << 2^63) and an order of magnitude faster than a
+    # per-byte Python loop inside the Arrow batch stage
+    xs = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    ss = int((xs * xs).sum())
     return rate, n, n / rate, math.sqrt(ss / n)
 
 

@@ -797,6 +797,43 @@ def semantic_dedup(
     )
 
 
+def gram_partial_batches(col: str, base_index: int = 0, mean=None):
+    """Shared Arrow-batch kernel for distributed Gram/covariance
+    matrices: returns a mapInPandas generator that emits ONE
+    upper-triangle X^T X partial per batch (dim_i, dim_j, s, n) —
+    dims are derived from each batch, never hardcoded. ``mean`` (a
+    numpy vector) centres rows first; pass None when the input column
+    is already centred. ``base_index`` picks 0- or 1-based dim labels
+    (the SQL-oracle-facing query uses 1-based to match
+    generate_subscripts). Both embedding_covariance (queries_pkg.
+    curation) and covariance_partials below use this one kernel so
+    batch handling can never drift between them."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(a, dtype=np.float64) for a in pdf[col]]
+            )
+            if mean is not None:
+                x = x - mean
+            iu = np.triu_indices(x.shape[1])
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu[0] + base_index,
+                    "dim_j": iu[1] + base_index,
+                    "s": g[iu],
+                    "n": len(pdf),
+                }
+            )
+
+    return partials
+
+
 def covariance_partials(vectors: DataFrame, vec_col: str = "ve"):
     """Distributed mean + covariance for an embedding column, in the
     batch-matmul shape (see queries_pkg.curation.embedding_covariance):
@@ -814,30 +851,12 @@ def covariance_partials(vectors: DataFrame, vec_col: str = "ve"):
     mean = np.asarray([r["m"] for r in rows], dtype=np.float64)
     dims = len(mean)
 
-    import pandas as pd
-
-    iu = np.triu_indices(dims)
-
-    def partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.asarray(
-                [np.asarray(a, dtype=np.float64) for a in pdf["__v"]]
-            ) - mean
-            g = x.T @ x
-            yield pd.DataFrame(
-                {
-                    "dim_i": iu[0],
-                    "dim_j": iu[1],
-                    "s": g[iu],
-                    "n": len(pdf),
-                }
-            )
-
     cells = (
         vectors.select(F.col(vec_col).alias("__v"))
-        .mapInPandas(partials, "dim_i int, dim_j int, s double, n long")
+        .mapInPandas(
+            gram_partial_batches("__v", base_index=0, mean=mean),
+            "dim_i int, dim_j int, s double, n long",
+        )
         .groupBy("dim_i", "dim_j")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()

@@ -69,6 +69,10 @@ def boilerplate_ngram_mass(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
     ws = F.split(F.col("text"), " ")
+    # <n-gram-width docs have no shingle; without this filter
+    # F.sequence(0, size-n) descends and element_at throws (the
+    # oracle's lead()-NULL shingles drop those docs anyway)
+    docs = docs.filter(F.size(ws) >= _BP_N)
     shingled = docs.select(
         "doc_id",
         F.explode(
@@ -134,6 +138,7 @@ def bpe_pair_merge_counts(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     docs = spread_for_explode(docs.select("text"))
     ws = F.split(F.col("text"), " ")
+    docs = docs.filter(F.size(ws) >= 2)  # see boilerplate_ngram_mass
     pairs = docs.select(
         F.explode(
             F.transform(

@@ -45,7 +45,7 @@ _G_MAX_REP = 0.125  # max single-word share of the document
     oracle="""
     WITH ch AS (SELECT doc_id, source,
                        unnest(string_split(text, '')) AS ch
-                FROM documents),
+                FROM documents WHERE text <> ''),
     cnt AS (SELECT doc_id, source, ch, count(*)::DOUBLE AS c
             FROM ch GROUP BY doc_id, source, ch),
     ent AS (SELECT doc_id, source,
@@ -71,6 +71,8 @@ _G_MAX_REP = 0.125  # max single-word share of the document
 )
 def char_entropy_quality(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text") != "")  # split('') yields [''] on
+    # empty input in Spark but [] in DuckDB — filter symmetrically
     docs = spread_for_explode(docs.select("doc_id", "source", "text"), "doc_id")
     chars = docs.select(
         "doc_id", "source", F.explode(F.split("text", "")).alias("ch")
@@ -242,6 +244,10 @@ def ngram_novelty_decay(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
     docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
     ws = F.split(F.col("text"), " ")
+    # a <2-word doc has no shingle: F.sequence(0, size-2) would produce
+    # the DESCENDING [0,-1] and element_at(ws, 2) throws in Spark 4 —
+    # filter first (the oracle's lead()-NULL shingles drop them too)
+    docs = docs.filter(F.size(ws) >= 2)
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -310,7 +316,10 @@ def ngram_novelty_decay(spark, sf_dir):
 )
 def word_zipf_slope(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs.select("source", "text"), "source")
+    # no spread key: hash-by-source would cap the explode stage at
+    # |sources| (~20) partitions; round-robin keeps every core busy and
+    # the groupBy(source, w) reshuffles afterwards regardless
+    docs = spread_for_explode(docs.select("source", "text"))
     w = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
     freq = w.groupBy("source", "w").agg(
         F.count("*").cast("double").alias("c")
@@ -551,7 +560,6 @@ def embedding_covariance(spark, sf_dir):
             "ve"
         )
     )
-    dims = 64
     means_row = (
         v.select(F.posexplode("ve").alias("pos", "val"))
         .groupBy("pos")
@@ -575,32 +583,12 @@ def embedding_covariance(spark, sf_dir):
     # Column explode of the dims(dims+1)/2 products per VECTOR was
     # measured at 29x for x100 vectors (a billion generated rows);
     # the per-BATCH matmul emits 2080 rows per ~10k-vector batch.
-    import numpy as np
-    import pandas as pd
+    from dso_import_spark.operators.similarity import gram_partial_batches
 
-    iu = np.triu_indices(dims)
-    part_schema = (
-        "dim_i int, dim_j int, s double, n long"
+    pairs = centred.mapInPandas(
+        gram_partial_batches("c", base_index=1),
+        "dim_i int, dim_j int, s double, n long",
     )
-
-    def partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.asarray(
-                [np.asarray(a, dtype=np.float64) for a in pdf["c"]]
-            )
-            g = x.T @ x
-            yield pd.DataFrame(
-                {
-                    "dim_i": iu[0] + 1,
-                    "dim_j": iu[1] + 1,
-                    "s": g[iu],
-                    "n": len(pdf),
-                }
-            )
-
-    pairs = centred.mapInPandas(partials, part_schema)
     return (
         pairs.groupBy("dim_i", "dim_j")
         .agg(

@@ -1683,7 +1683,11 @@ def stream_tail_ingest(spark, sf_dir):
     "compare each event to its predecessor: a long-gap event "
     "extends the session past later short-gap ends, so the islands "
     "break condition is ts > running-max of all previous interval "
-    "ends (cummax window over us+gap), not a lag diff. Streaming "
+    "ends (cummax window over us+gap), not a lag diff. The strict > "
+    "is Spark's verified boundary behavior: an event at exactly "
+    "prev_ts+gap MERGES into the session (probed empirically — two "
+    "events 10s apart with a 10s gap form one session ending at "
+    "t+20s), so equality must not break the island. Streaming "
     "state merges intervals and watermark-evicts exactly as with a "
     "fixed gap; the cummax formulation is the 100 TB batch "
     "equivalent (one per-user window scan).",

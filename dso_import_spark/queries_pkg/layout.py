@@ -182,14 +182,15 @@ def scd2_change_feed(spark, sf_dir):
     )
 
 
-def partitioned_events_path(sf_dir: str) -> str:
-    """Deterministic local path for the day-partitioned events copy.
-
-    Keyed by the source file's (mtime, size) so a regenerated fixture
-    invalidates the cached copy instead of silently serving stale data.
-    """
+def stamped_cache_path(sf_dir: str, src_table: str, *leaf: str) -> str:
+    """Deterministic local cache path for a fixture-derived artifact,
+    keyed by the source parquet's (mtime, size) so a regenerated
+    fixture invalidates the cache instead of silently serving stale
+    data. Shared by every write-once layout/scan fixture in the repo
+    (day-partitioned events, schema-evolution generations, the
+    partition-overwrite table, and the WKT files in wkt_scan.py)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     try:
         st = os.stat(src)
         stamp = f"{int(st.st_mtime)}_{st.st_size}"
@@ -199,8 +200,13 @@ def partitioned_events_path(sf_dir: str) -> str:
         tempfile.gettempdir(),
         "dso_import_spark_layout",
         f"{tag}-{stamp}",
-        "events_by_day",
+        *leaf,
     )
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    """Day-partitioned events copy (see stamped_cache_path)."""
+    return stamped_cache_path(sf_dir, "events", "events_by_day")
 
 
 def partitioned_events(spark, sf_dir):
@@ -253,21 +259,8 @@ def partitioned_events_scan(spark, sf_dir):
 
 
 def schema_evolution_path(sf_dir: str) -> str:
-    """Deterministic local path for the two-version documents copy
-    (same (mtime, size) cache-keying as partitioned_events_path)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        stamp = "nosrc"
-    return os.path.join(
-        tempfile.gettempdir(),
-        "dso_import_spark_layout",
-        f"{tag}-{stamp}",
-        "documents_versions",
-    )
+    """Two-generation documents copy (see stamped_cache_path)."""
+    return stamped_cache_path(sf_dir, "documents", "documents_versions")
 
 
 def _versioned_documents(spark, sf_dir):
@@ -291,7 +284,8 @@ def _versioned_documents(spark, sf_dir):
             docs.filter(F.col("doc_id") % 2 == 1)
             .select("doc_id", "text", "lang", "source", "n_chars")
             .coalesce(1)
-            .write.mode("append")
+            .write.mode("overwrite")  # append would duplicate v=2 if a
+            # crash between this write and the _SUCCESS marker reran us
             .parquet(os.path.join(out, "v=2"))
         )
         # root-level marker for the write-once gate
@@ -350,21 +344,8 @@ def schema_evolution_scan(spark, sf_dir):
 
 
 def dpo_events_path(sf_dir: str) -> str:
-    """Deterministic local path for the partition-overwrite demo table
-    (same (mtime, size) cache-keying as partitioned_events_path)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        stamp = "nosrc"
-    return os.path.join(
-        tempfile.gettempdir(),
-        "dso_import_spark_layout",
-        f"{tag}-{stamp}",
-        "events_dpo",
-    )
+    """Partition-overwrite demo table (see stamped_cache_path)."""
+    return stamped_cache_path(sf_dir, "events", "events_dpo")
 
 
 _DPO_CUTOFF = "2024-01-24"

@@ -153,7 +153,9 @@ def multimodal_features(spark, sf_dir):
     "multimodal_wav_decode",
     oracle="""
     WITH a AS (SELECT doc_id, source, text FROM documents
-               WHERE doc_id % 3 = 1),
+               WHERE doc_id % 3 = 1
+                 AND strlen(text) = length(text)
+                 AND text <> ''),
     ch AS (SELECT doc_id, source,
                   ascii(unnest(string_split(text, ''))) AS code
            FROM a),
@@ -191,7 +193,16 @@ def multimodal_wav_decode(spark, sf_dir):
     )
 
     (docs,) = tables(spark, sf_dir, "documents")
-    audio = synthesize_wav(docs.filter(F.col("doc_id") % 3 == 1))
+    # the oracle counts CHARACTERS (ascii codes) while the payload
+    # carries UTF-8 BYTES — identical only for non-empty ASCII text,
+    # so both sides filter to that symmetrically (the fixture is all
+    # ASCII; the guard makes the equivalence explicit, not assumed)
+    ascii_docs = docs.filter(
+        (F.col("doc_id") % 3 == 1)
+        & (F.octet_length("text") == F.length("text"))
+        & (F.col("text") != "")
+    )
+    audio = synthesize_wav(ascii_docs)
     stats = wav_stats(audio)
     return (
         stats.groupBy("source")

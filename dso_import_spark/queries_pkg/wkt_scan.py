@@ -33,16 +33,9 @@ from dso_import_spark.sources.wkt_source import register_wkt_source
 
 
 def _wkt_file_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "part.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        stamp = "nosrc"
-    return os.path.join(
-        tempfile.gettempdir(), "dso_import_spark_wkt", f"{tag}-{stamp}", "parts.wkt"
-    )
+    from dso_import_spark.queries_pkg.layout import stamped_cache_path
+
+    return stamped_cache_path(sf_dir, "part", "wkt", "parts.wkt")
 
 
 def _ensure_wkt_file(spark, sf_dir: str) -> str:
@@ -109,19 +102,9 @@ def wkt_file_scan(spark, sf_dir):
 
 
 def _wkt_write_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    src = os.path.join(sf_dir, "part.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        stamp = "nosrc"
-    return os.path.join(
-        tempfile.gettempdir(),
-        "dso_import_spark_wkt",
-        f"{tag}-{stamp}",
-        "roundtrip",
-    )
+    from dso_import_spark.queries_pkg.layout import stamped_cache_path
+
+    return stamped_cache_path(sf_dir, "part", "wkt", "roundtrip")
 
 
 @query(
