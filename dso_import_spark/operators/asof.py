@@ -66,6 +66,17 @@ def asof_tolerance_join(
     """
     if n_buckets is None:
         n_buckets = 4 * left.sparkSession.sparkContext.defaultParallelism
+    # xxhash64 is TYPE-sensitive (xxhash64(7 as int) != xxhash64(7 as
+    # bigint)): if the two key columns differ in type, the same user
+    # lands in different buckets and matches are silently lost — fail
+    # loudly instead and let the caller cast
+    lt = dict(left.dtypes)[key]
+    rt = dict(right.dtypes)[key]
+    if lt != rt:
+        raise ValueError(
+            f"asof key type mismatch: left {key} is {lt}, right is {rt}"
+            " — cast one side; bucketing hashes would diverge silently"
+        )
     bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     lhs = left.select(
         F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),
@@ -89,11 +100,32 @@ def asof_tolerance_join(
                     "secs_since": pd.array([], dtype="Int64"),
                 }
             )
+        # NULL timestamps crash pandas merge_asof (ValueError on NaT
+        # merge keys): a left row without a time can never match —
+        # route it straight to the unmatched output; a right row
+        # without a time can never BE matched — drop it
+        null_left = lpdf[lpdf["ts"].isna()]
+        lpdf = lpdf[lpdf["ts"].notna()]
+        rpdf = rpdf[rpdf["rts"].notna()]
+        if len(null_left):
+            null_out = null_left[["left_id", "user_id", "ts"]].copy()
+            null_out["right_id"] = pd.array(
+                [None] * len(null_out), dtype="Int64"
+            )
+            null_out["secs_since"] = pd.array(
+                [None] * len(null_out), dtype="Int64"
+            )
+        else:
+            null_out = None
+        if lpdf.empty and null_out is not None:
+            return null_out
         lpdf = lpdf.sort_values("ts", kind="mergesort")
         if rpdf.empty:
             out = lpdf[["left_id", "user_id", "ts"]].copy()
             out["right_id"] = pd.array([None] * len(out), dtype="Int64")
             out["secs_since"] = pd.array([None] * len(out), dtype="Int64")
+            if null_out is not None:
+                out = pd.concat([out, null_out], ignore_index=True)
             return out
         # (user, ts) tie-dedup: max right_id wins, then re-sort by rts
         # alone (merge_asof requires global sort on the 'on' column)
@@ -114,7 +146,10 @@ def asof_tolerance_join(
         m["secs_since"] = pd.array(
             [None if pd.isna(s) else int(s) for s in secs], dtype="Int64"
         )
-        return m[["left_id", "user_id", "ts", "right_id", "secs_since"]]
+        m = m[["left_id", "user_id", "ts", "right_id", "secs_since"]]
+        if null_out is not None:
+            m = pd.concat([m, null_out], ignore_index=True)
+        return m
 
     return (
         lhs.groupBy("__b")

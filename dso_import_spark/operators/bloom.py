@@ -158,6 +158,16 @@ def bloom_pruned_join(
     columns (``probe_key`` and ``build_key``); select/drop one if the
     coalesced single-key shape is wanted.
     """
+    pt = dict(probe.dtypes)[probe_key]
+    bt = dict(build.dtypes)[build_key]
+    if pt != bt:
+        # xxhash64 is TYPE-sensitive: hashing int 7 and bigint 7 sets
+        # different bits, so a type mismatch silently prunes TRUE
+        # matches (the plain join would implicitly cast) — fail loudly
+        raise ValueError(
+            f"bloom key type mismatch: probe {probe_key} is {pt}, "
+            f"build {build_key} is {bt} — cast one side first"
+        )
     bloom = bloom_build(build, build_key, m, k)
     pruned = bloom_prune(probe, bloom, probe_key, m, k)
     return pruned.join(build, pruned[probe_key] == build[build_key], "inner")

@@ -74,6 +74,14 @@ def simhash_pairs(
     """
     from dso_import_spark.functions.text import hamming32
 
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} needs more than "
+            f"n_bands={n_bands} bands — banding only guarantees a "
+            "collision for pairs with FEWER than n_bands differing "
+            "bits, so pairs inside the requested distance could be "
+            "silently missed; raise n_bands"
+        )
     band_bits = 32 // n_bands
     sh = df.select(
         F.col(id_col).alias("id"), simhash32(text_col).alias("simhash")

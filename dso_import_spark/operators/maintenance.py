@@ -59,9 +59,25 @@ def compact(
     directory collapses to one file — without it the partition layout
     would silently flatten.
 
-    Two-phase: write to ``<path>.compacting``, then atomic directory
-    swap, so a crash mid-compaction leaves the original intact.
+    Two-phase: write to ``<path>.compacting``, then rename-swap. The
+    new data is complete before the swap begins, and a recovery
+    preamble repairs the two crash windows the double rename leaves:
+    a crash before the swap orphans only ``.compacting`` (removed on
+    the next run); a crash between the two renames leaves the table
+    at ``<path>.old`` with ``path`` briefly absent (rolled back on
+    the next run). POSIX has no atomic directory swap, so a reader
+    racing exactly inside the two-rename window can still observe a
+    missing directory — on object storage, swap via a manifest
+    instead (the WKT sink's commit protocol).
     """
+    old_dir = path.rstrip("/") + ".old"
+    tmp = path.rstrip("/") + ".compacting"
+    if os.path.isdir(old_dir) and not os.path.isdir(path):
+        os.rename(old_dir, path)  # crashed between the two renames
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)  # crashed before the old cleanup
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # crashed mid-write: tmp is untrusted
     n_files, total = dir_stats(path)
     df = spark.read.parquet(path)
     if partition_by:
@@ -72,12 +88,10 @@ def compact(
         if n_target >= n_files:
             return n_files  # already compact enough; don't rewrite
         writer = df.coalesce(n_target).write.mode("overwrite")
-    tmp = path.rstrip("/") + ".compacting"
     writer.parquet(tmp)
-    old = path.rstrip("/") + ".old"
-    os.rename(path, old)
+    os.rename(path, old_dir)
     os.rename(tmp, path)
-    shutil.rmtree(old)
+    shutil.rmtree(old_dir)
     return dir_stats(path)[0]
 
 

@@ -282,6 +282,8 @@ def byte_histogram(payload: pd.Series) -> pd.Series:
     import numpy as np
 
     def hist(b) -> list[float]:
+        if b is None:  # NULL payload: bytes(None) would raise and
+            return None  # kill the batch; a NULL feature row is honest
         arr = np.frombuffer(bytes(b), dtype=np.uint8)
         if arr.size == 0:
             return [0.0] * 16

@@ -20,12 +20,6 @@ from pyspark.sql.window import Window
 from dso_import_spark.functions.vectors import as_double, cosine, dot, norm
 
 
-def _with_unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-    """Pre-normalize: unit vector + keep norm; cosine becomes a dot."""
-    v = as_double(F.col(vec_col))
-    return df.withColumn(out, F.transform(v, lambda x: x / norm(v)))
-
-
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -543,6 +537,11 @@ def train_centroids(
     """
     init = z.orderBy("vec_id").limit(k).collect()
     cents = [list(r["ve"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(
+            f"train_centroids: k={k} exceeds the {len(cents)} input "
+            "rows — the update loop would index past the centroid list"
+        )
     for _ in range(iters - 1):
         assigned = z.withColumn(
             "dists", centroid_dists(cents, F.col("ve"), F.col("na"))
@@ -645,7 +644,10 @@ def _pq_encode(
     (the same reason production PQ persists codes next to the ids).
     """
     z.cache()
-    dims = len(z.orderBy("vec_id").limit(1).collect()[0]["ve"])
+    probe = z.orderBy("vec_id").limit(1).collect()
+    if not probe:
+        raise ValueError("pq encode: empty corpus")
+    dims = len(probe[0]["ve"])
     assert dims % m == 0, f"dims {dims} not divisible by m={m}"
     sub = dims // m
     books: list[list[list[float]]] = []
@@ -770,8 +772,11 @@ def semantic_dedup(
     a = base.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("probe")
     ).alias("a")
+    # hash-based bucket, not pmod(id): a STRING id would pmod to NULL
+    # (silently emptying the pair join); xxhash64 takes any type, and
+    # the probe side covers every bucket so the pair set is identical
     b = base.withColumn(
-        "bucket", F.pmod(F.col("vec_id"), F.lit(n_salts))
+        "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))
     ).alias("b")
     sim = F.round(dot(F.col("a.u"), F.col("b.u")), round_scale)
     dup = (

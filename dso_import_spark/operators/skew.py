@@ -90,6 +90,13 @@ def salted_join(
     Shuffle volume for the small side grows n_salts×, but the hot key's
     probe rows spread over n_salts tasks instead of one.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join(how={how!r}): joins preserving the REPLICATED "
+            "small side would emit each unmatched small row n_salts "
+            "times — use inner/left-family joins, or salt the other way"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), n_salts)
     )

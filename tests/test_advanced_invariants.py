@@ -151,3 +151,122 @@ def test_ewma_null_current_value_yields_null(spark, tmp_path):
     assert out[0] == 10.0
     assert out[101] is None        # NULL current value → NULL ewma
     assert out[202] is not None    # NULL history renormalizes, not NULLs
+
+
+def test_bloom_join_rejects_key_type_mismatch(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.bloom import bloom_pruned_join
+
+    probe = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    build = spark.range(10).select(F.col("id").alias("bk"))  # bigint
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_pruned_join(probe, build, "k", "bk")
+
+
+def test_asof_rejects_key_type_mismatch(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.asof import asof_tolerance_join
+
+    left = spark.range(4).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("int").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+    )
+    right = spark.range(4).select(
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),  # bigint
+        F.current_timestamp().alias("ts"),
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        asof_tolerance_join(left, right, key="user_id")
+
+
+def test_asof_null_timestamps_survive_as_unmatched(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.asof import asof_tolerance_join
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t), (2, 7, None), (3, 8, t)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 7, t - datetime.timedelta(seconds=5)), (11, 8, None)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = {
+        r.left_id: r
+        for r in asof_tolerance_join(
+            left, right, key="user_id", tolerance_secs=3600
+        ).collect()
+    }
+    assert len(rows) == 3  # the NULL-ts left row is kept, not crashed on
+    assert rows[1].right_id == 10 and rows[1].secs_since == 5
+    assert rows[2].right_id is None  # NULL left ts: unmatched
+    assert rows[3].right_id is None  # right side's only row had NULL ts
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.skew import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="REPLICATED"):
+        salted_join(big, small, "k", n_salts=4, how="full")
+
+
+def test_simhash_rejects_unreachable_hamming(spark, sf_dir):
+    import pytest
+
+    from dso_import_spark.operators.dedup import simhash_pairs
+    from dso_import_spark.queries_pkg.util import tables
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="n_bands"):
+        simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_kmeans_rejects_k_above_row_count(spark, sf_dir):
+    import pytest
+
+    from dso_import_spark.operators.similarity import kmeans_assignments
+    from dso_import_spark.queries_pkg.util import tables
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_assignments(emb.limit(2), k=4, iters=2)
+
+
+def test_compact_recovers_from_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves the table at .old;
+    the next compact must roll it back instead of failing."""
+    import os
+    import shutil
+
+    from dso_import_spark.operators.maintenance import compact, dir_stats
+    from dso_import_spark.queries_pkg.util import tables
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    p = str(tmp_path / "t")
+    orders.limit(500).repartition(6).write.parquet(p)
+    n_rows = spark.read.parquet(p).count()
+    # simulate the crash window: table renamed away, new data not yet in
+    os.rename(p, p + ".old")
+    compact(spark, p, target_bytes=1 << 30)
+    assert spark.read.parquet(p).count() == n_rows
+    assert not os.path.exists(p + ".old")
+    # stale .compacting from a mid-write crash is discarded
+    shutil.copytree(p, p + ".compacting")
+    compact(spark, p, target_bytes=1 << 30)
+    assert not os.path.exists(p + ".compacting")
+    assert spark.read.parquet(p).count() == n_rows
