@@ -45,10 +45,13 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    # Spark requires caching/materializing before referencing the
-    # corrupt column alone (the lazy scan would otherwise prune away
-    # the parse failure evidence).
-    raw = raw.cache()
+    # Spark requires materializing before referencing the corrupt
+    # column alone (the lazy scan would otherwise prune away the
+    # parse-failure evidence). localCheckpoint instead of cache():
+    # cache() pinned the whole raw input in executor storage memory
+    # for the session's lifetime with no release path; the checkpoint
+    # is dropped with the DataFrame's lineage when callers let go.
+    raw = raw.localCheckpoint(eager=True)
     valid = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return valid, rejected
@@ -97,7 +100,8 @@ def read_xml(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .load(path)
     )
-    raw = raw.cache()  # materialize parse evidence before splitting
+    # localCheckpoint, not cache() — see read_jsonl
+    raw = raw.localCheckpoint(eager=True)
     valid = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejected = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return valid, rejected

@@ -91,7 +91,7 @@ def parse_shp(data: bytes) -> Iterator[tuple[int, str | None]]:
             yield rec_no, None
 
 
-def parse_dbf(data: bytes) -> tuple[list[str], Iterator[list[str | None]]]:
+def parse_dbf(data: bytes, encoding: str = "latin-1") -> tuple[list[str], Iterator[list[str | None]]]:
     """Parse dBASE III: return (field_names, row iterator of strings).
 
     All values surface as trimmed strings (NULL for blank) — the same
@@ -107,17 +107,22 @@ def parse_dbf(data: bytes) -> tuple[list[str], Iterator[list[str | None]]]:
         off += 32
     names = [n for n, _ in fields]
 
-    def rows() -> Iterator[list[str | None]]:
+    def rows() -> Iterator[list[str | None] | None]:
         pos = header_len
         for _ in range(n_records):
             rec = data[pos : pos + record_len]
             pos += record_len
-            if len(rec) < record_len or rec[0:1] == b"*":  # deleted row
+            if len(rec) < record_len or rec[0:1] == b"*":
+                # deleted row: yield a PLACEHOLDER, never skip — .dbf
+                # records align positionally with .shp record numbers,
+                # so dropping the slot would shift every later row's
+                # attributes onto the wrong geometry
+                yield None
                 continue
             vals: list[str | None] = []
             f_off = 1
             for _, length in fields:
-                raw = rec[f_off : f_off + length].decode("latin-1").strip()
+                raw = rec[f_off : f_off + length].decode(encoding).strip()
                 vals.append(raw or None)
                 f_off += length
             yield vals
@@ -145,19 +150,29 @@ def read_shapefile(
             for path, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 attr_rows: dict[int, dict[str, str | None]] = {}
-                try:
-                    import os
+                import os
+                from urllib.parse import unquote
 
-                    local = path.removeprefix("file:")
+                if path.startswith(("file:", "/")):
+                    # binaryFile URL-encodes paths (space -> %20)
+                    local = unquote(path.removeprefix("file:"))
                     dbf_path = os.path.splitext(local)[0] + ".dbf"
-                    with open(dbf_path, "rb") as fh:
-                        names, rows = parse_dbf(fh.read())
-                    attr_rows = {
-                        i + 1: dict(zip(names, vals))
-                        for i, vals in enumerate(rows)
-                    }
-                except OSError:
-                    pass  # no attribute sidecar — geometry-only shapefile
+                    if os.path.exists(dbf_path):
+                        # existing-but-unreadable must RAISE, not be
+                        # treated as geometry-only: silently dropping
+                        # every attribute is wrong data, not a fallback
+                        with open(dbf_path, "rb") as fh:
+                            names, rows = parse_dbf(fh.read(), encoding)
+                        attr_rows = {
+                            i + 1: dict(zip(names, vals))
+                            for i, vals in enumerate(rows)
+                            if vals is not None  # deleted slots keep
+                            # their record number but carry no attrs
+                        }
+                # non-local storage (hdfs/s3a): the sidecar cannot be
+                # opened with the local API — geometry-only for now; a
+                # cluster deployment reads the .dbf through the same
+                # binaryFile source and joins on (stem, record_no)
                 for rec_no, wkt in parse_shp(data):
                     out["path"].append(path)
                     out["record_no"].append(rec_no)

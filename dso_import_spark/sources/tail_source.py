@@ -50,8 +50,13 @@ class _Tail(InputPartition):
 
 def _complete_size(path: str) -> int:
     """Bytes of the file covered by whole (newline-terminated) lines —
-    a torn trailing line stays unread until its newline lands."""
-    size = os.path.getsize(path)
+    a torn trailing line stays unread until its newline lands.
+    A file rotated away between listing and stat reads as 0 bytes
+    (it simply stops advancing) instead of crashing the stream."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
     if size == 0:
         return 0
     with open(path, "rb") as f:
@@ -108,17 +113,28 @@ class TailStreamReader(DataSourceStreamReader):
     def read(self, partition: _Tail) -> Iterator[tuple]:
         if partition.end <= partition.start or not partition.path:
             return
-        with open(partition.path, "rb") as f:
+        try:
+            f = open(partition.path, "rb")
+        except OSError:
+            return  # rotated away after the offset was planned
+        with f:
             f.seek(partition.start)
             while f.tell() < partition.end:
                 line = f.readline()
                 if not line:
                     break
-                text = line.decode("utf-8").rstrip("\r\n")
+                text = line.decode("utf-8", "replace").rstrip("\r\n")
                 if not text:
                     continue
-                eid, uid, etype, value = text.split("|", 3)
-                yield (int(eid), int(uid), etype, float(value))
+                # a malformed line must never be a poison pill: the
+                # checkpoint would replay the same byte range forever.
+                # Skip it (rejected-line discipline, like formats.py);
+                # offsets still advance past it.
+                try:
+                    eid, uid, etype, value = text.split("|", 3)
+                    yield (int(eid), int(uid), etype, float(value))
+                except ValueError:
+                    continue
 
     def commit(self, end: dict) -> None:
         # offsets are durable in the checkpoint; nothing external to ack

@@ -171,6 +171,13 @@ class WktDataSourceWriter(DataSourceWriter):
         return _WktCommit(tmp_name, n)
 
     def commit(self, messages) -> None:
+        # retract the manifest FIRST: from here until the new manifest
+        # lands the table is officially unpublished, so a manifest-
+        # checking reader can never observe the destructive phase
+        # under a stale _SUCCESS claiming the old row count
+        manifest = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(manifest):
+            os.remove(manifest)
         for fn in sorted(os.listdir(self.path)):
             if fn.endswith(".wkt") and fn.startswith("part-"):
                 os.remove(os.path.join(self.path, fn))

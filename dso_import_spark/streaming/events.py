@@ -64,15 +64,17 @@ def _as_stream_dir(path: str) -> str:
     """The file stream source requires a *directory* (new files land
     there over time). The fixture is a single read-only parquet file,
     so stage a directory of symlinks next to it in tmp."""
+    import hashlib
     import os
     import tempfile
 
     if os.path.isdir(path):
         return path
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"dso-stream-{abs(hash(os.path.abspath(path)))%10**10}",
-    )
+    # a stable digest, NOT hash(): str hashing is salted per process,
+    # so a checkpointed query restarted in a new process would see a
+    # different source directory and re-ingest everything
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"dso-stream-{digest}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.exists(link):
@@ -370,9 +372,13 @@ def interval_join_left_outer(
         "user_id",
         F.col("ts").alias("view_ts"),
     )
+    # watermark BEFORE the cutoff filter (same fix as the full-outer
+    # variant): filtering first makes the view side's own watermark
+    # stall at cutoff - delay under the default min policy, withholding
+    # the final delay+gap sliver of NULL-padded rows forever
+    views = views.withWatermark("view_ts", watermark)
     if safe_before is not None:
         views = views.filter(F.col("view_ts") < F.lit(safe_before))
-    views = views.withWatermark("view_ts", watermark)
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -508,16 +514,29 @@ def stream_upsert_latest(
     import shutil
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        tmp = target_dir.rstrip("/") + ".tmp"
+        old = target_dir.rstrip("/") + ".old"
+        # recovery preamble: a crash between the two swap renames
+        # leaves the state at .old with the target missing — roll it
+        # back rather than silently rebuilding from one micro-batch
+        # (which would discard every earlier user's state)
+        if os.path.isdir(old) and not os.path.isdir(target_dir):
+            os.rename(old, target_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # incomplete write from a dead run
         staged = latest_per_user(batch_df)
         spark = batch_df.sparkSession
         if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
             existing = spark.read.parquet(target_dir)
             staged = latest_per_user(existing.unionByName(staged))
-        tmp = target_dir.rstrip("/") + ".tmp"
         staged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
-        shutil.move(tmp, target_dir)
+            os.rename(target_dir, old)
+        os.rename(tmp, target_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     q = (
         events.writeStream.foreachBatch(upsert)
