@@ -36,7 +36,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-_PREFIX_RE = re.compile(r"^\s*([A-Za-z]+)\s*(\(.*\))\s*$", re.DOTALL)
+# type word, optional dimension token (Z/M/ZM — GEOS accepts these,
+# geo.py parses via GEOSGeometry, so the port must too), then either a
+# parenthesized body or the EMPTY keyword
+_PREFIX_RE = re.compile(
+    r"^\s*([A-Za-z]+)\s*(?:\b(ZM|Z|M)\s+)?(\(.*\)|EMPTY)\s*$",
+    re.DOTALL | re.IGNORECASE,
+)
 _NUM_PAIR_RE = re.compile(
     r"^\s*-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?:\s+-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)+\s*$"
 )
@@ -52,15 +58,19 @@ GEOMETRY_TYPES = {
 }
 
 
-def _parse_wkt(wkt: str) -> tuple[str, str] | None:
-    """Return (TYPE, '(...)' body) if structurally valid, else None."""
+def _parse_wkt(wkt: str) -> tuple[str, str, str] | None:
+    """Return (TYPE, dim-token ('' | 'Z' | 'M' | 'ZM'), body) if
+    structurally valid, else None. body is '(...)' or 'EMPTY'."""
     m = _PREFIX_RE.match(wkt)
     if not m:
         return None
     gtype = m.group(1).upper()
-    body = m.group(2)
+    dim = (m.group(2) or "").upper()
+    body = m.group(3)
     if gtype not in GEOMETRY_TYPES:
         return None
+    if body.upper() == "EMPTY":
+        return gtype, dim, "EMPTY"
     # parens must balance and never go negative
     depth = 0
     for ch in body:
@@ -77,7 +87,7 @@ def _parse_wkt(wkt: str) -> tuple[str, str] | None:
         for coord in inner.split(","):
             if not _NUM_PAIR_RE.match(coord):
                 return None
-    return gtype, body
+    return gtype, dim, body
 
 
 def coerce_wkt_value(wkt: str | None, geotype: str) -> str | None:
@@ -87,22 +97,35 @@ def coerce_wkt_value(wkt: str | None, geotype: str) -> str | None:
     parsed = _parse_wkt(wkt)
     if not parsed:
         return None
-    gtype, body = parsed
+    gtype, dim, body = parsed
+    # preserve the dimension token where present (GEOS canonical form
+    # is e.g. 'MULTIPOLYGON Z (((...)))'); EMPTY stays EMPTY unwrapped
+    d = f" {dim} " if dim else ""
+    if body == "EMPTY":
+        wrap = {"multipolygon": "MULTIPOLYGON", "polygon": "POLYGON",
+                "point": "POINT", "multiline": "MULTILINESTRING"}.get(geotype)
+        ok = {
+            "multipolygon": {"POLYGON", "MULTIPOLYGON"},
+            "polygon": {"POLYGON"},
+            "point": {"POINT"},
+            "multiline": {"LINESTRING", "MULTILINESTRING"},
+        }.get(geotype, set())
+        return f"{wrap}{d or ' '}EMPTY" if gtype in ok else None
     if geotype == "multipolygon":
         if gtype == "POLYGON":
-            return f"MULTIPOLYGON({body})"
+            return f"MULTIPOLYGON{d}({body})" if d else f"MULTIPOLYGON({body})"
         if gtype == "MULTIPOLYGON":
-            return f"MULTIPOLYGON{body}"
+            return f"MULTIPOLYGON{d}{body}" if d else f"MULTIPOLYGON{body}"
         return None
     if geotype == "polygon":
-        return f"POLYGON{body}" if gtype == "POLYGON" else None
+        return (f"POLYGON{d}{body}" if d else f"POLYGON{body}") if gtype == "POLYGON" else None
     if geotype == "point":
-        return f"POINT{body}" if gtype == "POINT" else None
+        return (f"POINT{d}{body}" if d else f"POINT{body}") if gtype == "POINT" else None
     if geotype == "multiline":
         if gtype == "LINESTRING":
-            return f"MULTILINESTRING({body})"
+            return f"MULTILINESTRING{d}({body})" if d else f"MULTILINESTRING({body})"
         if gtype == "MULTILINESTRING":
-            return f"MULTILINESTRING{body}"
+            return f"MULTILINESTRING{d}{body}" if d else f"MULTILINESTRING{body}"
         return None
     return None
 
@@ -125,4 +148,8 @@ def coerce_wkt(col: Column | str, geotype: str) -> Column:
 def wkt_geometry_type(col: Column | str) -> Column:
     """Uppercased WKT type prefix (ST_GeometryType analog), NULL if invalid."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.regexp_extract(F.trim(c), r"^([A-Za-z]+)", 1))
+    # regexp_extract returns '' on no match — map that to NULL so the
+    # function honors its own "NULL if invalid" contract
+    return F.nullif(
+        F.upper(F.regexp_extract(F.trim(c), r"^([A-Za-z]+)", 1)), F.lit("")
+    )

@@ -48,6 +48,7 @@ from dso_import_spark.operators.quality import (
     duplicate_open_intervals,
     overlapping_intervals,
     split_valid_date_range,
+    validate_fk,
 )
 from dso_import_spark.schemas.bagh import (
     BAGH_SCHEMAS,
@@ -123,9 +124,21 @@ class Warehouse:
         else:
             df.write.mode("overwrite").parquet(tmp)
         live = self.path(name)
+        old = self.path(f"{name}.__old")
+        # double-rename swap, never rmtree-then-replace: a crash inside
+        # the old window left NO live table, and the next run's
+        # read_or_empty would silently restart history from empty
+        # (the Q4 never-delete gate can't fire against an empty table).
+        # Recovery: roll a stranded .__old back before swapping.
+        if os.path.isdir(old) and not os.path.isdir(live):
+            os.rename(old, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(live):
-            shutil.rmtree(live)
+            os.rename(live, old)
         os.replace(tmp, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     def create_tables(self, spark: SparkSession) -> None:
         """S6 DDL analog: (re)create all 15 tables empty from the
@@ -208,8 +221,19 @@ def stage_table(
     # re-transforms the CSV (one scan per count instead of one total)
     projected = projected.cache()
 
+    # NULL surrogate key → drop row. The reference fails fast here
+    # (int('') raises before any row is written, bagh/batch.py:20-21 /
+    # csv row parse); a lazily-validated port must not be SOFTER: a
+    # committed NULL-id row never matches itself in the next run's
+    # merge join, so plan_merge would see it as a deletion and the Q4
+    # never-delete gate would abort every subsequent run. Reject the
+    # row into the bad-range channel (counted, quarantined) instead.
+    null_key = projected.filter(F.col("id").isNull())
+    projected_keyed = projected.filter(F.col("id").isNotNull())
+
     # Q3: invalid validity range → drop row (bagh/batch.py:160-164)
-    kept, rejected_range = split_valid_date_range(projected)
+    kept, rejected_range = split_valid_date_range(projected_keyed)
+    rejected_range = rejected_range.unionByName(null_key)
 
     # Q6: non-empty WKT that failed parse/coercion → drop row
     # (empty stays NULL and is allowed; bagh/batch.py:175-189)
@@ -229,16 +253,8 @@ def stage_table(
     # projections of already-written tables → broadcast semi-joins.
     rejected_fk: dict[str, DataFrame] = {}
     for ref in cfg.references:
-        fk = f"{ref}_id"
-        ids = F.broadcast(
-            ref_ids[ref].select(F.col("id").alias("__ref_id")).dropDuplicates()
-        )
-        non_null = kept.filter(F.col(fk).isNotNull())
-        rejected_fk[ref] = non_null.join(
-            ids, non_null[fk] == ids["__ref_id"], "left_anti"
-        )
-        kept = kept.filter(F.col(fk).isNull()).unionByName(
-            non_null.join(ids, non_null[fk] == ids["__ref_id"], "left_semi")
+        kept, rejected_fk[ref] = validate_fk(
+            kept, ref_ids[ref], f"{ref}_id"
         )
 
     # conform to the target schema: add missing columns as typed NULLs,
@@ -402,7 +418,10 @@ def run_vbo_pandrelatie(
         "verblijfsobject_id",
     )
     warehouse.write(bridge, "verblijfsobjectpandrelatie")
-    return bridge.count()
+    # count the WRITTEN table: bridge.count() would re-execute the
+    # whole explode + semi-join pipeline a second time just for the
+    # return value
+    return warehouse.read(spark, "verblijfsobjectpandrelatie").count()
 
 
 class BagHJob:
@@ -427,7 +446,7 @@ class BagHJob:
             from dso_import_spark.schemas.loader import load_dataset
 
             schemas = load_dataset(schema_doc)
-            missing = [t for t in TABLE_ORDER if t not in schemas]
+            missing = [t for t in BAGH_SCHEMAS if t not in schemas]
             if missing:
                 raise ValueError(
                     f"schema document {schema_doc!r} lacks configured "

@@ -171,6 +171,11 @@ BAGH_SCHEMAS: dict[str, T.StructType] = {
             _f("geometrie", _S),
             _f("status", _S, False),
             _f("buurt_id", _S, False),
+            # DDL declares hoofdadres_id NOT NULL (bagh_create.sql:205)
+            # but the import never populates it (loaded by a later
+            # address pass in production); nullable here like the other
+            # transcribed-but-unpopulated columns
+            _f("hoofdadres_id", _S),
         ]
     ),
     # bagh_create.sql:214-230
@@ -184,6 +189,7 @@ BAGH_SCHEMAS: dict[str, T.StructType] = {
             _f("geometrie", _S),
             _f("status", _S, False),
             _f("buurt_id", _S),
+            _f("hoofdadres_id", _S),  # bagh_create.sql:226 — see ligplaats
         ]
     ),
     # bagh_create.sql:235-267
@@ -210,6 +216,10 @@ BAGH_SCHEMAS: dict[str, T.StructType] = {
             _f("toegang", _AS, False),
             _f("redenopvoer", _S),
             _f("redenafvoer", _S),
+            # bagh_create.sql:253-261 — transcribed, never populated
+            _f("aantal_eenheden_complex", _I),
+            _f("aantal_bouwlagen", _I),
+            _f("gebruik", _S),
             _f("buurt_id", _S),
         ]
     ),
@@ -302,7 +312,10 @@ def _extra_fields_verblijfsobject() -> dict[str, Callable]:
         "laagste_bouwlaag": lambda df: int_or_none(df["laagsteBouwlaag"]),
         "aantal_kamers": lambda df: int_or_none(df["aantalKamers"]),
         "eigendomsverhouding": lambda df: df["eigendomsverhouding"],
-        "gebruiksdoel": lambda df: F.split(df["gebruiksdoel"], r"\|"),
+        # pipe_split, not raw F.split: the CSV reader maps '' to NULL,
+        # and F.split(NULL) stores NULL in a NOT NULL text[] column —
+        # P10 specifies empty → empty array (like toegang below)
+        "gebruiksdoel": lambda df: pipe_split(df["gebruiksdoel"]),
         "gebruiksdoel_woonfunctie": lambda df: empty_to_null(
             df["gebruiksdoelWoonfunctie"]
         ),
@@ -348,7 +361,13 @@ def _naam_nen() -> dict[str, Callable]:
 # FK dependency order (bagh/batch.py:459-592); gemeente is a literal source
 TABLE_CONFIGS: dict[str, TableConfig] = {
     "gemeente": TableConfig("gemeente"),
-    "woonplaats": TableConfig("woonplaats", references=["gemeente"]),
+    # the reference constructs ImportWoonplaatsTask with use=["gemeente"]
+    # (batch.py:464-466) — a DEAD kwarg: the framework only reads
+    # kwargs.get("references", []), so woonplaats has NO FK validation
+    # and gemeente_id stays NULL (nullable in the DDL). Mirroring
+    # references=["gemeente"] here invented a read of ligtIn:BRK.GME.*
+    # and a drop gate the reference does not have.
+    "woonplaats": TableConfig("woonplaats"),
     "stadsdeel": TableConfig("stadsdeel", "gebieden", references=["gemeente"]),
     "ggw_gebied": TableConfig("ggw_gebied", "gebieden", references=["stadsdeel"]),
     "ggw_praktijkgebied": TableConfig(

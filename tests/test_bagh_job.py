@@ -145,3 +145,36 @@ def test_resume_from(job_v1, spark, tmp_path_factory):
     reports = job.run(tables=TABLES, start="verblijfsobject")
     assert [r.table for r in reports] == ["verblijfsobject"]
     assert reports[0].inserted == 0  # nothing changed
+
+
+def test_null_surrogate_key_is_rejected(spark, tmp_path_factory):
+    """A row with an empty identificatie must be quarantined at
+    staging, never committed: a NULL-id row poisons the next run's
+    merge (NULL keys match nothing, so the never-delete gate would
+    abort every subsequent import)."""
+    from dso_import_spark.plans.bagh_job import stage_table
+    from dso_import_spark.schemas.bagh import TABLE_CONFIGS
+
+    raw = spark.createDataFrame(
+        [
+            ("P1", "1", "2024-01-01", "", "2024-01-01"),
+            ("", "1", "2024-01-01", "", "2024-01-01"),  # empty ident
+        ],
+        "identificatie string, volgnummer string, beginGeldigheid string,"
+        " eindGeldigheid string, registratiedatum string",
+    ).withColumn(
+        "eindGeldigheid",
+        F.when(F.col("eindGeldigheid") == "", None).otherwise(
+            F.col("eindGeldigheid")
+        ),
+    ).withColumn(
+        "identificatie",
+        F.when(F.col("identificatie") == "", None).otherwise(
+            F.col("identificatie")
+        ),
+    )
+    st = stage_table(TABLE_CONFIGS["pand"], raw, {})
+    staged = st.staged.collect()
+    assert len(staged) == 1 and staged[0].identificatie == "P1"
+    assert st.rejected_bad_range.filter(F.col("id").isNull()).count() == 1
+    st.source.unpersist()
