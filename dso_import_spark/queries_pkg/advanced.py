@@ -1149,13 +1149,17 @@ def attribution_first_last_touch(spark, sf_dir):
     )
     is_view = F.col("touch_type") == "view"
     is_click = F.col("touch_type") == "click"
+    # mirror the oracle's sum(CASE..) FILTER (WHERE type) exactly:
+    # the FILTER makes the sum NULL when NO touch of that type exists
+    # anywhere, so the when() must leave non-matching-type rows NULL
+    # (an .otherwise(0) over all rows would return 0 instead)
     return ranked.agg(
-        F.sum(F.when((F.col("rk_first") == 1) & is_view, 1).otherwise(0)).alias(
-            "first_touch_views"
-        ),
-        F.sum(F.when((F.col("rk_first") == 1) & is_click, 1).otherwise(0)).alias(
-            "first_touch_clicks"
-        ),
+        F.sum(
+            F.when(is_view, F.when(F.col("rk_first") == 1, 1).otherwise(0))
+        ).alias("first_touch_views"),
+        F.sum(
+            F.when(is_click, F.when(F.col("rk_first") == 1, 1).otherwise(0))
+        ).alias("first_touch_clicks"),
         F.round(
             F.sum(F.when((F.col("rk_last") == 1) & is_view, F.col("value"))), 2
         ).alias("last_touch_view_rev"),
@@ -1471,7 +1475,13 @@ def event_path_trigrams(spark, sf_dir):
     ).where(F.col("t3").isNotNull())
     return (
         seq.groupBy(
-            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+            # concat (not concat_ws): the oracle's || NULL-propagates,
+            # while concat_ws silently DROPS a NULL component, so a
+            # NULL event_type would produce different path strings
+            F.concat(
+                F.col("event_type"), F.lit(">"), F.col("t2"),
+                F.lit(">"), F.col("t3"),
+            ).alias("path")
         )
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "path")
@@ -1842,10 +1852,14 @@ def drift_ks_statistic(spark, sf_dir):
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # try_divide: a type with rows on only one side of the split has
+    # n_ref or n_cur = 0 — under default-ANSI Spark plain / would throw
+    # DIVIDE_BY_ZERO, where the oracle yields NULL (the same guard
+    # drift_psi_periods documents for the identical scenario)
     ecdf = pts.join(broadcast(tot), "event_type").select(
         "event_type",
-        (F.sum("d_ref").over(w) / F.col("n_ref")).alias("f_ref"),
-        (F.sum("d_cur").over(w) / F.col("n_cur")).alias("f_cur"),
+        F.try_divide(F.sum("d_ref").over(w), F.col("n_ref")).alias("f_ref"),
+        F.try_divide(F.sum("d_cur").over(w), F.col("n_cur")).alias("f_cur"),
     )
     return (
         ecdf.groupBy("event_type")
@@ -1916,8 +1930,11 @@ def cuped_variance_reduction(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # feeds theta AND the readout
     )
+    # try_divide: all-identical pre-period sums make var_samp(x) = 0
+    # — ANSI Spark would throw where the oracle yields NULL (same
+    # degenerate-experiment discipline as ab_test_welch_t)
     theta = per_user.agg(
-        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.try_divide(F.covar_samp("x", "y"), F.var_samp("x")).alias("th"),
         F.avg("x").alias("mx"),
     )
     adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
@@ -1928,7 +1945,9 @@ def cuped_variance_reduction(spark, sf_dir):
             F.count("*").alias("n_users"),
             F.round(F.avg("y"), 6).alias("mean_y"),
             F.round(F.avg(adj), 6).alias("mean_cuped"),
-            F.round(1 - F.var_samp(adj) / F.var_samp("y"), 6).alias("var_reduction"),
+            F.round(
+                1 - F.try_divide(F.var_samp(adj), F.var_samp("y")), 6
+            ).alias("var_reduction"),
         )
         .orderBy("variant")
     )

@@ -164,7 +164,7 @@ def hash_split_train_test(spark, sf_dir):
     sample_docs AS (
       SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
     toks AS (
-      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, lang, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM sample_docs),
     words AS (
       SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
@@ -212,7 +212,7 @@ def dedup_cluster_components(spark, sf_dir):
     sample_docs AS (
       SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id % 20 = 0),
     toks AS (
-      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, lang, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM sample_docs),
     words AS (
       SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
@@ -381,6 +381,8 @@ def udtf_sentence_split(spark, sf_dir):
     @udtf(returnType="sent_idx int, sentence string")
     class SentenceSplit:
         def eval(self, text: str):
+            if text is None:  # NULL doc: emit no sentences (the
+                return  # oracle's string_split(NULL) path drops it too)
             for i, s in enumerate(text.split(". ")):
                 yield i, s
 
@@ -1605,10 +1607,12 @@ def _ensure_tail_log(spark, sf_dir: str) -> str:
     tmp = log + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         for r in rows:
+            v = "" if r["value"] is None else repr(r["value"])
             f.write(
-                f"{r['event_id']}|{r['user_id']}|{r['event_type']}|"
-                f"{r['value']!r}\n"
-            )
+                f"{r['event_id']}|{r['user_id']}|{r['event_type']}|{v}\n"
+            )  # NULL value -> empty field ('None' would fail the
+            # reader's float parse and the row would be skipped,
+            # breaking count(*) parity with the batch GROUP BY
     os.replace(tmp, log)
     return d
 

@@ -132,7 +132,9 @@ class TailStreamReader(DataSourceStreamReader):
                 # offsets still advance past it.
                 try:
                     eid, uid, etype, value = text.split("|", 3)
-                    yield (int(eid), int(uid), etype, float(value))
+                    # empty value field = NULL (nullable double column)
+                    v = float(value) if value else None
+                    yield (int(eid), int(uid), etype, v)
                 except ValueError:
                     continue
 
