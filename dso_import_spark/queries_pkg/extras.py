@@ -1411,6 +1411,10 @@ def sparse_tfidf_topk(spark, sf_dir):
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # three consumers (the n_docs scalar, idf, and both join sides of
+    # w) would each replay the scan+explode+aggregate — checkpoint the
+    # |docs| x |vocab|-bounded relation so it computes exactly once
+    tf = tf.localCheckpoint(eager=False)
     n_docs = tf.select("doc_id").distinct().count()
     idf = (
         tf.groupBy("term")
