@@ -284,7 +284,9 @@ def set_ops_nations(spark, sf_dir):
     cust, supp = tables(spark, sf_dir, "customer", "supplier")
     c = cust.select(F.col("c_nationkey").alias("n_nationkey")).distinct()
     s = supp.select(F.col("s_nationkey").alias("n_nationkey")).distinct()
-    cust_only = c.exceptAll(s).withColumn("which", F.lit("cust_only"))
+    # subtract = distinct EXCEPT, matching the oracle exactly;
+    # exceptAll only coincided because c is built with .distinct()
+    cust_only = c.subtract(s).withColumn("which", F.lit("cust_only"))
     both = c.intersect(s).withColumn("which", F.lit("both"))
     return cust_only.unionByName(both).select("which", "n_nationkey")
 
@@ -492,13 +494,18 @@ def q04_order_priority(spark, sf_dir):
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     li, part = tables(spark, sf_dir, "lineitem", "part")
-    limits = li.groupBy("l_partkey").agg(
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    # restrict lineitem to the brand's parts BEFORE the per-part avg:
+    # the per-partkey limit is unchanged (avg is per part), but the
+    # aggregate shrinks from |part| to |brand parts| rows. No forced
+    # broadcast on limits — its cardinality grows with the part table,
+    # so the size estimate (AQE) must pick the strategy at scale.
+    li_brand = li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+    limits = li_brand.groupBy("l_partkey").agg(
         (0.2 * F.avg("l_quantity")).alias("qty_limit")
     )
-    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     return (
-        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
-        .join(F.broadcast(limits), "l_partkey")
+        li_brand.join(limits, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )

@@ -26,6 +26,7 @@ extension surface per SURVEY.md §2.10):
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.functions import broadcast
 
 from dso_import_spark.functions.text import (
@@ -101,8 +102,6 @@ def stratified_sample_lang(spark, sf_dir):
     "context bin; per-bin doc/token totals are the packing manifest.",
 )
 def seq_packing_bins(spark, sf_dir):
-    from pyspark.sql import Window
-
     (docs,) = tables(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     w = Window.partitionBy("lang").orderBy("doc_id")
@@ -176,16 +175,16 @@ def decontam_ngram_overlap(spark, sf_dir):
     oracle=f"""
     WITH base AS (
       SELECT doc_id, lang,
-             len(string_split(text, ' '))::BIGINT AS n_tokens,
-             round(len(list_filter(string_split(text, ' '),
+             len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens,
+             round(len(list_filter(regexp_split_to_array(text, '\s+'),
                                    w -> lower(w) IN ({_STOP_SQL})))
-                   / greatest(len(string_split(text, ' ')), 1), 4)
+                   / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4)
                AS stop_ratio,
-             round((length(text) - len(string_split(text, ' ')) + 1)
-                   / greatest(len(string_split(text, ' ')), 1)::DOUBLE, 4)
+             round((length(text) - len(regexp_split_to_array(text, '\s+')) + 1)
+                   / greatest(len(regexp_split_to_array(text, '\s+')), 1)::DOUBLE, 4)
                AS avg_word_len,
              md5(array_to_string(
-                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+                 list_sort(list_distinct(regexp_split_to_array(text, '\s+'))), ' '))
                AS fp
       FROM documents),
     scored AS (
@@ -208,13 +207,14 @@ def decontam_ngram_overlap(spark, sf_dir):
     "threshold filter → global exact dedup (bag-of-words fingerprint, "
     "keep lowest doc_id) → per-language manifest. The stages an LLM "
     "data pipeline chains before tokenization, composed from the same "
-    "operators the individual queries verify. Two shuffles total "
+    "operators the individual queries verify (oracle tokenizes with "
+    "regexp \\\\s+ to match the text.py helpers exactly — a literal "
+    "single-space split counts consecutive-space empty tokens "
+    "differently). Two shuffles total "
     "(fingerprint window, language agg); the quality filter runs "
     "before the dedup shuffle so rejected docs never shuffle.",
 )
 def corpus_pipeline_stats(spark, sf_dir):
-    from pyspark.sql import Window
-
     (docs,) = tables(spark, sf_dir, "documents")
     n_tokens = token_count("text")
     stop = F.round(stopword_ratio("text"), 4)
@@ -279,8 +279,10 @@ def corpus_pipeline_stats(spark, sf_dir):
     "a backoff default for the tail.",
 )
 def lm_bigram_quality(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread_for_explode(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n = F.size("toks")
@@ -296,6 +298,11 @@ def lm_bigram_quality(spark, sf_dir):
         )
         .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     )
+    # three consumers (uni, bi, the probe side of the score join) with
+    # different grouping keys — no exchange reuse; without the
+    # checkpoint the corpus re-explodes three times (dsir documents
+    # the same measurement for the identical relation)
+    bg = bg.localCheckpoint(eager=False)
     uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     return (
@@ -344,7 +351,12 @@ def lm_bigram_quality(spark, sf_dir):
     "> df_max sources) to bound the hot-gram pair blowup.",
 )
 def source_overlap_matrix(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id")  # ~300x n-gram
+    # amplification from a single input split otherwise runs
+    # one task (see util.spread_for_explode)
     w = F.split(F.lower(F.col("text")), " ")
     grams_arr = F.when(
         F.size(w) >= 5,
@@ -469,8 +481,6 @@ def quality_classifier_score(spark, sf_dir):
     "ranking. One narrow map + one per-stratum top-k window.",
 )
 def priority_sample_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
     (docs,) = tables(spark, sf_dir, "documents")
     u_scaled = ((F.col("doc_id") * 1103515245 + 12345) % 1000) + 1
     pr = docs.select(
@@ -606,7 +616,12 @@ def dsir_importance_scores(spark, sf_dir):
     "matrix. One scan, no joins on raw rows.",
 )
 def diversity_distinct_ngrams(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id")  # ~300x n-gram
+    # amplification from a single input split otherwise runs
+    # one task (see util.spread_for_explode)
     toks = docs.select("source", F.split(F.lower("text"), " ").alias("toks"))
     uni = toks.select("source", F.explode("toks").alias("tok"))
     n = F.size("toks")

@@ -76,13 +76,19 @@ def salted_join_revenue(spark, sf_dir):
 @query(
     "approx_distinct_sketch",
     oracle="""
-    SELECT count(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS within_5pct
+    SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS within_3sigma
     FROM events
     """,
     doc="HyperLogLog approx_count_distinct with its accuracy contract "
     "as the differential check: the estimate is engine-specific, the "
-    "<=5% relative-error bound (rsd 0.05) is not. At 100 TB the sketch "
-    "is mergeable partial state — no shuffle of distinct values.",
+    "error bound is not. rsd=0.05 is a ONE-standard-deviation "
+    "relative error, not a hard bound — asserting <=1 sigma would "
+    "spuriously red ~1/3 of datasets — so the contract is the "
+    "3-sigma envelope (15%), which a correct sketch satisfies with "
+    "~99.7% probability and a broken one does not. At 100 TB the "
+    "sketch is mergeable partial state — no shuffle of distinct "
+    "values.",
 )
 def approx_distinct_sketch(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
@@ -93,8 +99,8 @@ def approx_distinct_sketch(spark, sf_dir):
         "n_exact",
         (
             F.abs(F.col("__approx") - F.col("n_exact"))
-            <= 0.05 * F.col("n_exact")
-        ).alias("within_5pct"),
+            <= 0.15 * F.col("n_exact")
+        ).alias("within_3sigma"),
     )
 
 

@@ -247,23 +247,27 @@ def ntile_rank_analytics(spark, sf_dir):
                  count(*) OVER w AS n_1h,
                  avg(value) OVER w AS avg_1h
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW))
     WHERE user_id % 10 = 0
     """,
     doc="Rolling time-RANGE window: per event, count and mean of the "
-    "same user's events in the trailing hour. A RANGE frame over epoch "
-    "seconds — one shuffle on user_id, frame evaluation is a sliding "
-    "pointer over the sorted partition (no self-join, no per-row "
-    "rescan). The streaming twin would be a sliding window; this is "
-    "the batch/backfill formulation.",
+    "same user's events in the trailing hour. A RANGE frame over "
+    "MICROSECOND epoch on BOTH engines — truncated integer seconds "
+    "on one side vs fractional epoch() on the other would disagree "
+    "on frame membership exactly at hour boundaries and make all "
+    "same-second events frame peers. One shuffle on user_id; frame "
+    "evaluation is a sliding pointer over the sorted partition (no "
+    "self-join, no per-row rescan). The streaming twin would be a "
+    "sliding window; this is the batch/backfill formulation.",
 )
 def rolling_hour_stats(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_seconds(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, 0)
+        .orderBy(_ts_micros())
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         events.select(
