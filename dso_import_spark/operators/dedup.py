@@ -505,8 +505,14 @@ def duplicated_span_stats(
             F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
             F.coalesce("n_dup_shingles", zero).alias("n_dup_shingles"),
             F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+            # try_divide: a zero-token doc (whitespace-only text)
+            # would throw DIVIDE_BY_ZERO under default-ANSI Spark; the
+            # oracle's 0/0::DOUBLE yields NULL — match it
             F.round(
-                F.coalesce("covered_tokens", zero) / F.col("n_tokens"), 4
+                F.try_divide(
+                    F.coalesce("covered_tokens", zero), F.col("n_tokens")
+                ),
+                4,
             ).alias("dup_coverage"),
         )
     )

@@ -64,7 +64,7 @@ def dedup_prefix_groups(spark, sf_dir):
     WITH sample_docs AS (
       SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
     toks AS (
-      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, lang, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM sample_docs),
     words AS (
       SELECT doc_id, lang, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
@@ -94,7 +94,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "dedup_simhash_fingerprints",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM documents WHERE doc_id % 10 = 0),
     raw_words AS (
       SELECT doc_id, unnest(t) AS word FROM toks),
@@ -130,7 +130,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
     WITH sample_docs AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM sample_docs),
     words AS (
       SELECT doc_id, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
@@ -165,7 +165,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     WITH sample_docs AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM sample_docs),
     words AS (
       SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS x,
@@ -224,7 +224,7 @@ def dedup_minhash_banded(spark, sf_dir):
     WITH fp AS (
       SELECT doc_id, lang,
              md5(array_to_string(list_sort(list_distinct(
-                 string_split(text, ' '))), ' ')) AS fp
+                 regexp_split_to_array(text, '\s+'))), ' ')) AS fp
       FROM documents),
     corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
     batch AS (

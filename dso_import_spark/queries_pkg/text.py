@@ -6,7 +6,6 @@ from pyspark.sql import functions as F
 
 from dso_import_spark.functions.text import (
     STOPWORDS,
-    avg_word_len,
     bow_fingerprint,
     bpe_token_estimate,
     stopword_ratio,
@@ -23,8 +22,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
-           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           sum(len(regexp_split_to_array(text, '\s+')))::BIGINT AS total_tokens,
+           round(avg(len(regexp_split_to_array(text, '\s+'))), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars,
            sum(ceil(length(text) / 4.0))::BIGINT AS est_bpe_tokens
     FROM documents GROUP BY lang
@@ -46,7 +45,7 @@ def text_token_stats(spark, sf_dir):
     "text_quality_scores",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_ch
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks, length(text) AS n_ch
       FROM documents WHERE doc_id % 25 = 0),
     m AS (
       SELECT doc_id,
@@ -140,7 +139,8 @@ def lang_id_heuristic(spark, sf_dir):
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(text, '\s+'))), ' '))
              AS fingerprint
     FROM documents WHERE doc_id % 25 = 0
     """,
@@ -187,7 +187,14 @@ def text_tfidf_top_terms(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df must stay GLOBAL, but tf / the join probe / the top-k window
+    # only matter for the sampled docs — filter first, or the plan
+    # ranks top-3 terms for the other 98% just to discard them
+    tf = (
+        toks.filter(F.col("doc_id") % 50 == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; the one driver-side value allowed
     scored = tf.join(F.broadcast(df), "term").select(
@@ -200,7 +207,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 50 == 0))
+        .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
 

@@ -13,8 +13,10 @@ Scale notes (100 TB posture):
 - every decorrelated scalar subquery (Q11, Q14, Q15, Q22) becomes an
   aggregate joined back via broadcast — one extra stage, no driver
   collect;
-- min/arg-min selections (Q2, Q15) use per-group aggregation + a
-  broadcast join back, not a global window;
+- min/arg-min selections avoid global sorts: Q15 uses per-group
+  aggregation + a broadcast join back; Q2 uses a row_number window
+  PARTITIONED by the group key (scale-safe — the sort is per
+  partition, never a single task);
 - the fact table is always the probe side; dimension/derived sides
   broadcast while small and flip to shuffle joins via AQE statistics
   at scale.
