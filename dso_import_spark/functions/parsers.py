@@ -35,12 +35,16 @@ def empty_to_null(col: Column | str) -> Column:
 def create_id(identificatie: Column | str, volgnummer: Column | str) -> Column:
     """Surrogate key ``{identificatie}_{volgnummer:03d}``, NULL-propagating.
 
-    Mirrors ``create_id`` (bagh/batch.py:20-21): None identificatie →
-    None id. volgnummer is zero-padded to width 3.
+    Mirrors ``create_id`` (bagh/batch.py:20-21): falsy identificatie →
+    None id — the reference's ``if identificatie`` is Python
+    truthiness, so the EMPTY STRING also yields None (a '' ident must
+    not fabricate a '_005'-style key that would collide across rows
+    and slip past the NULL-key staging gate). volgnummer is
+    zero-padded to width 3.
     """
     ident, volg = _col(identificatie), _col(volgnummer)
     return F.when(
-        ident.isNotNull() & volg.isNotNull(),
+        ident.isNotNull() & (ident != "") & volg.isNotNull(),
         F.format_string("%s_%03d", ident, volg.cast("int")),
     )
 
@@ -75,10 +79,15 @@ def int_or_none(col: Column | str) -> Column:
 
     ``v.isdigit()`` in the reference accepts only [0-9]+ — so '-3',
     '1.5', 'abc', '' all map to NULL. ``try_cast`` would accept '-3';
-    the rlike guard keeps exact parity.
+    the rlike guard keeps exact parity. Cast target is LONG with an
+    18-digit bound: a 10+-digit string passed the digit guard but
+    overflowed cast('int'), which THROWS under default-ANSI Spark —
+    the reference returns the unbounded Python int, so the widest
+    crash-free integer type is the right port (beyond 18 digits the
+    value exceeds any SQL integer; NULL, never crash).
     """
     c = _col(col)
-    return F.when(c.rlike("^[0-9]+$"), c.cast("int"))
+    return F.when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
 
 
 def parse_date(col: Column | str) -> Column:

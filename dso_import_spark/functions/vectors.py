@@ -32,5 +32,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL if either side has zero norm."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL if either side has zero norm.
+
+    try_divide, not / : under default-ANSI Spark a zero-norm vector
+    would throw DIVIDE_BY_ZERO and abort the job instead of honoring
+    the documented NULL."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -92,6 +92,17 @@ def plan_merge(
             f"column mismatch: existing={sorted(existing.columns)} "
             f"staged={sorted(staged.columns)}"
         )
+    # types must match too: xxhash64 is TYPE-sensitive, so an int vs
+    # bigint column silently marks every content-equal matched row as
+    # changed in fingerprint mode (and exact mode fails with an opaque
+    # struct-compare AnalysisException) — fail loudly instead
+    et, st_ = dict(existing.dtypes), dict(staged.dtypes)
+    mismatched = {c: (et[c], st_[c]) for c in et if et[c] != st_[c]}
+    if mismatched:
+        raise ValueError(
+            f"dtype mismatch between existing and staged: {mismatched}"
+            " — cast one side to the other's schema first"
+        )
     cols = existing.columns
     non_key = [c for c in cols if c != key]
     if compare not in ("auto", "exact", "fingerprint"):
@@ -190,6 +201,11 @@ def row_fingerprint(cols: list[str]) -> F.Column:
     structurally. The indicators (never NULL themselves) segment the
     fold, leaving only the generic 2^-64 collision bound per pair.
     """
+    if not cols:
+        # key-only table (membership SCD): every matched pair is
+        # content-equal by definition — a constant fingerprint says so
+        # (xxhash64 with zero args is an analysis error)
+        return F.lit(0).cast("bigint")
     parts: list[F.Column] = []
     for c in cols:
         parts.append(F.col(c))
@@ -255,15 +271,27 @@ def execute_merge(
     reading corrupts the plan.
     """
     plan = plan_merge(existing, staged, key)
-    n_deleted = plan.deleted.count()
+    # one aggregation over narrow key projections instead of three
+    # count() actions: exchange reuse does not span Spark jobs, so the
+    # separate counts each re-executed the full classification join
+    counts = (
+        plan.deleted.select(F.lit("d").alias("k"))
+        .unionByName(plan.inserted.select(F.lit("i").alias("k")))
+        .unionByName(plan.updated.select(F.lit("u").alias("k")))
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    by = {r["k"]: r["count"] for r in counts}
+    n_deleted = int(by.get("d", 0))
     if n_deleted and not allow_delete:
         raise ValueError(
             f"gate Q4 failed: {n_deleted} existing rows missing from staging "
             "(history table must never lose rows; bagh/batch.py:97-110)"
         )
     result = MergeResult(
-        inserted=plan.inserted.count(),
-        updated=plan.updated.count(),
+        inserted=int(by.get("i", 0)),
+        updated=int(by.get("u", 0)),
         deleted=n_deleted,
     )
     return plan.merged, result

@@ -107,12 +107,14 @@ def split_valid_date_range(
     begin_col: str = "begin_geldigheid",
     end_col: str = "eind_geldigheid",
 ) -> tuple[DataFrame, DataFrame]:
-    """Q3: (kept, rejected) by the begin<=end predicate (drop-row gate)."""
-    ok = (
-        F.col(end_col).isNull()
-        | F.col(begin_col).isNull()
-        | (F.col(begin_col) <= F.col(end_col))
-    )
+    """Q3: (kept, rejected) by the begin<=end predicate (drop-row gate).
+
+    Delegates to parsers.valid_date_range — the canonical Q3 predicate
+    with the reference citation — so NULL-begin/end semantics cannot
+    drift between the gate and the registered query."""
+    from dso_import_spark.functions.parsers import valid_date_range
+
+    ok = valid_date_range(begin_col, end_col)
     return df.filter(ok), df.filter(~ok)
 
 

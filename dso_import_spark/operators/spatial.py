@@ -125,8 +125,13 @@ def grid_knn_within_radius(
     coordinates' arithmetic type.
     """
     cell = float(radius)
+    # the query id is renamed internally (like qx/qy): with
+    # query_id == corpus_id — the natural call when queries are drawn
+    # FROM the corpus, which is exactly what exclude_same_id exists
+    # for — the join would otherwise produce two same-named columns
+    # and every later reference fails with AMBIGUOUS_REFERENCE
     q = queries.select(
-        F.col(query_id),
+        F.col(query_id).alias("__qid"),
         F.col("px").alias("qx"),
         F.col("py").alias("qy"),
         F.floor(F.col("px") / cell).cast("long").alias("cx"),
@@ -137,9 +142,9 @@ def grid_knn_within_radius(
         "transform(sequence(-1,1), dy -> struct(dx, dy)))))"
     )
     q9 = q.select(
-        query_id, "qx", "qy", "cx", "cy", offsets.alias("o")
+        "__qid", "qx", "qy", "cx", "cy", offsets.alias("o")
     ).select(
-        query_id,
+        "__qid",
         "qx",
         "qy",
         (F.col("cx") + F.col("o.dx")).alias("gx"),
@@ -161,13 +166,15 @@ def grid_knn_within_radius(
     d2 = dx * dx + dy * dy
     pairs = q9.join(c, ["gx", "gy"])
     if exclude_same_id:
-        pairs = pairs.where(F.col(query_id) != F.col(corpus_id))
+        pairs = pairs.where(F.col("__qid") != F.col(corpus_id))
     pairs = pairs.select(
-        query_id, corpus_id, d2.alias("dist_sq")
+        "__qid", corpus_id, d2.alias("dist_sq")
     ).where(F.col("dist_sq") <= float(radius) ** 2)
-    w = Window.partitionBy(query_id).orderBy("dist_sq", corpus_id)
+    w = Window.partitionBy("__qid").orderBy("dist_sq", corpus_id)
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "dist_sq")
+        .select(
+            F.col("__qid").alias(query_id), "rank", corpus_id, "dist_sq"
+        )
     )

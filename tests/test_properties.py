@@ -113,15 +113,16 @@ def test_yesno_matches_tristate_model(spark, values):
     )
 )
 def test_create_id_matches_format_model(spark, pairs):
-    """Reference: f"{ident}_{volg:03}" with NULL propagation
-    (bagh/batch.py:20-21)."""
+    """Reference: f"{ident}_{volg:03}" if identificatie else None
+    (bagh/batch.py:20-21) — Python TRUTHINESS, so the empty string
+    also maps to None, not a fabricated '_NNN' key."""
     got = _eval(
         spark,
         create_id("i", "v"),
         [(i, v) for i, v in pairs],
         "i string, v int",
     )
-    want = [None if i is None else f"{i}_{v:03d}" for i, v in pairs]
+    want = [None if not i else f"{i}_{v:03d}" for i, v in pairs]
     assert got == want
 
 
