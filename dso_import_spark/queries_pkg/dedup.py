@@ -60,7 +60,7 @@ def dedup_prefix_groups(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=r"""
     WITH sample_docs AS (
       SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
     toks AS (
@@ -92,7 +92,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @query(
     "dedup_simhash_fingerprints",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
       FROM documents WHERE doc_id % 10 = 0),
@@ -126,7 +126,7 @@ def dedup_simhash_fingerprints(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    oracle="""
+    oracle=r"""
     WITH sample_docs AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     toks AS (
@@ -161,7 +161,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query(
     "dedup_minhash_banded",
-    oracle="""
+    oracle=r"""
     WITH sample_docs AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
     toks AS (
@@ -220,7 +220,7 @@ def dedup_minhash_banded(spark, sf_dir):
 
 @query(
     "incremental_corpus_dedup",
-    oracle="""
+    oracle=r"""
     WITH fp AS (
       SELECT doc_id, lang,
              md5(array_to_string(list_sort(list_distinct(

@@ -159,7 +159,7 @@ def hash_split_train_test(spark, sf_dir):
 
 @query(
     "dedup_cluster_components",
-    oracle="""
+    oracle=r"""
     WITH RECURSIVE
     sample_docs AS (
       SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0),
@@ -207,7 +207,7 @@ def dedup_cluster_components(spark, sf_dir):
 
 @query(
     "dedup_cluster_canonical",
-    oracle="""
+    oracle=r"""
     WITH RECURSIVE
     sample_docs AS (
       SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id % 20 = 0),

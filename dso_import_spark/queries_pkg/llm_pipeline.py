@@ -172,7 +172,7 @@ def decontam_ngram_overlap(spark, sf_dir):
 
 @query(
     "corpus_pipeline_stats",
-    oracle=f"""
+    oracle=rf"""
     WITH base AS (
       SELECT doc_id, lang,
              len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens,

@@ -19,7 +19,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 @query(
     "text_token_stats",
-    oracle="""
+    oracle=r"""
     SELECT lang,
            count(*) AS n_docs,
            sum(len(regexp_split_to_array(text, '\s+')))::BIGINT AS total_tokens,
@@ -43,7 +43,7 @@ def text_token_stats(spark, sf_dir):
 
 @query(
     "text_quality_scores",
-    oracle=f"""
+    oracle=rf"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks, length(text) AS n_ch
       FROM documents WHERE doc_id % 25 = 0),
@@ -137,7 +137,7 @@ def lang_id_heuristic(spark, sf_dir):
 
 @query(
     "doc_fingerprints",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
                regexp_split_to_array(text, '\s+'))), ' '))
