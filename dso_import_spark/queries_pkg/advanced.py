@@ -1696,7 +1696,7 @@ def dq_expectations_report(spark, sf_dir):
     ).localCheckpoint(eager=True)  # 1 row, feeds four report rows
     orphans = (
         events.join(
-            broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             events.user_id == F.col("c_custkey"),
             "left_anti",
         ).agg(F.count("*").alias("orphans"))

@@ -130,7 +130,7 @@ def q05_nation_revenue(spark, sf_dir):
         cust.join(orders, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), nation.n_nationkey == cust.c_nationkey)
@@ -500,7 +500,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     # aggregate shrinks from |part| to |brand parts| rows. No forced
     # broadcast on limits — its cardinality grows with the part table,
     # so the size estimate (AQE) must pick the strategy at scale.
-    li_brand = li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+    li_brand = li.join(brand, li.l_partkey == brand.p_partkey)
     limits = li_brand.groupBy("l_partkey").agg(
         (0.2 * F.avg("l_quantity")).alias("qty_limit")
     )

@@ -63,8 +63,8 @@ def q02_min_cost_supplier(spark, sf_dir):
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_type")
     joined = (
-        catalog.join(F.broadcast(qualifying), catalog.l_partkey == qualifying.p_partkey)
-        .join(F.broadcast(supp), catalog.l_suppkey == supp.s_suppkey)
+        catalog.join(qualifying, catalog.l_partkey == qualifying.p_partkey)
+        .join(supp, catalog.l_suppkey == supp.s_suppkey)
     )
     # per-part arg-max: window over the (small) qualifying subset; the
     # partition key is the part key so the shuffle is on the group key,
@@ -115,7 +115,7 @@ def q07_volume_shipping(spark, sf_dir):
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
         .join(cust, cust.c_custkey == orders.o_custkey)
-        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == supp.s_nationkey)
         .join(F.broadcast(n2), F.col("n2_key") == cust.c_nationkey)
         .filter(pair | rpair)
@@ -173,12 +173,12 @@ def q08_market_share(spark, sf_dir):
     asia = region.filter(F.col("r_name") == "ASIA")
     econ = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     vol = (
-        li.join(F.broadcast(econ), econ.p_partkey == li.l_partkey)
+        li.join(econ, econ.p_partkey == li.l_partkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
         .join(cust, cust.c_custkey == orders.o_custkey)
         .join(F.broadcast(n2), F.col("n2_key") == cust.c_nationkey)
         .join(F.broadcast(asia), asia.r_regionkey == F.col("n2_region"))
-        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == supp.s_nationkey)
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -218,8 +218,8 @@ def q09_product_type_profit(spark, sf_dir):
     )
     red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
     return (
-        li.join(F.broadcast(red), red.p_partkey == li.l_partkey)
-        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        li.join(red, red.p_partkey == li.l_partkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
         .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
         .groupBy(
@@ -385,7 +385,7 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     return (
-        month.join(F.broadcast(part.select("p_partkey", "p_type")), month.l_partkey == F.col("p_partkey"))
+        month.join(part.select("p_partkey", "p_type"), month.l_partkey == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -431,7 +431,7 @@ def q15_top_supplier(spark, sf_dir):
     best = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(best), rev.total_revenue == F.col("max_rev"))
-        .join(F.broadcast(supp), supp.s_suppkey == F.col("supplier_no"))
+        .join(supp, supp.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -464,8 +464,8 @@ def q16_supplier_part_counts(spark, sf_dir):
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        catalog.join(F.broadcast(wanted), wanted.p_partkey == catalog.l_partkey)
-        .join(F.broadcast(flagged), flagged.s_suppkey == catalog.l_suppkey, "left_anti")
+        catalog.join(wanted, wanted.p_partkey == catalog.l_partkey)
+        .join(flagged, flagged.s_suppkey == catalog.l_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -489,7 +489,7 @@ def q16_supplier_part_counts(spark, sf_dir):
 def q19_disjunctive_revenue(spark, sf_dir):
     li, part = tables(spark, sf_dir, "lineitem", "part")
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         F.col("p_partkey") == li.l_partkey,
     )
     band = lambda brand, szlo, szhi, qlo, qhi: (
@@ -548,7 +548,7 @@ def q20_part_promotion_suppliers(spark, sf_dir):
     promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
     movers = (
         shipped.filter(F.col("qty") > 50)
-        .join(F.broadcast(promo), promo.p_partkey == shipped.l_partkey)
+        .join(promo, promo.p_partkey == shipped.l_partkey)
         .select("l_suppkey")
     )
     nations = nation.filter(F.col("n_name").isin("NATION_0", "NATION_6", "NATION_7"))
@@ -617,7 +617,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     )
     return (
         per_order.join(
-            F.broadcast(supp), supp.s_suppkey == per_order.late_supp
+            supp, supp.s_suppkey == per_order.late_supp
         )
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
