@@ -456,7 +456,9 @@ def duplicated_span_stats(
     # splits (see spread_for_explode — one modest split otherwise
     # explodes single-threaded)
     sized = spread_for_explode(
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("t")), "doc_id"
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("t")),
+        "doc_id",
+        amplification=500,
     ).withColumn("n", F.size("t").cast("long"))
     starts = F.when(
         F.col("n") >= n, F.sequence(F.lit(1).cast("long"), F.col("n") - (n - 1))

@@ -67,7 +67,9 @@ _BP_DF = 0.05
 )
 def boilerplate_ngram_mass(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
+    docs = spread_for_explode(
+        docs.select("doc_id", "text"), "doc_id", amplification=500
+    )
     ws = F.split(F.col("text"), " ")
     # <n-gram-width docs have no shingle; without this filter
     # F.sequence(0, size-n) descends and element_at throws (the
@@ -136,7 +138,7 @@ def bpe_pair_merge_counts(spark, sf_dir):
     from pyspark.sql import Window
 
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs.select("text"))
+    docs = spread_for_explode(docs.select("text"), amplification=1000)
     ws = F.split(F.col("text"), " ")
     docs = docs.filter(F.size(ws) >= 2)  # see boilerplate_ngram_mass
     pairs = docs.select(

@@ -242,7 +242,9 @@ def gopher_quality_gate(spark, sf_dir):
 )
 def ngram_novelty_decay(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
+    docs = spread_for_explode(
+        docs.select("doc_id", "text"), "doc_id", amplification=500
+    )
     ws = F.split(F.col("text"), " ")
     # a <2-word doc has no shingle: F.sequence(0, size-2) would produce
     # the DESCENDING [0,-1] and element_at(ws, 2) throws in Spark 4 —

@@ -149,7 +149,9 @@ def decontam_ngram_overlap(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     # ~300x gram amplification: parallelize by rows, not input splits
-    docs = spread_for_explode(docs.select("doc_id", "text"), "doc_id")
+    docs = spread_for_explode(
+        docs.select("doc_id", "text"), "doc_id", amplification=500
+    )
     w = F.split(F.lower(F.col("text")), " ")
     # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
     # explicitly (DuckDB generate_series(1, 0) is empty).
@@ -354,7 +356,7 @@ def source_overlap_matrix(spark, sf_dir):
     from dso_import_spark.queries_pkg.util import spread_for_explode
 
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs, "doc_id")  # ~300x n-gram
+    docs = spread_for_explode(docs, "doc_id", amplification=500)  # ~300x n-gram
     # amplification from a single input split otherwise runs
     # one task (see util.spread_for_explode)
     w = F.split(F.lower(F.col("text")), " ")
@@ -619,7 +621,7 @@ def diversity_distinct_ngrams(spark, sf_dir):
     from dso_import_spark.queries_pkg.util import spread_for_explode
 
     (docs,) = tables(spark, sf_dir, "documents")
-    docs = spread_for_explode(docs, "doc_id")  # ~300x n-gram
+    docs = spread_for_explode(docs, "doc_id", amplification=500)  # ~300x n-gram
     # amplification from a single input split otherwise runs
     # one task (see util.spread_for_explode)
     toks = docs.select("source", F.split(F.lower("text"), " ").alias("toks"))

@@ -53,20 +53,45 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
-def spread_for_explode(df: DataFrame, *key_cols: str) -> DataFrame:
+# One shuffle partition's worth of post-explode volume: below this the
+# repartition exchange plus full-width task scheduling cost more than
+# the single-task explode they avoid (measured grid in SCALING.md
+# "lm_bigram checkpoint/spread grid").
+_SPREAD_MIN_POST_EXPLODE_BYTES = 64 << 20
+
+
+def spread_for_explode(
+    df: DataFrame, *key_cols: str, amplification: int = 100
+) -> DataFrame:
     """Hash-repartition a relation ahead of a high-amplification
-    explode (shingles, token pairs, n-grams).
+    explode (shingles, token pairs, n-grams) — but only when the
+    estimated post-explode volume justifies the exchange.
 
     Input-split sizing is the wrong parallelism unit for explode-heavy
     plans: `files.maxPartitionBytes` bounds *bytes read*, but a 300×
     amplification turns a single modest split into one task holding
-    hundreds of millions of generated rows (measured: the ×10
-    documents fixture reads as ONE split and bpe_pair_merge_counts ran
-    single-threaded, 23 s; spread, it uses every core). The extra
-    exchange carries the narrow pre-explode projection — the cheapest
-    relation in the whole plan. No effect on results: repartitioning
-    never changes aggregation semantics (asserted engine-wide by the
-    differential suite).
+    hundreds of millions of generated rows (measured: the ×100
+    documents fixture reads as ONE split and lm_bigram_quality ran
+    18.4 s single-threaded vs 7.4 s spread). Below that volume the
+    exchange is pure overhead: the same query measured 0.82 s
+    un-spread vs 1.55 s spread at sf0.1, and 2.3 s vs 5.0 s at ×10
+    (full grid in SCALING.md). So the repartition is gated on
+    Catalyst's size estimate for the input relation times the
+    caller-declared `amplification` factor (output:input byte ratio of
+    the explode — ~100 for token/char-level, ~500 for n-gram shingle
+    strings, ~1000 for per-character pair mining). On a real cluster
+    large inputs arrive in many splits and the gate simply stays open;
+    it exists so the plan degrades gracefully when splits ≪ cores. No
+    effect on results: repartitioning never changes aggregation
+    semantics (asserted engine-wide by the differential suite).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # estimate unavailable — spread (safe at scale)
+        est = None
+    if est is not None and est * amplification < _SPREAD_MIN_POST_EXPLODE_BYTES:
+        return df
     return df.repartition(max(8, n), *key_cols) if key_cols else df.repartition(max(8, n))
