@@ -17,7 +17,7 @@ at the start of a round to get:
   queries.
 
 tests/test_registry_order.py pins the chosen front block; update it,
-``ROUND3_FRONT``-style lists, and ``FRONT_CHOSEN_AGAINST_ROUND`` in
+``ROUND4_FRONT``-style lists, and ``FRONT_CHOSEN_AGAINST_ROUND`` in
 queries.py in the same commit when rotating.
 """
 
