@@ -485,22 +485,85 @@ def kmeans_assignments(
     )
     z.cache()
     cents = train_centroids(z, k, iters, round_scale)
-    final = z.withColumn(
-        "dists", centroid_dists(cents, F.col("ve"), F.col("na"))
-    ).withColumn(
-        "cluster",
-        (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast("long"),
-    )
-    out = final.select(
+    out = _assign(z, cents).select(
         "vec_id",
         "cluster",
-        F.round(
-            F.element_at(F.col("dists"), (F.col("cluster") + 1).cast("int")),
-            round_scale,
-        ).alias("dist2"),
+        F.round(F.col("dist2"), round_scale).alias("dist2"),
     )
     z.unpersist()
     return out
+
+
+# Above this k, Lloyd assignment switches from the literal-centroid
+# Column expression to the Arrow-batched matmul kernel: the literal
+# plan carries k·dims literal nodes (fine at quantizer sizes, hostile
+# to analysis/codegen at corpus-clustering sizes), while one
+# (batch×dims)@(dims×k) BLAS call per Arrow batch does the same n·k
+# flops with zero plan growth — the embedding-covariance lesson
+# (SCALING.md) applied to assignment.
+_KERNEL_MIN_K = 64
+
+
+def _assign_kernel(z: DataFrame, cents_: list[list[float]]) -> DataFrame:
+    """Kernel Lloyd assignment: argmin_c |v|² + |c|² − 2·v·c per Arrow
+    batch via one matmul. Same identity, same smallest-index
+    tie-break as ``centroid_dists`` (np.argmin returns the first
+    minimum); float64 throughout, distances unrounded — parity with
+    the literal path asserted in tests/test_components.py."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents_, dtype=np.float64)
+    nc = (C * C).sum(axis=1)
+    Ct = C.T.copy()
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["ve"].tolist(), dtype=np.float64)
+            d2 = pdf["na"].to_numpy()[:, None] + nc[None, :] - 2.0 * (X @ Ct)
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "ve": pdf["ve"],
+                    "cluster": cl.astype("int64"),
+                    "dist2": d2[np.arange(len(cl)), cl],
+                }
+            )
+
+    id_type = z.schema["vec_id"].dataType.simpleString()
+    return z.mapInPandas(
+        part, f"vec_id {id_type}, ve array<double>, cluster long, dist2 double"
+    )
+
+
+def _assign(z: DataFrame, cents_: list[list[float]]) -> DataFrame:
+    """Assignment step dispatch: (vec_id, ve, cluster, dist2) with
+    dist2 unrounded. Literal-expression path below _KERNEL_MIN_K
+    (constant-folds into whole-stage codegen, exactly replayable by
+    the SQL oracles), matmul kernel above it."""
+    if len(cents_) >= _KERNEL_MIN_K:
+        return _assign_kernel(z, cents_)
+    d = centroid_dists(cents_, F.col("ve"), F.col("na"))
+    return (
+        z.withColumn("dists", d)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast(
+                "long"
+            ),
+        )
+        .select(
+            "vec_id",
+            "ve",
+            "cluster",
+            F.element_at(
+                F.col("dists"), (F.col("cluster") + 1).cast("int")
+            ).alias("dist2"),
+        )
+    )
 
 
 def centroid_dists(cents_: list[list[float]], ve: Column, na: Column) -> Column:
@@ -543,14 +606,7 @@ def train_centroids(
             "rows — the update loop would index past the centroid list"
         )
     for _ in range(iters - 1):
-        assigned = z.withColumn(
-            "dists", centroid_dists(cents, F.col("ve"), F.col("na"))
-        ).withColumn(
-            "cluster",
-            (F.array_position(F.col("dists"), F.array_min("dists")) - 1).cast(
-                "long"
-            ),
-        )
+        assigned = _assign(z, cents)
         new_rows = (
             assigned.select(
                 "cluster", F.posexplode("ve").alias("pos", "x")
@@ -720,6 +776,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 6,
+    auto_k_target: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -749,7 +806,17 @@ def semantic_dedup(
     which pairs meet. Returns (vec_id, cluster, dropped,
     max_sim_lower) where max_sim_lower is the best in-cluster cosine
     to a lower id (NULL when none reaches the threshold).
+
+    ``auto_k_target`` is the scale knob the paper implies: pass a
+    target cluster SIZE and k becomes ``max(k, n // auto_k_target)``
+    (one count() of driver traffic), so the expected within-cluster
+    pair count stays ~n·target/2 — linear in the corpus — instead of
+    growing n²/k with a fixed k. Large auto-k values route assignment
+    through the matmul kernel (_KERNEL_MIN_K); measured flat in
+    SCALING.md ("SemDeDup with corpus-proportional k").
     """
+    if auto_k_target is not None:
+        k = max(k, df.count() // auto_k_target)
     assign = kmeans_assignments(df, k, iters, id_col, vec_col, round_scale)
     # normalize ONCE per vector, not once per pair: the pair stage then
     # costs a single sequential dot-product fold instead of dot + two

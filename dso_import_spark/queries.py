@@ -142,7 +142,9 @@ FRONT_CHOSEN_AGAINST_ROUND = 3
 # — code-identical or posture-only changes, lowest risk. Recompute
 # with `python -m dso_import_spark.rotation` before rotating.
 ROUND5_QUEUE = [
-    # (1) never-verified leftovers
+    # (1) never-verified: the round-4 auto-k SemDeDup variant (added
+    # after the front block was frozen) + the 10 deferred leftovers
+    "semdedup_prune_autok",
     "cohort_retention", "sliding_distinct_users", "activity_streaks",
     "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
     "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",

@@ -1275,6 +1275,79 @@ def semdedup_prune(spark, sf_dir):
 
 
 @query(
+    "semdedup_prune_autok",
+    oracle="""
+    WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    n AS (SELECT vec_id, ve, list_dot_product(ve, ve) AS na FROM z),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS cv
+           FROM (SELECT vec_id, ve FROM z ORDER BY vec_id
+                 LIMIT (SELECT greatest(4, count(*) // 500) FROM z))),
+    a1 AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT n.vec_id, c0.c,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c0.cv, c0.cv))
+                          - (2 * list_dot_product(n.ve, c0.cv)), c0.c) AS rn
+        FROM n CROSS JOIN c0) WHERE rn = 1),
+    dims AS (
+      SELECT a1.cluster,
+             unnest(range(1, len(z.ve) + 1)) AS pos,
+             unnest(z.ve) AS x
+      FROM a1 JOIN z USING (vec_id)),
+    c1new AS (
+      SELECT cluster AS c, list(m ORDER BY pos) AS cv
+      FROM (SELECT cluster, pos, round(avg(x), 6) AS m
+            FROM dims GROUP BY cluster, pos)
+      GROUP BY cluster),
+    c1 AS (SELECT c0.c, coalesce(c1new.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN c1new USING (c)),
+    av AS (
+      SELECT vec_id, ve, cluster FROM (
+        SELECT n.vec_id, n.ve, c1.c AS cluster,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c1.cv, c1.cv))
+                          - (2 * list_dot_product(n.ve, c1.cv)), c1.c) AS rn
+        FROM n CROSS JOIN c1) WHERE rn = 1),
+    un AS (
+      SELECT vec_id, cluster,
+             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve)))
+               AS u
+      FROM av),
+    dup AS (
+      SELECT dup_id, max(cos_sim) AS max_sim_lower FROM (
+        SELECT b.vec_id AS dup_id,
+               round(list_dot_product(a.u, b.u), 6) AS cos_sim
+        FROM un a JOIN un b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.35 GROUP BY dup_id)
+    SELECT av.vec_id, av.cluster,
+           dup.dup_id IS NOT NULL AS dropped, dup.max_sim_lower
+    FROM av LEFT JOIN dup ON av.vec_id = dup.dup_id
+    """,
+    doc="SemDeDup with corpus-proportional k (the paper's actual "
+    "regime: tens of thousands of clusters for LAION-scale corpora): "
+    "k = max(4, n // 500), so the expected within-cluster pair count "
+    "stays ~n*250 — linear in the corpus — where a fixed k degrades "
+    "to n^2/k. The oracle computes the same k from its own count() "
+    "(a LIMIT subquery) and replays clustering + the epsilon-ball "
+    "drop end-to-end. Above _KERNEL_MIN_K=64 clusters, assignment "
+    "routes through the Arrow-batched matmul kernel instead of the "
+    "literal-centroid expression (same identity, same tie-break — "
+    "parity pinned in tests/test_kmeans_kernel.py); flat ×10/×100 "
+    "rows in SCALING.md.",
+)
+def semdedup_prune_autok(spark, sf_dir):
+    from dso_import_spark.operators.similarity import semantic_dedup
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=4, iters=2, threshold=0.35, auto_k_target=500
+    )
+
+
+@query(
     "cohort_retention",
     oracle="""
     WITH first_ev AS (
