@@ -284,18 +284,21 @@ def pagerank_shipments(spark, sf_dir):
     outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
 
-    # rank ~ node-cardinality: broadcast it into the edge join so the
-    # big edge relation never reshuffles across iterations.
+    # rank and outdeg scale WITH the node set, so no forced broadcast:
+    # at fixture scale AQE broadcasts them anyway (runtime stats), and
+    # at 1e9-node scale the rank<->edge join must become a shuffle join
+    # co-partitioned on src — the standard distributed-PageRank shape —
+    # instead of OOMing on a hinted build side.
     ranks = nodes.crossJoin(broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    edges_deg = edges.join(broadcast(outdeg), "src").localCheckpoint(
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(
         eager=True
     )
     for _ in range(_PR_ITERS):
         inc = (
             edges_deg.join(
-                broadcast(ranks.withColumnRenamed("node", "src")), "src"
+                ranks.withColumnRenamed("node", "src"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))

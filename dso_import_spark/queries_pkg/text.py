@@ -197,7 +197,9 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; the one driver-side value allowed
-    scored = tf.join(F.broadcast(df), "term").select(
+    # df scales with the vocabulary (unbounded at corpus scale) —
+    # hint-free; AQE broadcasts while it fits
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
