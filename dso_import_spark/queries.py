@@ -78,6 +78,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     corpus_quality,
     curation,
     analytics,
+    placement,
 )
 
 # ROUND 4 FRONT BLOCK (applied): exactly 50 of the 60 queries that had
@@ -142,9 +143,10 @@ FRONT_CHOSEN_AGAINST_ROUND = 3
 # — code-identical or posture-only changes, lowest risk. Recompute
 # with `python -m dso_import_spark.rotation` before rotating.
 ROUND5_QUEUE = [
-    # (1) never-verified: the round-4 auto-k SemDeDup variant (added
-    # after the front block was frozen) + the 10 deferred leftovers
-    "semdedup_prune_autok",
+    # (1) never-verified: the round-4 auto-k SemDeDup variant and the
+    # round-4 placement module (both added after the front block was
+    # frozen) + the 10 deferred leftovers
+    "semdedup_prune_autok", "zorder_layout_stats", "cluster_aware_split",
     "cohort_retention", "sliding_distinct_users", "activity_streaks",
     "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
     "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",

@@ -307,6 +307,12 @@ _SCALAR_RESULT_QUERIES = {
     # the query doc names range-bucketing on the id domain as the
     # window-free form at 100 TB) — same class as revenue_gini
     "ngram_novelty_decay",
+    # per-layout scalar rollup of the per-BUCKET (file-count-sized)
+    # min/max relation — hundreds of rows into a 1-row combine
+    "zorder_layout_stats",
+    # 1-row leak-invariant count over the per-CLUSTER aggregate,
+    # broadcast back onto the 3-row per-split result
+    "cluster_aware_split",
 }
 
 
