@@ -313,6 +313,14 @@ _SCALAR_RESULT_QUERIES = {
     # 1-row leak-invariant count over the per-CLUSTER aggregate,
     # broadcast back onto the 3-row per-split result
     "cluster_aware_split",
+    # 1-row exact-percentile boundary aggregate (15 doubles) broadcast
+    # back for bin assignment; the doc names approx_percentile as the
+    # 100 TB swap-in — same class as rfm_segmentation
+    "equi_depth_histogram",
+    # 1-row price-bounds aggregate + the 64-row block-max relation's
+    # running window (bounded block dimension, broadcast back) — the
+    # cross-block pruning state of the distributed skyline, never data
+    "skyline_pareto_frontier",
 }
 
 
