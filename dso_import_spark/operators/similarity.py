@@ -509,7 +509,16 @@ def _assign_kernel(z: DataFrame, cents_: list[list[float]]) -> DataFrame:
     batch via one matmul. Same identity, same smallest-index
     tie-break as ``centroid_dists`` (np.argmin returns the first
     minimum); float64 throughout, distances unrounded — parity with
-    the literal path asserted in tests/test_components.py."""
+    the literal path asserted in tests/test_kmeans_kernel.py.
+
+    Summation-order caveat: |c|² here is numpy pairwise summation and
+    v·c is one BLAS matmul, while the literal path (and the SQL
+    oracles) fold sequentially — doubles agree to within a few ulps
+    but are not bit-identical, so argmin could in principle flip on a
+    near-exact distance tie. Fixture vectors are continuous random
+    floats (nearest distinct centroid distances differ by ≫1e-9), and
+    the kernel is oracle-checked end-to-end on them by the
+    `semdedup_autok_kernel` differential query at every SF."""
     import numpy as np
     import pandas as pd
 

@@ -212,9 +212,21 @@ def zorder_layout_stats(spark, sf_dir):
 # the sampled ids are all ≡ 0 (mod 20), so the product's low decimal
 # digit is constant and a bare % 10 would send every cluster to one
 # split. Identical integer arithmetic in Spark and DuckDB (no engine
-# hash function is shared between the two).
+# hash function is shared between the two). The cluster id is reduced
+# mod 2^31 BEFORE the multiply: (2^31 − 1) · _MIX ≈ 5.7e18 fits signed
+# 64 bits, so the hash never overflows (ANSI Spark and DuckDB both
+# raise on overflow) for any doc_id — a 100 TB corpus id domain.
 _MIX = 2654435761
 _HASH_SHIFT = 13
+_MASK_MOD = 1 << 31
+
+
+def _split_bucket(cluster):
+    """0..9 split bucket of a non-negative cluster-id Column; overflow-
+    free for the full signed-64 id domain (see _MASK_MOD note above)."""
+    from pyspark.sql import functions as F
+
+    return F.shiftright((cluster % _MASK_MOD) * F.lit(_MIX), _HASH_SHIFT) % 10
 
 
 @query(
@@ -248,9 +260,9 @@ _HASH_SHIFT = 13
     labeled AS (
       SELECT d.doc_id, d.n_chars,
              coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-             CASE WHEN ((coalesce(c.cluster_id, d.doc_id) * 2654435761) >> 13) % 10 < 8
+             CASE WHEN (((coalesce(c.cluster_id, d.doc_id) % 2147483648) * 2654435761) >> 13) % 10 < 8
                   THEN 'train'
-                  WHEN ((coalesce(c.cluster_id, d.doc_id) * 2654435761) >> 13) % 10 = 8
+                  WHEN (((coalesce(c.cluster_id, d.doc_id) % 2147483648) * 2654435761) >> 13) % 10 = 8
                   THEN 'val' ELSE 'test' END AS split
       FROM sample_docs d LEFT JOIN comp c USING (doc_id)),
     leaks AS (
@@ -290,7 +302,7 @@ def cluster_aware_split(spark, sf_dir):
         F.col("id").alias("doc_id"), "cluster_id"
     )
     cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    bucket = F.shiftright(cluster * F.lit(_MIX), _HASH_SHIFT) % 10
+    bucket = _split_bucket(cluster)
     labeled = (
         sample.select("doc_id", "n_chars")
         .join(comp, "doc_id", "left")

@@ -208,10 +208,21 @@ def _pivot_oracle() -> str:
     "per pivot value (count + summed value) compile to one "
     "partial+final hash agg pair over `cohort` — a pivot is just a "
     "conditional aggregation, which is exactly how the DuckDB oracle "
-    "states it. Scales as any single groupBy on a 100-key dimension.",
+    "states it. Scales as any single groupBy on a 100-key dimension. "
+    "Cells whose (cohort, type) group has NO rows come back NULL from "
+    "a pivot (the coalesce inside the agg never sees them) while the "
+    "oracle's CASE aggregation yields 0 — na.fill pins both to 0/0.0 "
+    "so the contract holds even when a cohort lacks an event type.",
 )
 def pivot_event_matrix(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
+    return _pivot_wide(events)
+
+
+def _pivot_wide(events):
+    """The pivot body, factored out so tests can drive it with a
+    crafted frame where a cohort LACKS an event type (the fixture
+    never does) and pin the absent-cell → 0/0.0 fill."""
     wide = (
         events.groupBy((F.col("user_id") % 100).alias("cohort"))
         .pivot("event_type", _EVENT_TYPES)
@@ -220,7 +231,9 @@ def pivot_event_matrix(spark, sf_dir):
             F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("val"),
         )
     )
-    return wide
+    fill: dict[str, float | int] = {f"{t}_n": 0 for t in _EVENT_TYPES}
+    fill.update({f"{t}_val": 0.0 for t in _EVENT_TYPES})
+    return wide.na.fill(fill)
 
 
 # ---------------------------------------------------------------------------

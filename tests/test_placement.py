@@ -51,6 +51,37 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     assert ins["range_hit_buckets"] / ins["n_buckets"] > 0.6
 
 
+def test_split_bucket_never_overflows_large_ids(spark):
+    # ids past 2^31 used to overflow the signed-64 Knuth multiply under
+    # ANSI mode; the mod-2^31 mask bounds the product for any id
+    from dso_import_spark.queries_pkg.placement import _split_bucket
+
+    big = [(2**31,), (2**40 + 7,), (2**62 - 1,), (3_470_000_000,), (0,)]
+    df = spark.createDataFrame(big, "cluster_id long")
+    with _ansi(spark):
+        out = df.select(
+            _split_bucket(F.col("cluster_id")).alias("b")
+        ).collect()
+    assert all(0 <= r["b"] <= 9 for r in out)
+
+
+class _ansi:
+    """Force spark.sql.ansi.enabled=true inside the block."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.ansi.enabled", None)
+        self.spark.conf.set("spark.sql.ansi.enabled", "true")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            self.spark.conf.set("spark.sql.ansi.enabled", self.prev)
+
+
 def test_cluster_aware_split_has_no_leaks_and_partitions_sample(
     spark, sf_dir
 ):

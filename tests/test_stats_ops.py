@@ -95,6 +95,21 @@ def test_compaction_plan_is_day_partitioned_no_global_window(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_pivot_fills_absent_cells_with_zero_not_null(spark):
+    # a cohort that never sees a type must report 0/0.0 (the oracle's
+    # CASE aggregation semantics), not the NULL a bare pivot emits
+    from dso_import_spark.queries_pkg.stats_ops import _pivot_wide
+
+    events = spark.createDataFrame(
+        [(1, "click", 2.0), (1, "view", 3.0), (2, "purchase", 5.0)],
+        "user_id long, event_type string, value double",
+    )
+    rows = {r["cohort"]: r for r in _pivot_wide(events).collect()}
+    assert rows[1]["purchase_n"] == 0 and rows[1]["purchase_val"] == 0.0
+    assert rows[2]["click_n"] == 0 and rows[2]["click_val"] == 0.0
+    assert rows[1]["click_n"] == 1 and rows[1]["click_val"] == 2.0
+
+
 def test_pivot_plan_is_one_hash_agg_pair_no_distinct_scan(spark, sf_dir):
     # explicit pivot values: no extra job to collect distinct types,
     # one partial+final agg pair over cohort

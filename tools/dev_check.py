@@ -1,16 +1,19 @@
 """Dev-loop differential check for a subset of queries (mirrors
-tests/test_queries_vs_duckdb.py). Usage: python tmp_dev_check.py name1 name2
+tests/test_queries_vs_duckdb.py). Usage: python tools/dev_check.py name1 name2
+(runnable from anywhere — the repo root is inserted into sys.path below).
 """
 import math
+import os
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
 from pyspark.sql import SparkSession
 
 from dso_import_spark.queries import REGISTRY
 from dso_import_spark.sources.registry import FIXTURE_TABLES
-
-import os
 SF_DIR = os.environ.get("DEV_SF_DIR", "/root/testdata/sf0.001")
 
 
