@@ -169,6 +169,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list | None = None,
+    threshold: float = 0.1,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup detection by word-shingle CONTAINMENT
+    (Broder 1997): max-containment = |A∩B| / min(|A|,|B|) over distinct
+    word ``shingle_len``-gram sets. Containment catches what Jaccard
+    misses — a short document quoted inside a long one scores ~1.0 on
+    containment but near 0 on Jaccard — which is exactly the
+    training-data case (boilerplate inclusion, quoted passages).
+
+    Scale shape: shingles are far more selective than unigrams, so the
+    (shingle, block) equi-join's fan-out per key is near 1 without any
+    max-df guard; everything else is the blocked-pair pattern of
+    ngram_jaccard_pairs (explode → self-join → count). Returns
+    (id_a, id_b, containment >= threshold) with containment rounded
+    to 4dp.
+    """
+    block_cols = block_cols or []
+    t = tokens(text_col)
+    shingles = F.when(
+        F.size(t) >= shingle_len,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (shingle_len - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + off) for off in range(shingle_len)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        shingles.alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    shared = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def exact_jaccard_verify(
     df: DataFrame,
     cand: DataFrame,

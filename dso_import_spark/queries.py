@@ -80,6 +80,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     analytics,
     placement,
     stats_ops,
+    mlops,
 )
 
 # ROUND 4 FRONT BLOCK (applied): exactly 50 of the 60 queries that had

@@ -1,0 +1,475 @@
+"""ML-data preparation and pipeline-governance operators.
+
+Six operators a training-data pipeline runs between ingest and
+training, each with an end-to-end DuckDB oracle:
+
+- ``semdedup_autok_kernel``: the k >= _KERNEL_MIN_K differential the
+  matmul Lloyd kernel never had (review finding r4): auto_k_target=7
+  resolves to k=71 on the 500-vector fixture, forcing every
+  assignment pass through the Arrow-batched kernel while the oracle
+  replays clustering + the epsilon-ball drop with sequential-fold
+  dot products — agreement certifies the kernel end-to-end.
+- ``shingle_containment_pairs``: asymmetric near-dup detection by
+  word-3-gram CONTAINMENT (|A∩B|/min(|A|,|B|)) — catches a short doc
+  quoted inside a long one, which Jaccard scores near 0.
+- ``stratified_sample_exact``: deterministic per-stratum sampling
+  with exact ceil(rate·n) allocation — the eval-set carve-out that
+  preserves the (lang, source) mix instead of Bernoulli drift.
+- ``woe_feature_binning``: weight-of-evidence + information-value per
+  price decile — the classic feature-screening statistic, binned by
+  ONE percentile aggregate (no global-sort ntile).
+- ``l_diversity_audit``: l-diversity over quasi-identifier groups —
+  the release gate k-anonymity alone misses (a group can be large yet
+  reveal everyone's sensitive value when it is constant).
+- ``cusum_changepoint``: CUSUM mean-shift detection per event-type
+  daily series via the prefix-sum identity
+  ``s_d = S_d − min(0, min_{j<=d} S_j)`` — the recursive
+  max(0, s+x) CUSUM expressed with two stacked windows, no recursion.
+
+No UDFs; the only Python-side compute is the kernel query's Arrow
+matmul, which is the operator under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# ---------------------------------------------------------------------------
+# SemDeDup auto-k at kernel scale (k >= _KERNEL_MIN_K = 64)
+# ---------------------------------------------------------------------------
+
+_KERNEL_TARGET = 7  # 500 fixture vectors // 7 = 71 clusters > _KERNEL_MIN_K
+
+
+def _autok_oracle(target: int) -> str:
+    """The semdedup auto-k replay (same derivation as extras.py's
+    semdedup_prune_autok oracle) with the cluster-size target
+    parameterized, so k = max(4, n // target) comes from the oracle's
+    own count()."""
+    return f"""
+    WITH z AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    n AS (SELECT vec_id, ve, list_dot_product(ve, ve) AS na FROM z),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS cv
+           FROM (SELECT vec_id, ve FROM z ORDER BY vec_id
+                 LIMIT (SELECT greatest(4, count(*) // {target}) FROM z))),
+    a1 AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT n.vec_id, c0.c,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c0.cv, c0.cv))
+                          - (2 * list_dot_product(n.ve, c0.cv)), c0.c) AS rn
+        FROM n CROSS JOIN c0) WHERE rn = 1),
+    dims AS (
+      SELECT a1.cluster,
+             unnest(range(1, len(z.ve) + 1)) AS pos,
+             unnest(z.ve) AS x
+      FROM a1 JOIN z USING (vec_id)),
+    c1new AS (
+      SELECT cluster AS c, list(m ORDER BY pos) AS cv
+      FROM (SELECT cluster, pos, round(avg(x), 6) AS m
+            FROM dims GROUP BY cluster, pos)
+      GROUP BY cluster),
+    c1 AS (SELECT c0.c, coalesce(c1new.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN c1new USING (c)),
+    av AS (
+      SELECT vec_id, ve, cluster FROM (
+        SELECT n.vec_id, n.ve, c1.c AS cluster,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY (n.na + list_dot_product(c1.cv, c1.cv))
+                          - (2 * list_dot_product(n.ve, c1.cv)), c1.c) AS rn
+        FROM n CROSS JOIN c1) WHERE rn = 1),
+    un AS (
+      SELECT vec_id, cluster,
+             list_transform(ve, x -> x / sqrt(list_dot_product(ve, ve)))
+               AS u
+      FROM av),
+    dup AS (
+      SELECT dup_id, max(cos_sim) AS max_sim_lower FROM (
+        SELECT b.vec_id AS dup_id,
+               round(list_dot_product(a.u, b.u), 6) AS cos_sim
+        FROM un a JOIN un b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.35 GROUP BY dup_id)
+    SELECT av.vec_id, av.cluster,
+           dup.dup_id IS NOT NULL AS dropped, dup.max_sim_lower
+    FROM av LEFT JOIN dup ON av.vec_id = dup.dup_id
+    """
+
+
+@query(
+    "semdedup_autok_kernel",
+    oracle=_autok_oracle(_KERNEL_TARGET),
+    doc="SemDeDup auto-k forced into the matmul-kernel regime: "
+    f"auto_k_target={_KERNEL_TARGET} makes k = n//{_KERNEL_TARGET} "
+    "(71 on the 500-vector fixture, 285 at sf0.1) — above "
+    "_KERNEL_MIN_K=64, so BOTH Lloyd assignment passes run through "
+    "the Arrow-batched (batch×dims)@(dims×k) kernel "
+    "(operators/similarity.py:_assign_kernel) rather than the "
+    "literal-centroid expression. The oracle replays init, one "
+    "update, final assignment, and the epsilon-ball drop with "
+    "sequential-fold dot products — end-to-end agreement is the "
+    "kernel's differential certification on real data at every SF "
+    "(review finding r4: the kernel path was previously never "
+    "oracle-checked; semdedup_prune_autok resolves to k=4 on "
+    "fixtures). BLAS vs fold summation-order ulps cannot flip the "
+    "argmin on this data: nearest-centroid margins are ~1e-2, ulps "
+    "~1e-13.",
+)
+def semdedup_autok_kernel(spark, sf_dir):
+    from dso_import_spark.operators.similarity import semantic_dedup
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=4, iters=2, threshold=0.35, auto_k_target=_KERNEL_TARGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shingle_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, greatest(len(t) - 1, 1))]) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_shared
+      FROM ex a JOIN ex b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(n_shared / least(n_a, n_b), 4) AS containment
+    FROM shared
+    WHERE round(n_shared / least(n_a, n_b), 4) >= 0.1
+    """,
+    doc="Word-3-gram shingle CONTAINMENT pairs (Broder's resemblance "
+    "vs containment distinction): |A∩B| / min(|A|,|B|) >= 0.1 over "
+    "distinct shingle sets, lang-blocked. Containment is the "
+    "quote/boilerplate-inclusion detector — a 30-word passage pasted "
+    "into a 300-word doc scores ~1.0 here and ~0.1 on Jaccard. "
+    "Shingles are selective enough that the (shingle, lang) equi-join "
+    "fans out near 1:1 with no max-df cap (3.7k candidate pairs from "
+    "500 docs); at 100 TB the same shape runs off a MinHash-LSH "
+    "candidate set instead of all shared shingles, with this exact "
+    "verify stage unchanged.",
+)
+def shingle_containment(spark, sf_dir):
+    from dso_import_spark.operators.dedup import shingle_containment_pairs
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        docs, "text", "doc_id", block_cols=["lang"], threshold=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative mix on the 31-bit-masked id (house pattern from
+# placement.py): a pseudorandom but engine-identical total order inside
+# each stratum, so "the first ceil(rate·n)" is a deterministic sample.
+_SMIX = 2654435761
+_SSHIFT = 13
+_SMASK = 1 << 31
+_RATE = 0.1
+
+
+@query(
+    "stratified_sample_exact",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, source, doc_id, n_chars,
+             (((doc_id % {_SMASK}) * {_SMIX}) >> {_SSHIFT}) AS skey
+      FROM documents),
+    ranked AS (
+      SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY skey, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n_total
+      FROM keyed)
+    SELECT lang, source, max(n_total)::BIGINT AS n_total,
+           count(*) FILTER (WHERE rn <= CAST(ceil(n_total * {_RATE}) AS BIGINT))
+             ::BIGINT AS n_sampled,
+           sum(n_chars) FILTER (WHERE rn <= CAST(ceil(n_total * {_RATE}) AS BIGINT))
+             ::BIGINT AS sampled_chars,
+           sum(doc_id) FILTER (WHERE rn <= CAST(ceil(n_total * {_RATE}) AS BIGINT))
+             ::BIGINT AS sampled_id_sum
+    FROM ranked GROUP BY lang, source
+    """,
+    doc="Deterministic stratified sampling with EXACT allocation: "
+    f"every (lang, source) stratum contributes ceil({_RATE}·n) docs — "
+    "the eval-carve-out discipline Bernoulli sampling can't give "
+    "(its stratum counts drift, skewing the mix precisely for small "
+    "strata). Order inside a stratum is the Knuth-mixed doc id (a "
+    "pseudorandom, engine-replayable permutation), so the sample is "
+    "stable under reruns AND re-stratification. One window over the "
+    "stratum key and one agg — the window partitions by the stratum, "
+    "so parallelism is the stratum count and no global sort exists; "
+    "at 100 TB strata are far wider than executors and hot strata "
+    "split fine because rank only needs stratum-local order. "
+    "sampled_id_sum is the checksum pinning WHICH docs were chosen, "
+    "not just how many.",
+)
+def stratified_sample_exact(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    skey = F.shiftright(
+        (F.col("doc_id") % _SMASK) * F.lit(_SMIX), _SSHIFT
+    ).alias("skey")
+    keyed = docs.select("lang", "source", "doc_id", "n_chars", skey)
+    w = Window.partitionBy("lang", "source").orderBy("skey", "doc_id")
+    wc = Window.partitionBy("lang", "source")
+    ranked = keyed.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_total"),
+    )
+    picked = F.col("rn") <= F.ceil(F.col("n_total") * _RATE).cast("long")
+    return ranked.groupBy("lang", "source").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.sum(picked.cast("long")).cast("long").alias("n_sampled"),
+        F.sum(F.when(picked, F.col("n_chars"))).cast("long").alias(
+            "sampled_chars"
+        ),
+        F.sum(F.when(picked, F.col("doc_id"))).cast("long").alias(
+            "sampled_id_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence feature binning
+# ---------------------------------------------------------------------------
+
+_WOE_FRACTIONS = [k / 10 for k in range(1, 10)]
+
+
+@query(
+    "woe_feature_binning",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, {_WOE_FRACTIONS}) AS bs FROM orders),
+    binned AS (
+      SELECT 1 + len(list_filter(bs, b -> o_totalprice > b)) AS bin,
+             (o_orderstatus = 'F')::INT AS is_event
+      FROM orders CROSS JOIN bounds),
+    per_bin AS (
+      SELECT bin, sum(is_event)::BIGINT AS n_event,
+             sum(1 - is_event)::BIGINT AS n_nonevent
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT sum(n_event) AS ge, sum(n_nonevent) AS gn FROM per_bin)
+    SELECT bin, n_event, n_nonevent,
+           CAST(round(1000 * ln((n_event * gn) * 1.0 / (ge * n_nonevent)))
+                AS BIGINT) AS woe_mill,
+           round((n_event * 1.0 / ge - n_nonevent * 1.0 / gn)
+                 * CAST(round(1000 * ln((n_event * gn) * 1.0
+                                        / (ge * n_nonevent))) AS BIGINT)
+                 / 1000.0, 6) AS iv_part
+    FROM per_bin, tot
+    """,
+    doc="Weight-of-evidence + information-value per price decile — "
+    "the classic credit-scoring / feature-screening statistic "
+    "(event = order status 'F'). Deciles come from ONE exact "
+    "percentile aggregate broadcast back (never a global-sort ntile "
+    "— the same histogram discipline as equi_depth_histogram, and at "
+    "100 TB the same approx_percentile swap applies); WoE is "
+    "quantized to millis (round(1000·ln(odds-ratio))) so the only "
+    "libm call is compared at a granularity ~1e9 coarser than any "
+    "cross-engine ulp, and the IV contribution reuses the quantized "
+    "WoE. Assumes every bin has both classes (true at every SF: "
+    "~1500 rows/bin, 3 statuses); a production gate would Laplace-"
+    "smooth the counts.",
+)
+def woe_feature_binning(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    price = orders.select(
+        F.col("o_totalprice").alias("p"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_event"),
+    )
+    bounds = price.agg(
+        F.percentile(
+            "p", F.array(*[F.lit(f) for f in _WOE_FRACTIONS])
+        ).alias("bs")
+    )
+    per_bin = (
+        price.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.lit(1) + F.size(F.filter("bs", lambda b: F.col("p") > b))
+            ).alias("bin"),
+            "is_event",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_event").cast("long").alias("n_event"),
+            F.sum(1 - F.col("is_event")).cast("long").alias("n_nonevent"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("n_event").alias("ge"), F.sum("n_nonevent").alias("gn")
+    )
+    odds = (F.col("n_event") * F.col("gn")) * F.lit(1.0) / (
+        F.col("ge") * F.col("n_nonevent")
+    )
+    woe_mill = F.round(F.lit(1000) * F.log(odds)).cast("long")
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_event",
+        "n_nonevent",
+        woe_mill.alias("woe_mill"),
+        F.round(
+            (
+                F.col("n_event") * F.lit(1.0) / F.col("ge")
+                - F.col("n_nonevent") * F.lit(1.0) / F.col("gn")
+            )
+            * woe_mill
+            / F.lit(1000.0),
+            6,
+        ).alias("iv_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit
+# ---------------------------------------------------------------------------
+
+_L_MIN = 3  # all three order statuses must appear in a releasable group
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           extract(year FROM o_orderdate)::BIGINT AS yr,
+           count(*)::BIGINT AS n_orders,
+           count(DISTINCT o_orderstatus)::BIGINT AS l_distinct,
+           (count(DISTINCT o_orderstatus) >= {_L_MIN}) AS releasable
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="l-diversity audit over the (priority, order-year) quasi-"
+    "identifier: a group is releasable only when >= l distinct "
+    "sensitive values (order status) appear in it — the disclosure "
+    "gate k-anonymity misses (a 1000-row group whose status is "
+    "constant still reveals every member's status; see Machanavajjhala "
+    "et al. 2007). Complements curation.py's k_anonymity_audit. One "
+    "hash agg with a count-distinct — Spark plans it as the standard "
+    "two-phase expand/agg, uniform keys, no skew.",
+)
+def l_diversity_audit(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_orderstatus").cast("long").alias("l_distinct"),
+        (F.countDistinct("o_orderstatus") >= _L_MIN).alias("releasable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_DRIFT = 0.5  # slack per step, in sd units (standard CUSUM K)
+_CUSUM_H = 4.0  # alarm threshold, in sd units
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, round(avg(v), 6) AS mu,
+             round(stddev_samp(v), 6) AS sd
+      FROM daily GROUP BY 1),
+    x AS (
+      SELECT d.event_type, d.day,
+             round((d.v - s.mu) / s.sd, 6) - {_CUSUM_DRIFT} AS xi
+      FROM daily d JOIN stats s USING (event_type)),
+    prefix AS (
+      SELECT event_type, day,
+             sum(xi) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS s
+      FROM x),
+    runmin AS (
+      SELECT event_type, day, s,
+             min(s) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS mn
+      FROM prefix)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(s - least(mn, 0), 6) AS cusum,
+           (round(s - least(mn, 0), 6) > {_CUSUM_H}) AS alarm
+    FROM runmin
+    """,
+    doc="One-sided CUSUM mean-shift detection per event-type daily "
+    "series (Page 1954): the textbook recursion "
+    "s_d = max(0, s_(d-1) + z_d - K) is replayed EXACTLY by the "
+    "prefix-sum identity s_d = S_d - min(0, min_(j<=d) S_j), which "
+    "needs only two stacked running windows — no recursion, no UDF, "
+    "no driver loop. Deviations are standardized per series "
+    "(K = 0.5 sd, alarm at 4 sd, the standard tuning); every "
+    "floating intermediate is rounded to 6dp BEFORE entering the "
+    "running sums, and both engines then fold identical decimals in "
+    "the same day order, so the windows are bit-identical. Scale: "
+    "partitioned by event_type — embarrassingly parallel per series; "
+    "the daily pre-agg is map-side combinable.",
+)
+def cusum_changepoint(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_samp("v"), 6).alias("sd"),
+    )
+    x = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        (
+            F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6)
+            - F.lit(_CUSUM_DRIFT)
+        ).alias("xi"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = x.select(
+        "event_type", "day", F.sum("xi").over(w).alias("s")
+    )
+    runmin = prefix.select(
+        "event_type", "day", "s", F.min("s").over(w).alias("mn")
+    )
+    cusum = F.round(F.col("s") - F.least(F.col("mn"), F.lit(0.0)), 6)
+    return runmin.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        cusum.alias("cusum"),
+        (cusum > _CUSUM_H).alias("alarm"),
+    )
