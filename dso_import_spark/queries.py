@@ -53,7 +53,7 @@ def oracle_queries() -> dict[str, str]:
 
 
 # Importing the modules below populates REGISTRY via the decorator;
-# the explicit ROUND4_FRONT reorder below then pins the driver-facing
+# the explicit ROUND5_FRONT reorder below then pins the driver-facing
 # front block exactly (the external harness verifies registry entries
 # front-to-back with a ~50/round budget, so the front block is a
 # deliberate, rotated choice — see dso_import_spark/rotation.py).
@@ -83,86 +83,116 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops,
 )
 
-# ROUND 4 FRONT BLOCK (applied): exactly 50 of the 60 queries that had
-# never had a green driver correctness row after round 3 — the
-# pre-staged ROUND4_QUEUE reordered so the most failure-prone / most
-# novel subsystems are checked first (round-3 verdict task 6 asked for
-# the DataSource WRITE path early) and the 10 leftovers are all simple
-# aggregation/window shapes with many driver-proven siblings.
-ROUND4_FRONT = [
-    # round-3 novel subsystems: 2-phase-commit DataSource write, the
-    # two remaining streaming certs, the real WAV/RIFF codec
-    "wkt_write_roundtrip", "stream_interval_full_outer",
-    "stream_session_dynamic_gap", "multimodal_wav_decode",
-    # the round-3 weak operator, now measured (SCALING.md grid)
-    "lm_bigram_quality",
-    # ANN / embedding tier: SemDeDup, PQ, IVF-PQ, recall cert,
-    # BLAS-partial covariance
-    "semdedup_prune", "ann_pq_topk", "ann_ivf_pq_topk", "ann_recall_report",
-    "embedding_covariance",
-    # exact-DECIMAL money, layout/ops tier
-    "decimal_money_totals", "cdc_apply_changes", "schema_evolution_scan",
-    "partition_overwrite_merge",
-    # dedup canonicalization + the rest of llm_pipeline
-    "dedup_cluster_canonical", "source_overlap_matrix",
-    "quality_classifier_score", "priority_sample_topk",
-    "dsir_importance_scores", "diversity_distinct_ngrams",
-    # extras: sketches, tokenizer prep, corpus mixing, event/stream ops
-    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
-    "temperature_mix_weights", "hopping_window_counts", "stream_hopping_hour",
-    "stream_static_enrich", "funnel_conversion", "gapfill_locf_hourly",
-    # curation batch
-    "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
-    "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
-    "k_anonymity_audit", "join_key_skew_profile",
-    # corpus_quality batch
-    "boilerplate_ngram_mass", "bpe_pair_merge_counts",
-    "length_quantile_filter",
-    # analytics batch
-    "rfm_segmentation", "bitmap_exact_distinct",
-    "seasonal_baseline_residuals",
-    # advanced tail (the non-trivial shapes)
-    "did_difference_in_differences", "srm_sample_ratio_check",
-    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
-    "event_transition_matrix", "rendezvous_sharding",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded.
-# Bump when rotating (tests/test_rotation.py checks the choice against
-# exactly these rounds, so a *new* round's results landing mid-cycle
-# doesn't retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 3
-
-# ROUND 5 QUEUE (pre-staged): promote to the front block next round.
-# Priority order: (1) the 10 never-verified round-4 leftovers — simple
-# aggregation/window shapes deliberately deferred; (2) stale greens
-# whose SEMANTICS changed after their verifying round (set_ops_nations
-# subtract semantics `e2a9d48`, date parsers `acbd504`, merge default
-# narrowed `a26bf70`) — re-verify these before the merely-re-staled;
-# (3) the r3 greens re-staled by round 4's ordered edits (broadcast-
-# hint drop touched tpch_rest/core/advanced; escape fix touched dedup)
-# — code-identical or posture-only changes, lowest risk. Recompute
-# with `python -m dso_import_spark.rotation` before rotating.
-ROUND5_QUEUE = [
-    # (1) never-verified: the round-4 auto-k SemDeDup variant and the
-    # round-4 placement module (both added after the front block was
-    # frozen) + the 10 deferred leftovers
+# ROUND 5 FRONT BLOCK (applied): all 25 never-verified queries first
+# (r4 verdict finding #2: the five stats_ops rows sat past position
+# 100 and a 50-budget round would have skipped them — they lead), then
+# the three semantics-changed staleys, then re-staled greens whose
+# PLANS changed (round-4 broadcast-hint drop: TPC-H joins), filled to
+# 50 from the stale list in registry order.
+ROUND5_FRONT = [
+    # (1) never-verified stats_ops module (r4 verdict top priority)
+    "equi_depth_histogram", "compaction_bin_packing", "pivot_event_matrix",
+    "skyline_pareto_frontier", "theil_sen_trend",
+    # (2) rest of the never-verified pool: the scale-path SemDeDup
+    # (headline promotion this round), placement, the 10 deferred
+    # aggregation/window leftovers
     "semdedup_prune_autok", "zorder_layout_stats", "cluster_aware_split",
     "cohort_retention", "sliding_distinct_users", "activity_streaks",
     "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
     "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
     "daily_retention_d1_d7",
-    # (2) semantics changed after verification
+    # (3) new round-5 queries (mlops module + the approx histogram):
+    # includes the k>=64 kernel differential from the r4 review
+    "semdedup_autok_kernel", "equi_depth_histogram_approx",
+    "shingle_containment", "stratified_sample_exact",
+    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
+    # (4) semantics changed after their verifying round (set_ops
+    # subtract `e2a9d48`, date parsers `acbd504`, merge default
+    # narrowed `a26bf70` — the last lives in operators/merge.py, below
+    # the module granularity stale_green sees: FORCE_REVERIFY)
     "set_ops_nations", "date_parse_variants", "merge_insert_update",
-    # (3) re-staled by round-4 ordered edits, highest-traffic first
+    # (5) re-staled greens: hint-drop-touched joins first (their
+    # physical plans changed, not just text), then registry order
     "json_extract_events", "dedup_minhash_lsh", "sparse_tfidf_topk",
     "hard_negative_mining", "dq_expectations_report",
     "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
     "q08_market_share", "q09_product_type_profit", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "window_topk_per_group", "running_sum", "lag_lead_delta",
+    "sessionize_events",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 4
+
+# Green queries whose SEMANTICS changed in a module stale_green can't
+# see (operators/*, not the defining queries_pkg module). Spending a
+# front slot on these is deliberate re-verification, not waste.
+FORCE_REVERIFY = ["merge_insert_update"]
+
+# ROUND 6 QUEUE (pre-staged): every remaining stale green, in priority
+# order — the hint-drop-touched modules first (tpch_rest, core,
+# windows: their PLANS changed when the forced broadcast hints were
+# removed, the rest were re-staled by text-only sweeps), then registry
+# order. Staging the full remainder pins the whole registry order, so
+# any surplus driver budget lands on the highest-value stale rows.
+# Recompute with `python -m dso_import_spark.rotation` before rotating.
+ROUND6_QUEUE = [
+    # windows module (hint-touched)
+    "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
+    "rolling_hour_stats", "group_exact_percentiles", "revenue_share_window",
+    # tpch_rest module (hint-touched)
+    "q10_returned_items", "q11_important_balances",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    # core module (hint-touched)
+    "q01_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue",
+    "conditional_agg_pivot", "distinct_agg", "semi_join_big_spenders",
+    "anti_join_no_orders", "rollup_lineitem", "cube_orders",
+    "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
+    "string_math_funcs", "q04_order_priority", "q18_large_orders",
+    # remaining staleys in registry order
+    "asof_tolerance_cogroup",
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
+    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+    "doc_fingerprints", "text_tfidf_top_terms", "doc_chunking",
+    "multimodal_metadata", "multimodal_decode_stats",
+    "multimodal_frame_sample", "multimodal_features",
+    "salted_heavy_hitters", "salted_join_revenue",
+    "approx_distinct_sketch", "approx_quantile_sketch",
+    "grouping_sets_revenue",
+    "stream_tumbling_hour", "stream_session_windows",
+    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
+    "stream_upsert_state",
+    "variant_json_events", "sql_pipe_syntax", "histogram_width_bucket",
+    "regression_stats",
+    "dedup_exact_stats", "dedup_prefix_groups", "dedup_ngram_jaccard",
+    "dedup_simhash_fingerprints", "dedup_minhash_banded",
+    "incremental_corpus_dedup", "dedup_substring_spans",
+    "wkt_coerce_geometries", "hash_split_train_test",
+    "dedup_cluster_components",
+    "sql_entry_point", "udaf_geometric_mean", "udtf_sentence_split",
+    "unpivot_melt_measures", "table_profile", "spatial_bbox_join",
+    "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",
+    "partitioned_events_scan", "stratified_sample_lang", "seq_packing_bins",
+    "decontam_ngram_overlap", "corpus_pipeline_stats", "bloom_join_prune",
+    "basket_pair_affinity", "record_linkage_fuzzy", "pagerank_shipments",
+    "incremental_agg_refresh", "feature_scale_normalize",
+    "notin_null_semantics", "ewma_fixed_lags", "drift_psi_periods",
+    "benford_first_digit", "triangle_count_parts",
+    "dedup_prefix_filter_pairs", "capped_running_balance",
+    "incremental_distinct_sketch", "attribution_first_last_touch",
+    "exact_quota_sample", "twap_time_weighted", "ohlc_hourly_bars",
+    "table_content_checksum", "event_path_trigrams", "ab_test_welch_t",
+    "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
 ]
 
 
@@ -182,4 +212,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND4_FRONT, ROUND5_QUEUE)
+_apply_front_block(ROUND5_FRONT, ROUND6_QUEUE)

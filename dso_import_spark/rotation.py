@@ -17,7 +17,7 @@ at the start of a round to get:
   queries.
 
 tests/test_registry_order.py pins the chosen front block; update it,
-``ROUND4_FRONT``-style lists, and ``FRONT_CHOSEN_AGAINST_ROUND`` in
+``ROUND5_FRONT``-style lists, and ``FRONT_CHOSEN_AGAINST_ROUND`` in
 queries.py in the same commit when rotating.
 """
 
@@ -115,11 +115,19 @@ def rotation_report(
 ) -> dict:
     from dso_import_spark.queries import REGISTRY
 
+    from dso_import_spark.queries import FORCE_REVERIFY
+
     names = list(REGISTRY)
     green = green_queries(repo, max_round) & set(names)
     never = [n for n in names if n not in green]
     front = names[:budget]
-    wasted = [n for n in front if n in green]
+    # a front slot on a STALE green (module changed after its verifying
+    # round) or a FORCE_REVERIFY name (semantics changed below module
+    # granularity) is deliberate re-verification, not waste — once the
+    # never-verified pool is smaller than the budget, those are exactly
+    # what the remaining slots are for
+    stale = set(stale_green(repo, max_round)) | set(FORCE_REVERIFY)
+    wasted = [n for n in front if n in green and n not in stale]
 
     by_module: dict[str, list[str]] = {}
     for n in never:

@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND4_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND5_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,44 +9,64 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND4_FRONT, ROUND5_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND5_FRONT, ROUND6_QUEUE
 
 FRONT_50 = [
-    "wkt_write_roundtrip", "stream_interval_full_outer",
-    "stream_session_dynamic_gap", "multimodal_wav_decode",
-    "lm_bigram_quality",
-    "semdedup_prune", "ann_pq_topk", "ann_ivf_pq_topk", "ann_recall_report",
-    "embedding_covariance",
-    "decimal_money_totals", "cdc_apply_changes", "schema_evolution_scan",
-    "partition_overwrite_merge",
-    "dedup_cluster_canonical", "source_overlap_matrix",
-    "quality_classifier_score", "priority_sample_topk",
-    "dsir_importance_scores", "diversity_distinct_ngrams",
-    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
-    "temperature_mix_weights", "hopping_window_counts", "stream_hopping_hour",
-    "stream_static_enrich", "funnel_conversion", "gapfill_locf_hourly",
-    "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
-    "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
-    "k_anonymity_audit", "join_key_skew_profile",
-    "boilerplate_ngram_mass", "bpe_pair_merge_counts",
-    "length_quantile_filter",
-    "rfm_segmentation", "bitmap_exact_distinct",
-    "seasonal_baseline_residuals",
-    "did_difference_in_differences", "srm_sample_ratio_check",
-    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
-    "event_transition_matrix", "rendezvous_sharding",
+    # never-verified stats_ops module (r4 verdict top priority)
+    "equi_depth_histogram", "compaction_bin_packing", "pivot_event_matrix",
+    "skyline_pareto_frontier", "theil_sen_trend",
+    # rest of the never-verified pool
+    "semdedup_prune_autok", "zorder_layout_stats", "cluster_aware_split",
+    "cohort_retention", "sliding_distinct_users", "activity_streaks",
+    "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
+    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
+    "daily_retention_d1_d7",
+    # new round-5 queries (mlops + approx histogram)
+    "semdedup_autok_kernel", "equi_depth_histogram_approx",
+    "shingle_containment", "stratified_sample_exact",
+    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
+    # semantics-changed staleys
+    "set_ops_nations", "date_parse_variants", "merge_insert_update",
+    # re-staled greens (hint-drop-touched joins first)
+    "json_extract_events", "dedup_minhash_lsh", "sparse_tfidf_topk",
+    "hard_negative_mining", "dq_expectations_report",
+    "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
+    "q08_market_share", "q09_product_type_profit", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "window_topk_per_group", "running_sum", "lag_lead_delta",
+    "sessionize_events",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND4_FRONT == FRONT_50
+    assert ROUND5_FRONT == FRONT_50
 
 
-def test_round5_queue_is_staged():
+def test_front_covers_every_never_verified_query():
+    # the r4 verdict's headline process bug: never-verified queries
+    # sitting past the driver budget. The front must contain ALL of
+    # them (as of the rounds the block was chosen against).
+    from dso_import_spark.queries import FRONT_CHOSEN_AGAINST_ROUND
+    from dso_import_spark.rotation import green_queries
+
+    green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
+    never = [n for n in REGISTRY if n not in green]
+    assert set(never) <= set(FRONT_50), sorted(set(never) - set(FRONT_50))
+
+
+def test_round6_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND5_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND5_QUEUE) & set(FRONT_50)
+    assert set(ROUND6_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND6_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND5_QUEUE)] == ROUND5_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND6_QUEUE)] == ROUND6_QUEUE
+    # front + queue covers the whole stale backlog: together with the
+    # front's never-verified coverage, registry order is fully pinned
+    from dso_import_spark.rotation import stale_green
+
+    assert set(stale_green()) <= set(ROUND6_QUEUE) | set(FRONT_50)
