@@ -65,7 +65,12 @@ HEADLINE = [
     "dedup_substring_spans",
     "asof_tolerance_cogroup",
     "ivf_kmeans_train",
-    "semdedup_prune",
+    # the scale-safe SemDeDup form (k ~ n/500, kernel assignment above
+    # k=64) — replaced fixed-k semdedup_prune in round 5: the fixed-k
+    # entry stays registered as the small-k oracle-parity pin but its
+    # pair join is the measured n²/k blowup (SCALING.md), so the
+    # headline tracks the form a 100 TB corpus would run
+    "semdedup_prune_autok",
     "lm_bigram_quality",
     "sparse_tfidf_topk",
     "funnel_conversion",
@@ -92,13 +97,15 @@ def main() -> None:
         "noop"
     ).save()
 
-    # best-of-2 per query: the second run reuses compiled plans and a
-    # warm page cache, so min() measures the engine rather than
-    # transient machine load / first-touch classloading
+    # best-of-3 per query: later runs reuse compiled plans and a warm
+    # page cache, so min() measures the engine rather than transient
+    # machine load / first-touch classloading. Two repeats left ~12%
+    # same-code spread on the total between driver sessions (round-4
+    # adjudication); three brings back-to-back totals within ~5%.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -494,6 +494,30 @@ def kmeans_assignments(
     return out
 
 
+# Below this input size, semantic_dedup skips the base-relation
+# localCheckpoint: eager materialization costs ~0.3 s of fixed overhead
+# that triple recompute undercuts on small corpora. Measured both arms
+# at every scale (SCALING.md "checkpoint gate"): 2k vectors 2.8 s
+# without vs 3.0 s with; 20k vectors 22.9 s WITH vs 31+ s without;
+# 200k vectors 101 s WITH vs 123 s without — so the crossover sits
+# between the 0.8 MB and 5.2 MB parquet estimates and 2 MB (~8k × 64
+# float32) keeps every measured cell on its winning arm.
+_CHECKPOINT_MIN_INPUT_BYTES = 2 * 1024 * 1024
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — plan-time
+    metadata (parquet footer sizes fold through), never a job. Returns
+    a huge sentinel when unavailable so callers fail toward the
+    at-scale posture."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1 << 62
+
+
 # Above this k, Lloyd assignment switches from the literal-centroid
 # Column expression to the Arrow-batched matmul kernel: the literal
 # plan carries k·dims literal nodes (fine at quantizer sizes, hostile
@@ -832,18 +856,23 @@ def semantic_dedup(
     # norms — the oracle mirrors the exact same unit-vector arithmetic
     # (element division, then sequential fold) so parity stays exact
     v = as_double(F.col(vec_col))
-    base = (
-        df.select(
-            F.col(id_col).alias("vec_id"),
-            F.transform(v, lambda x: x / norm(v)).alias("u"),
-        )
-        .join(assign.select("vec_id", "cluster"), "vec_id")
-        # three consumers (both pair-join sides + the final left join)
-        # would each replay the normalize + k-means-assignment join;
-        # the relation is |corpus| rows of (id, unit vec, cluster) —
-        # materialize once (README "truncate lineage when reused")
-        .localCheckpoint(eager=True)
-    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(v, lambda x: x / norm(v)).alias("u"),
+    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    # three consumers (both pair-join sides + the final left join)
+    # would each replay the normalize + k-means-assignment join, so
+    # materialize the |corpus|-row (id, unit vec, cluster) relation
+    # once (README "truncate lineage when reused") — but only above a
+    # volume where triple recompute costs more than the eager
+    # materialization: at sf0.1 (2k vectors) the checkpoint is pure
+    # overhead (measured 3.0 s vs 2.75 s without), at ×100 (200k
+    # vectors) it is a measured win (SCALING.md "checkpoint gate").
+    # Gate on Catalyst's size estimate of the INPUT relation (no job,
+    # unlike a count; a 100 TB scan must never pay a count() here);
+    # estimate unavailable → checkpoint (safe at scale).
+    if _est_bytes(df) >= _CHECKPOINT_MIN_INPUT_BYTES:
+        base = base.localCheckpoint(eager=True)
     n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     a = base.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("probe")

@@ -159,6 +159,26 @@ def test_cusum_and_stratified_plans_stay_partitioned(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_semdedup_checkpoint_gate_follows_input_volume(spark, sf_dir):
+    # small corpus: no eager materialization (measured pure overhead);
+    # large: lineage truncated (plan scans the checkpointed RDD).
+    # Flip the threshold instead of shipping data both ways.
+    import dso_import_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    small = _plan(sim.semantic_dedup(emb, k=4, iters=2, threshold=0.35))
+    assert "ExistingRDD" not in small  # gate off below the threshold
+    saved = sim._CHECKPOINT_MIN_INPUT_BYTES
+    try:
+        sim._CHECKPOINT_MIN_INPUT_BYTES = 0
+        big = _plan(sim.semantic_dedup(emb, k=4, iters=2, threshold=0.35))
+    finally:
+        sim._CHECKPOINT_MIN_INPUT_BYTES = saved
+    assert "ExistingRDD" in big  # gate on above it
+    # estimator sanity: parquet scan estimate is plan-time and positive
+    assert 0 < sim._est_bytes(emb) < 1 << 62
+
+
 def test_approx_histogram_certifies_rank_error(spark, sf_dir):
     rows = REGISTRY["equi_depth_histogram_approx"].spark(
         spark, sf_dir

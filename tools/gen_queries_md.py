@@ -4,13 +4,16 @@
 from __future__ import annotations
 
 import re
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-4 rotation (ROUND4_FRONT, all never driver-verified before this round), 51-84 the pre-staged round-5 queue (ROUND5_QUEUE: never-verified additions and deferred shapes first, then stale greens whose semantics changed after verification, then posture-only re-staled greens).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-5 rotation (ROUND5_FRONT: every never-verified query first — the five stats_ops rows the round-4 verdict flagged, the rest of the pool, the new mlops module — then semantics-changed staleys, then hint-drop-re-staled greens), positions 51+ the pre-staged ROUND6_QUEUE (the full remaining stale backlog, plan-changed modules first).
 
 Total: {n} queries, all with SQL oracles.
 
