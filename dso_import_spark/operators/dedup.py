@@ -187,11 +187,19 @@ def shingle_containment_pairs(
     Scale shape: shingles are far more selective than unigrams, so the
     (shingle, block) equi-join's fan-out per key is near 1 without any
     max-df guard; everything else is the blocked-pair pattern of
-    ngram_jaccard_pairs (explode → self-join → count). Returns
+    ngram_jaccard_pairs (explode → self-join → count). The input is
+    pre-spread (`spread_for_explode`, amplification ~500 for shingle
+    strings) because document parquet reads as few splits while the
+    shingle explode amplifies ~500×: measured 36.8 s single-split vs
+    14.1 s spread at sf0.1, and the ×10 corpus ran single-task for
+    minutes unspread (SCALING.md round-5 table). Returns
     (id_a, id_b, containment >= threshold) with containment rounded
     to 4dp.
     """
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     block_cols = block_cols or []
+    df = spread_for_explode(df, id_col, amplification=500)
     t = tokens(text_col)
     shingles = F.when(
         F.size(t) >= shingle_len,
