@@ -121,8 +121,13 @@ ROUND5_FRONT = [
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
     "q22_idle_customers",
-    "window_topk_per_group", "running_sum", "lag_lead_delta",
-    "sessionize_events",
+    # (6) second mlops batch (weighted sampling, BM25, model eval) —
+    # these took the last four slots from merely-re-staled window
+    # queries (now at the head of ROUND6_QUEUE): a never-verified
+    # operator is worth more driver evidence than a posture-only
+    # stale refresh
+    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
+    "auc_mann_whitney",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -146,7 +151,10 @@ FORCE_REVERIFY = ["merge_insert_update"]
 # any surplus driver budget lands on the highest-value stale rows.
 # Recompute with `python -m dso_import_spark.rotation` before rotating.
 ROUND6_QUEUE = [
-    # windows module (hint-touched)
+    # windows module (hint-touched) — first four displaced from the
+    # round-5 front by the second mlops batch
+    "window_topk_per_group", "running_sum", "lag_lead_delta",
+    "sessionize_events",
     "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
     "rolling_hour_stats", "group_exact_percentiles", "revenue_share_window",
     # tpch_rest module (hint-touched)

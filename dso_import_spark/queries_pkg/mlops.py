@@ -473,3 +473,333 @@ def cusum_changepoint(spark, sf_dir):
         cusum.alias("cusum"),
         (cusum > _CUSUM_H).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+_ES_K = 20  # sample size per stratum
+# deterministic uniform in (0,1): Knuth-mixed id reduced to 6 decimal
+# digits, +0.5 so u is never 0 (ln(0) = -inf) — engine-identical
+_ES_U = "((((doc_id % 2147483648) * 2654435761) >> 13) % 1000000 + 0.5) / 1000000.0"
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             round(ln({_ES_U}) / n_chars, 12) AS akey
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY akey DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT lang, count(*)::BIGINT AS n_sampled,
+           sum(doc_id)::BIGINT AS sampled_id_sum,
+           sum(n_chars)::BIGINT AS sampled_chars
+    FROM ranked WHERE rn <= {_ES_K} GROUP BY lang
+    """,
+    doc="Weighted sampling WITHOUT replacement per language stratum — "
+    "the Efraimidis–Spirakis A-Res algorithm (2006): each item draws "
+    "key u^(1/w) (rank-equivalently ln(u)/w) from a uniform u and the "
+    f"k={_ES_K} largest keys are the sample, giving inclusion odds "
+    "proportional to weight (n_chars) in ONE pass with no sequential "
+    "state — the only distributed-friendly weighted-without-"
+    "replacement scheme, and the one Spark's own sampleBy cannot do "
+    "(it is Bernoulli per stratum, not weighted). The uniform is a "
+    "Knuth-mixed doc id (engine-replayable); the key is quantized to "
+    "12dp so the lone libm ln() is compared far coarser than "
+    "cross-engine ulps. One per-stratum window (top-k via WindowGroup"
+    "Limit, no global sort); sampled_id_sum pins WHICH docs.",
+)
+def weighted_sample_es(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    u = (
+        (F.shiftright((F.col("doc_id") % _SMASK) * F.lit(_SMIX), _SSHIFT)
+         % 1000000)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("akey"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("akey"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ES_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sampled_id_sum"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "spark", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_scoring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT round(avg(dlen), 6) FROM dl) AS avgdl),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+      WHERE term IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dlen / stats.avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(round(1000 * s) AS BIGINT) AS bm25_mill
+    FROM scored
+    """,
+    doc="BM25 relevance scoring (Robertson–Spärck Jones) of every "
+    f"document against the fixed query {_BM25_TERMS}: the retrieval "
+    "scorer behind corpus search and hard-negative mining, distinct "
+    "from tf-idf by term-frequency saturation (k1) and document-"
+    "length normalization (b). Shape: term filter BEFORE the tf "
+    "aggregate (only query terms survive the explode), a |Q|-row df "
+    "relation and a 1-row (N, avgdl) relation broadcast back, one "
+    "per-doc combine. avgdl is rounded before use and the score is "
+    "mill-quantized, so the ln() idf is compared far coarser than "
+    "libm ulps. At 100 TB: identical plan — the explode is the "
+    "corpus scan, everything after the term filter is |Q|-bounded "
+    "per doc.",
+)
+def bm25_scoring(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    from dso_import_spark.functions.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dlen"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.select(F.round(F.avg("dlen"), 6).alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("s")
+        )
+    )
+    return scored.select(
+        "doc_id", F.round(F.lit(1000) * F.col("s")).cast("long").alias("bm25_mill")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-eval: decile lift table and exact AUC
+# ---------------------------------------------------------------------------
+
+# deterministic "model score": an explicit 4-component sum, evaluated in
+# the same order by both engines, so the doubles are bit-identical
+_SCORE_SQL = (
+    "(embedding[1]::DOUBLE + embedding[2]::DOUBLE"
+    " + embedding[3]::DOUBLE + embedding[4]::DOUBLE)"
+)
+_LIFT_FRACTIONS = [k / 10 for k in range(1, 10)]
+
+
+def _score_col():
+    e = F.col("embedding").cast("array<double>")
+    return (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+
+
+@query(
+    "decile_lift_table",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id, {_SCORE_SQL} AS score,
+             (label <= 1)::INT AS pos
+      FROM embeddings),
+    bounds AS (SELECT quantile_cont(score, {_LIFT_FRACTIONS}) AS bs FROM scored),
+    binned AS (
+      SELECT pos,
+             1 + len(list_filter(bs, b -> score < b)) AS decile
+      FROM scored CROSS JOIN bounds),
+    per AS (
+      SELECT decile, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
+      FROM binned GROUP BY decile),
+    tot AS (SELECT sum(n) AS nn, sum(n_pos) AS pp FROM per)
+    SELECT decile, n, n_pos,
+           round(sum(n_pos) OVER (ORDER BY decile) * 1.0 / tot.pp, 6)
+             AS cum_capture,
+           round((n_pos * 1.0 / n) / (tot.pp * 1.0 / tot.nn), 6) AS lift
+    FROM per, tot
+    """,
+    doc="Decile lift/gains table — the model-eval readout for ranked "
+    "targeting (deciles of the score distribution, highest first is "
+    "decile 1 by score DESC ordering convention inverted: here decile "
+    "1 = lowest scores, cum_capture accumulates upward; the direction "
+    "is a labeling choice the oracle shares). Positives = label <= 1 "
+    "(~20%). Deciles come from ONE percentile aggregate broadcast "
+    "back — NOT a global-sort row_number, so the shape survives any "
+    "corpus size (the same swap equi_depth_histogram documents); "
+    "per-decile lift and cumulative capture are integer-count "
+    "divisions, exact in both engines. The 10-row window is bounded "
+    "state.",
+)
+def decile_lift_table(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        _score_col().alias("score"),
+        (F.col("label") <= 1).cast("int").alias("pos"),
+    )
+    bounds = scored.agg(
+        F.percentile(
+            "score", F.array(*[F.lit(f) for f in _LIFT_FRACTIONS])
+        ).alias("bs")
+    )
+    per = (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.filter("bs", lambda b: F.col("score") < b))
+            ).alias("decile"),
+            "pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("n_pos").alias("pp"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_capture",
+            F.round(F.sum("n_pos").over(w) * F.lit(1.0) / F.col("pp"), 6),
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "cum_capture",
+            F.round(
+                (F.col("n_pos") * F.lit(1.0) / F.col("n"))
+                / (F.col("pp") * F.lit(1.0) / F.col("nn")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "auc_mann_whitney",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_SCORE_SQL} AS score, (label <= 1)::INT AS pos
+      FROM embeddings),
+    per_score AS (
+      SELECT score, sum(pos)::BIGINT AS n_pos,
+             sum(1 - pos)::BIGINT AS n_neg
+      FROM scored GROUP BY score),
+    ordered AS (
+      SELECT n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score),
+    tot AS (
+      SELECT sum(n_pos) AS p, sum(n_neg) AS q FROM per_score)
+    SELECT tot.p::BIGINT AS n_pos, tot.q::BIGINT AS n_neg,
+           round(sum(ordered.n_pos * (ordered.neg_below
+                     + ordered.n_neg / 2.0)) / (tot.p * tot.q), 6) AS auc,
+           round(2 * sum(ordered.n_pos * (ordered.neg_below
+                     + ordered.n_neg / 2.0)) / (tot.p * tot.q) - 1, 6)
+             AS gini
+    FROM ordered, tot GROUP BY tot.p, tot.q
+    """,
+    doc="Exact AUC via the Mann–Whitney identity, tie-aware: group by "
+    "DISTINCT score, order the groups, and AUC = sum over positive "
+    "mass of (negatives strictly below + half the tied negatives) / "
+    "(P*N) — no per-row ranks, no pairwise join. The ordered prefix "
+    "runs over the distinct-score relation (|scores| rows, here = n; "
+    "at 100 TB the documented swap is two-phase ranking: percentile "
+    "boundaries bucket the scores, the window runs per bucket, and "
+    "cross-bucket prefix counts are a broadcast — the equi-depth "
+    "histogram machinery again). Counts are integers; the single "
+    "division is rounded identically.",
+)
+def auc_mann_whitney(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        _score_col().alias("score"),
+        (F.col("label") <= 1).cast("int").alias("pos"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ordered = per_score.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    tot = per_score.agg(
+        F.sum("n_pos").alias("p"), F.sum("n_neg").alias("q")
+    )
+    u = F.sum(
+        F.col("n_pos") * (F.col("neg_below") + F.col("n_neg") / F.lit(2.0))
+    )
+    return (
+        ordered.crossJoin(F.broadcast(tot))
+        .groupBy("p", "q")
+        .agg(
+            F.round(u / (F.col("p") * F.col("q")), 6).alias("auc"),
+            F.round(
+                F.lit(2) * u / (F.col("p") * F.col("q")) - 1, 6
+            ).alias("gini"),
+        )
+        .select(
+            F.col("p").cast("long").alias("n_pos"),
+            F.col("q").cast("long").alias("n_neg"),
+            "auc",
+            "gini",
+        )
+    )

@@ -186,3 +186,65 @@ def test_approx_histogram_certifies_rank_error(spark, sf_dir):
     assert len(rows) == 16
     assert all(r["rank_err_ok"] for r in rows)
     assert all(abs(r["share"] - 0.06) <= 0.011 for r in rows)
+
+
+def test_weighted_sampling_prefers_heavy_docs(spark, sf_dir):
+    # A-Res with w = n_chars: the sampled mean weight must exceed the
+    # population mean (inclusion probability increases with weight)
+    from dso_import_spark.queries_pkg.util import tables
+
+    rows = REGISTRY["weighted_sample_es"].spark(spark, sf_dir).collect()
+    (docs,) = tables(spark, sf_dir, "documents")
+    pop = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    mu = {r["lang"]: r["mu"] for r in pop.collect()}
+    assert rows
+    heavier = sum(
+        1 for r in rows if r["sampled_chars"] / r["n_sampled"] > mu[r["lang"]]
+    )
+    assert heavier >= len(rows) - 1  # allow one stratum of sampling noise
+
+
+def test_bm25_scores_only_docs_with_query_terms(spark, sf_dir):
+    from dso_import_spark.queries_pkg.mlops import _BM25_TERMS
+    from dso_import_spark.queries_pkg.util import tables
+
+    out = REGISTRY["bm25_scoring"].spark(spark, sf_dir)
+    (docs,) = tables(spark, sf_dir, "documents")
+    pattern = "|".join(rf"\b{t}\b" for t in _BM25_TERMS)
+    with_terms = docs.filter(F.col("text").rlike(pattern)).count()
+    assert out.count() == with_terms
+    assert out.filter(F.col("bm25_mill") <= 0).count() == 0
+
+
+def test_lift_table_conserves_and_caps(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["decile_lift_table"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-9
+    caps = [r["cum_capture"] for r in rows]
+    assert caps == sorted(caps)  # monotone by construction
+
+
+def test_auc_identity_and_range(spark, sf_dir):
+    (r,) = REGISTRY["auc_mann_whitney"].spark(spark, sf_dir).collect()
+    assert 0.0 <= r["auc"] <= 1.0
+    assert abs(r["gini"] - (2 * r["auc"] - 1)) < 1e-5
+    # brute-force pairwise AUC on the small fixture must agree exactly
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    pts = [
+        (sum(float(x) for x in e["embedding"][:4]), 1 if e["label"] <= 1 else 0)
+        for e in emb
+    ]
+    pos = sorted(s for s, p in pts if p)
+    neg = sorted(s for s, p in pts if not p)
+    import bisect
+
+    u = sum(bisect.bisect_left(neg, s) + (bisect.bisect_right(neg, s)
+            - bisect.bisect_left(neg, s)) / 2.0 for s in pos)
+    assert abs(r["auc"] - round(u / (len(pos) * len(neg)), 6)) < 1e-6

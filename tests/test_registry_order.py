@@ -36,8 +36,10 @@ FRONT_50 = [
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
     "q22_idle_customers",
-    "window_topk_per_group", "running_sum", "lag_lead_delta",
-    "sessionize_events",
+    # second mlops batch (displaced four posture-only staleys to the
+    # head of ROUND6_QUEUE)
+    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
+    "auc_mann_whitney",
 ]
 
 
