@@ -379,6 +379,24 @@ def minhash_band_pairs(
     keys are uniform md5-derived ints, so bucket skew is bounded.
     Returns (id_a, id_b, jaccard).
     """
+    cand = minhash_band_candidates(df, text_col, id_col, n_hashes, band_size)
+    return exact_jaccard_verify(
+        df, cand, text_col, id_col, threshold, round_scale
+    )
+
+
+def minhash_band_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The candidate stage of ``minhash_band_pairs`` alone: distinct
+    (id_a, id_b) pairs sharing any signature band, BEFORE the exact
+    verify. Exposed separately so recall certifications can measure
+    the banding S-curve (which pairs the bucketing surfaces) without
+    the verify filter masking it."""
     P = 4294967311
     n_bands = n_hashes // band_size
     words = df.select(
@@ -411,7 +429,7 @@ def minhash_band_pairs(
     ).select("doc_id", "b.*")
     vkeys = ["band"] + [f"v{k}" for k in range(band_size)]
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             [F.col(f"a.{k}") == F.col(f"b.{k}") for k in vkeys]
@@ -421,9 +439,6 @@ def minhash_band_pairs(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
-    )
-    return exact_jaccard_verify(
-        df, cand, text_col, id_col, threshold, round_scale
     )
 
 

@@ -120,14 +120,13 @@ ROUND5_FRONT = [
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # (6) second mlops batch (weighted sampling, BM25, model eval) —
-    # these took the last four slots from merely-re-staled window
-    # queries (now at the head of ROUND6_QUEUE): a never-verified
-    # operator is worth more driver evidence than a posture-only
-    # stale refresh
+    # (6) second mlops batch (weighted sampling, BM25, model eval,
+    # MinHash banding recall cert) — these took the last five slots
+    # from merely-re-staled queries (now at the head of ROUND6_QUEUE):
+    # a never-verified operator is worth more driver evidence than a
+    # posture-only stale refresh
     "weighted_sample_es", "bm25_scoring", "decile_lift_table",
-    "auc_mann_whitney",
+    "auc_mann_whitney", "minhash_recall_cert",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -157,7 +156,9 @@ ROUND6_QUEUE = [
     "sessionize_events",
     "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
     "rolling_hour_stats", "group_exact_percentiles", "revenue_share_window",
-    # tpch_rest module (hint-touched)
+    # tpch_rest module (hint-touched; q22 displaced from the front by
+    # the second mlops batch)
+    "q22_idle_customers",
     "q10_returned_items", "q11_important_balances",
     "q12_late_shipment_priority", "q13_customer_order_distribution",
     # core module (hint-touched)

@@ -755,15 +755,18 @@ def decile_lift_table(spark, sf_dir):
     FROM ordered, tot GROUP BY tot.p, tot.q
     """,
     doc="Exact AUC via the Mann–Whitney identity, tie-aware: group by "
-    "DISTINCT score, order the groups, and AUC = sum over positive "
-    "mass of (negatives strictly below + half the tied negatives) / "
-    "(P*N) — no per-row ranks, no pairwise join. The ordered prefix "
-    "runs over the distinct-score relation (|scores| rows, here = n; "
-    "at 100 TB the documented swap is two-phase ranking: percentile "
-    "boundaries bucket the scores, the window runs per bucket, and "
-    "cross-bucket prefix counts are a broadcast — the equi-depth "
-    "histogram machinery again). Counts are integers; the single "
-    "division is rounded identically.",
+    "DISTINCT score and AUC = sum over positive mass of (negatives "
+    "strictly below + half the tied negatives) / (P*N) — no per-row "
+    "ranks, no pairwise join. 'Negatives strictly below' is computed "
+    "by TWO-PHASE ranking so no unbounded relation ever crosses a "
+    "single-partition exchange: percentile boundaries bucket the "
+    "scores (1-row broadcast), the running negative-mass prefix is a "
+    "window PARTITIONED BY bucket, and the cross-bucket offsets come "
+    "from the <=17-row per-bucket totals (bounded state, like the "
+    "skyline's block-max relation). The oracle is deliberately the "
+    "single-window textbook formulation — an independent derivation, "
+    "so agreement certifies the decomposition. Counts are integers; "
+    "the single division is rounded identically.",
 )
 def auc_mann_whitney(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -775,11 +778,38 @@ def auc_mann_whitney(spark, sf_dir):
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ordered = per_score.select(
+    bounds = per_score.agg(
+        F.percentile(
+            "score", F.array(*[F.lit(k / 16) for k in range(1, 16)])
+        ).alias("bs")
+    )
+    bucketed = per_score.crossJoin(F.broadcast(bounds)).select(
+        "score",
         "n_pos",
         "n_neg",
-        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+        F.size(F.filter("bs", lambda b: F.col("score") > b)).alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bkt_tot = bucketed.groupBy("bkt").agg(
+        F.sum("n_neg").alias("bneg")
+    ).select("bkt", F.coalesce(F.sum("bneg").over(w_bkt), F.lit(0)).alias(
+        "neg_before_bkt"
+    ))
+    ordered = (
+        bucketed.withColumn(
+            "neg_in", F.coalesce(F.sum("n_neg").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bkt_tot), "bkt")
+        .select(
+            "n_pos",
+            "n_neg",
+            (F.col("neg_in") + F.col("neg_before_bkt")).alias("neg_below"),
+        )
     )
     tot = per_score.agg(
         F.sum("n_pos").alias("p"), F.sum("n_neg").alias("q")
@@ -802,4 +832,103 @@ def auc_mann_whitney(spark, sf_dir):
             "auc",
             "gini",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-banding recall certification (the LSH S-curve, measured)
+# ---------------------------------------------------------------------------
+
+_CERT_TRUTH_T = 0.2  # ground-truth similarity floor (below the band knee)
+
+
+@query(
+    "minhash_recall_cert",
+    oracle=rf"""
+    WITH sample_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(text, '\s+')) AS t
+      FROM sample_docs),
+    words AS (
+      SELECT doc_id, len(t)::BIGINT AS n_toks, unnest(t) AS word FROM toks),
+    truth AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*) / (a.n_toks + b.n_toks - count(*)), 4)
+                 AS jaccard
+        FROM words a JOIN words b
+          ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_toks, b.n_toks)
+      WHERE jaccard >= {_CERT_TRUTH_T}),
+    hw AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS x
+      FROM (SELECT doc_id, unnest(t) AS word FROM toks)),
+    sigs AS (
+      SELECT doc_id,
+             min(((40503*0 + 1) * x + (12345*0 + 7)) % 4294967311) AS m0,
+             min(((40503*1 + 1) * x + (12345*1 + 7)) % 4294967311) AS m1,
+             min(((40503*2 + 1) * x + (12345*2 + 7)) % 4294967311) AS m2,
+             min(((40503*3 + 1) * x + (12345*3 + 7)) % 4294967311) AS m3,
+             min(((40503*4 + 1) * x + (12345*4 + 7)) % 4294967311) AS m4,
+             min(((40503*5 + 1) * x + (12345*5 + 7)) % 4294967311) AS m5,
+             min(((40503*6 + 1) * x + (12345*6 + 7)) % 4294967311) AS m6,
+             min(((40503*7 + 1) * x + (12345*7 + 7)) % 4294967311) AS m7
+      FROM hw GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 AS v0, m1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, 1, m2, m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4, m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6, m7 FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.doc_id < b.doc_id)
+    SELECT round(floor(t.jaccard * 10) / 10, 1) AS sim_bucket,
+           count(*)::BIGINT AS n_truth,
+           sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_surfaced,
+           round(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS recall
+    FROM truth t LEFT JOIN cand c
+      ON t.id_a = c.id_a AND t.id_b = c.id_b
+    GROUP BY 1
+    """,
+    doc="MinHash-banding recall certification — the dedup analog of "
+    "ann_recall_report: ground truth is EVERY exact-Jaccard pair at "
+    f">= {_CERT_TRUTH_T} (below the banding knee on purpose), and "
+    "each truth pair is checked against the banded CANDIDATE set "
+    "(pre-verify — the verify stage would mask banding misses). "
+    "Recall per similarity decile traces the LSH S-curve the "
+    "(bands, rows) parameters promise: P(candidate) = 1-(1-j^r)^b, "
+    "so low buckets surface rarely and j→1 buckets always — the "
+    "measurement that justifies banding parameters before a 100 TB "
+    "dedup run, where a mis-set knee silently drops near-dups. "
+    "All arithmetic (md5-derived hashes, affine min-hashes, band "
+    "equi-join) is engine-portable, so the oracle replays candidates "
+    "exactly.",
+)
+def minhash_recall_cert(spark, sf_dir):
+    from dso_import_spark.operators.dedup import (
+        minhash_band_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 10 == 0)
+    truth = ngram_jaccard_pairs(sample, threshold=_CERT_TRUTH_T)
+    cand = minhash_band_candidates(sample).withColumn("hit", F.lit(1))
+    joined = truth.join(cand, ["id_a", "id_b"], "left")
+    bucket = F.round(F.floor(F.col("jaccard") * 10) / 10, 1)
+    return joined.groupBy(bucket.alias("sim_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+            "n_surfaced"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall"),
     )

@@ -248,3 +248,18 @@ def test_auc_identity_and_range(spark, sf_dir):
     u = sum(bisect.bisect_left(neg, s) + (bisect.bisect_right(neg, s)
             - bisect.bisect_left(neg, s)) / 2.0 for s in pos)
     assert abs(r["auc"] - round(u / (len(pos) * len(neg)), 6)) < 1e-6
+
+
+def test_minhash_recall_cert_traces_the_s_curve(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["minhash_recall_cert"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["sim_bucket"],
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_surfaced"] <= r["n_truth"]
+    # the S-curve: the top bucket is (near-)certain, the bottom rare
+    assert rows[-1]["recall"] >= 0.99
+    if len(rows) >= 3:
+        assert rows[0]["recall"] < rows[-1]["recall"]

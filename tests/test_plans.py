@@ -321,6 +321,23 @@ _SCALAR_RESULT_QUERIES = {
     # running window (bounded block dimension, broadcast back) — the
     # cross-block pruning state of the distributed skyline, never data
     "skyline_pareto_frontier",
+    # 1-row sketch-boundary aggregate + the 16-row per-bin ranks window
+    # (bounded bin dimension) — the rank-error certification state,
+    # never data; same class as skyline_pareto_frontier
+    "equi_depth_histogram_approx",
+    # 1-row decile-boundary + 1-row class-totals aggregates broadcast
+    # back — same class as equi_depth_histogram
+    "woe_feature_binning",
+    # two 1-row corpus scalars (N, avgdl) broadcast into the per-doc
+    # score — the idf/normalization constants every BM25 needs
+    "bm25_scoring",
+    # 1-row boundary + totals aggregates and the 10-row cumulative-
+    # capture window (bounded decile dimension)
+    "decile_lift_table",
+    # 1-row (P, N) totals + the <=17-row cross-bucket prefix window of
+    # the two-phase rank (bounded bucket dimension); the per-score
+    # prefix itself is bucket-partitioned, never SinglePartition
+    "auc_mann_whitney",
 }
 
 

@@ -35,11 +35,10 @@ FRONT_50 = [
     "q15_top_supplier", "q16_supplier_part_counts",
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # second mlops batch (displaced four posture-only staleys to the
-    # head of ROUND6_QUEUE)
+    # second mlops batch (displaced five posture-only staleys to
+    # ROUND6_QUEUE)
     "weighted_sample_es", "bm25_scoring", "decile_lift_table",
-    "auc_mann_whitney",
+    "auc_mann_whitney", "minhash_recall_cert",
 ]
 
 
