@@ -113,20 +113,22 @@ ROUND5_FRONT = [
     "set_ops_nations", "date_parse_variants", "merge_insert_update",
     # (5) re-staled greens: hint-drop-touched joins first (their
     # physical plans changed, not just text), then registry order
-    "json_extract_events", "dedup_minhash_lsh", "sparse_tfidf_topk",
-    "hard_negative_mining", "dq_expectations_report",
+    "dedup_minhash_lsh", "sparse_tfidf_topk", "hard_negative_mining",
     "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
-    "q08_market_share", "q09_product_type_profit", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    # (6) second mlops batch (weighted sampling, BM25, model eval,
-    # MinHash banding recall cert) — these took the last five slots
-    # from merely-re-staled queries (now at the head of ROUND6_QUEUE):
-    # a never-verified operator is worth more driver evidence than a
-    # posture-only stale refresh
+    "q08_market_share", "q09_product_type_profit",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    # (6) second + third mlops batches (weighted sampling, BM25, model
+    # eval, MinHash recall cert, capped Theil–Sen, join-cardinality
+    # cert, Wasserstein drift, source blocklist) — these took the last
+    # nine slots from merely-re-staled queries (now at the head of
+    # ROUND6_QUEUE): a never-verified operator is worth more driver
+    # evidence than a posture-only stale refresh
     "weighted_sample_es", "bm25_scoring", "decile_lift_table",
     "auc_mann_whitney", "minhash_recall_cert",
+    "theil_sen_capped", "join_cardinality_estimate",
+    "wasserstein_drift", "source_quality_blocklist",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -150,15 +152,16 @@ FORCE_REVERIFY = ["merge_insert_update"]
 # any surplus driver budget lands on the highest-value stale rows.
 # Recompute with `python -m dso_import_spark.rotation` before rotating.
 ROUND6_QUEUE = [
-    # windows module (hint-touched) — first four displaced from the
-    # round-5 front by the second mlops batch
+    # displaced from the round-5 front by the mlops batches: the two
+    # text-only re-staled queries, then the windows module
+    "json_extract_events", "dq_expectations_report",
     "window_topk_per_group", "running_sum", "lag_lead_delta",
     "sessionize_events",
     "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
     "rolling_hour_stats", "group_exact_percentiles", "revenue_share_window",
-    # tpch_rest module (hint-touched; q22 displaced from the front by
-    # the second mlops batch)
-    "q22_idle_customers",
+    # tpch_rest module (hint-touched; q14/q16/q22 displaced from the
+    # front by the mlops batches)
+    "q14_promo_revenue", "q16_supplier_part_counts", "q22_idle_customers",
     "q10_returned_items", "q11_important_balances",
     "q12_late_shipment_priority", "q13_customer_order_distribution",
     # core module (hint-touched)

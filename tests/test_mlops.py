@@ -263,3 +263,80 @@ def test_minhash_recall_cert_traces_the_s_curve(spark, sf_dir):
     assert rows[-1]["recall"] >= 0.99
     if len(rows) >= 3:
         assert rows[0]["recall"] < rows[-1]["recall"]
+
+
+def test_theil_sen_cap_binds_and_matches_uncapped_when_small(spark, sf_dir):
+    from dso_import_spark.queries_pkg.mlops import _TS_CAP
+
+    rows = REGISTRY["theil_sen_capped"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_used"] <= _TS_CAP
+        assert r["n_pairs"] == r["n_used"] * (r["n_used"] - 1) // 2
+    # users with <= cap events are identical to the uncapped estimator
+    full = {
+        r["user_id"]: r
+        for r in REGISTRY["theil_sen_trend"].spark(spark, sf_dir).collect()
+    }
+    for r in rows:
+        f = full[r["user_id"]]
+        if f["n_events"] <= _TS_CAP:
+            assert r["sen_slope"] == f["sen_slope"], r["user_id"]
+
+
+def test_join_cardinality_estimate_is_tight_on_uniform_keys(spark, sf_dir):
+    (r,) = REGISTRY["join_cardinality_estimate"].spark(
+        spark, sf_dir
+    ).collect()
+    assert r["actual_rows"] > 0
+    # uniform TPC-H-like keys: the histogram estimate should land
+    # within 20% of truth — the property that makes it usable for
+    # join ordering at all
+    assert 0.8 <= r["est_over_actual"] <= 1.2
+
+
+def test_wasserstein_nonnegative_and_zero_on_self(spark, sf_dir):
+    rows = REGISTRY["wasserstein_drift"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(r["w1_distance"] >= 0 for r in rows)
+    # self-distance is exactly zero: same relation on both sides
+    from dso_import_spark.queries_pkg.util import tables
+    from pyspark.sql import functions as F2
+
+    (events,) = tables(spark, sf_dir, "events")
+    tagged = events.filter(F2.col("value").isNotNull()).select(
+        "event_type", F2.round("value", 2).alias("v")
+    )
+    pts = tagged.groupBy("event_type", "v").agg(
+        F2.count(F2.lit(1)).alias("d")
+    )
+    from pyspark.sql import Window as W2
+
+    w = (
+        W2.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W2.unboundedPreceding, 0)
+    )
+    tot = pts.groupBy("event_type").agg(F2.sum("d").alias("n"))
+    ecdf = pts.join(tot, "event_type").select(
+        "event_type",
+        (F2.sum("d").over(w) / F2.col("n")).alias("fa"),
+        (F2.sum("d").over(w) / F2.col("n")).alias("fb"),
+    )
+    self_w1 = ecdf.select(
+        F2.sum(F2.abs(F2.col("fa") - F2.col("fb"))).alias("s")
+    ).collect()[0]["s"]
+    assert self_w1 == 0.0
+
+
+def test_source_blocklist_shares_are_consistent(spark, sf_dir):
+    rows = REGISTRY["source_quality_blocklist"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_share"] <= 1.0
+        assert 0.0 <= r["short_share"] <= 1.0
+        assert r["blocked"] == (
+            r["dup_share"] > 0.05 or r["short_share"] > 0.5
+        )
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n

@@ -28,17 +28,18 @@ FRONT_50 = [
     # semantics-changed staleys
     "set_ops_nations", "date_parse_variants", "merge_insert_update",
     # re-staled greens (hint-drop-touched joins first)
-    "json_extract_events", "dedup_minhash_lsh", "sparse_tfidf_topk",
-    "hard_negative_mining", "dq_expectations_report",
+    "dedup_minhash_lsh", "sparse_tfidf_topk", "hard_negative_mining",
     "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
-    "q08_market_share", "q09_product_type_profit", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    # second mlops batch (displaced five posture-only staleys to
-    # ROUND6_QUEUE)
+    "q08_market_share", "q09_product_type_profit",
+    "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    # second + third mlops batches (displaced nine posture-only
+    # staleys to ROUND6_QUEUE)
     "weighted_sample_es", "bm25_scoring", "decile_lift_table",
     "auc_mann_whitney", "minhash_recall_cert",
+    "theil_sen_capped", "join_cardinality_estimate",
+    "wasserstein_drift", "source_quality_blocklist",
 ]
 
 
