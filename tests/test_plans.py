@@ -338,6 +338,10 @@ _SCALAR_RESULT_QUERIES = {
     # the two-phase rank (bounded bucket dimension); the per-score
     # prefix itself is bucket-partitioned, never SinglePartition
     "auc_mann_whitney",
+    # 1-row key-bounds aggregate, the 64-row histogram-estimate
+    # combine, and the 1-row exact-count certification input — all
+    # bounded certification state, never data
+    "join_cardinality_estimate",
 }
 
 
