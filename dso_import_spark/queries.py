@@ -152,6 +152,13 @@ FORCE_REVERIFY = ["merge_insert_update"]
 # any surplus driver budget lands on the highest-value stale rows.
 # Recompute with `python -m dso_import_spark.rotation` before rotating.
 ROUND6_QUEUE = [
+    # never-verified FIRST (the r4 rule, enforced by
+    # test_registry_order): the fourth mlops batch landed after the
+    # front block was full, so it heads the queue — surplus round-5
+    # driver budget or the round-6 front picks these before any
+    # already-green query
+    "ridge_regression_normal_eq", "dp_sensitivity_audit",
+    "selectivity_estimate_cert",
     # displaced from the round-5 front by the mlops batches: the two
     # text-only re-staled queries, then the windows module
     "json_extract_events", "dq_expectations_report",

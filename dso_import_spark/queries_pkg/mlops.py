@@ -1,6 +1,6 @@
 """ML-data preparation, evaluation, and pipeline-governance operators.
 
-Fourteen operators a training-data pipeline runs between ingest and
+Seventeen operators a training-data pipeline runs between ingest and
 training, each with an end-to-end DuckDB oracle:
 
 Certification tier:
@@ -13,6 +13,9 @@ Certification tier:
   exact-Jaccard ground truth, tracing the LSH S-curve.
 - ``join_cardinality_estimate``: the System R histogram estimator vs
   the exact join count — ANALYZE-grade statistics, certified.
+- ``selectivity_estimate_cert``: equi-depth histogram + within-bin
+  interpolation vs the exact filter fraction — the other half of
+  optimizer statistics.
 
 Sampling / splitting tier:
 - ``stratified_sample_exact``: exact ceil(rate·n) per-stratum
@@ -43,6 +46,10 @@ Monitoring / governance tier:
 - ``l_diversity_audit``: the disclosure gate k-anonymity misses.
 - ``theil_sen_capped``: Theil–Sen with the per-group pair cap the
   100 TB docstring prescribes — quadratic term made constant.
+- ``dp_sensitivity_audit``: per-user contribution bounds and the p99
+  clamp — the sensitivity analysis every DP release runs first.
+- ``ridge_regression_normal_eq``: closed-form ridge as ONE 9-value
+  aggregate + a Cramer solve — training as aggregation.
 
 No UDFs; the only Python-side compute is the kernel query's Arrow
 matmul, which is the operator under test.
@@ -1308,4 +1315,258 @@ def source_quality_blocklist(spark, sf_dir):
             (F.col("dup_share") > _SRC_DUP_MAX)
             | (F.col("short_share") > _SRC_SHORT_MAX)
         ).alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression by normal equations (training as aggregation)
+# ---------------------------------------------------------------------------
+
+_RIDGE_L = 1.0  # L2 penalty (applied to all three coefficients)
+
+
+@query(
+    "ridge_regression_normal_eq",
+    oracle=f"""
+    WITH m AS (
+      SELECT round(count(*) + {_RIDGE_L}, 2) AS a,
+             round(sum(l_quantity), 2) AS b,
+             round(sum(l_discount), 2) AS c,
+             round(sum(l_quantity * l_quantity) + {_RIDGE_L}, 2) AS e,
+             round(sum(l_quantity * l_discount), 2) AS f,
+             round(sum(l_discount * l_discount) + {_RIDGE_L}, 2) AS i,
+             round(sum(l_extendedprice), 2) AS p,
+             round(sum(l_quantity * l_extendedprice), 2) AS q,
+             round(sum(l_discount * l_extendedprice), 2) AS r
+      FROM lineitem),
+    s AS (
+      SELECT *,
+             (a * (e * i - f * f)) - (b * (b * i - f * c))
+               + (c * (b * f - e * c)) AS det
+      FROM m)
+    SELECT round(((p * (e * i - f * f)) - (b * (q * i - f * r))
+                  + (c * (q * f - e * r))) / det, 6) AS beta0,
+           round(((a * (q * i - f * r)) - (p * (b * i - c * f))
+                  + (c * (b * r - q * c))) / det, 6) AS beta1,
+           round(((a * (e * r - q * f)) - (b * (b * r - q * c))
+                  + (p * (b * f - e * c))) / det, 6) AS beta2
+    FROM s
+    """,
+    doc="Ridge regression (extendedprice ~ quantity + discount) solved "
+    "in closed form — model TRAINING expressed as one aggregation: "
+    "the 3x3 normal-equation matrix X'X + lambda*I and X'y are nine "
+    "map-side-combinable sums (the same moments regr_slope uses, one "
+    "shuffle of 9 doubles total), and the solve is Cramer's rule "
+    "written as the IDENTICAL expression tree on both engines. The "
+    "nine sums are rounded to 2dp before solving — at 1e10 magnitudes "
+    "a cross-partition summation ulp is ~2e-6, so the rounding "
+    "absorbs order effects and both engines then evaluate the same "
+    "IEEE operations on the same decimals. At 100 TB nothing changes: "
+    "training cost is one scan + a 9-value combine, the solve is "
+    "driver-side O(p^3) with p=3 — the normal-equation regime every "
+    "distributed ML library uses below ~10k features. Uncentered "
+    "normal equations amplify the moment rounding by the condition "
+    "number (~1e-3 relative vs LAPACK, pinned in tests); production "
+    "solvers center features first — the two-pass variant — which "
+    "the oracle-parity contract here deliberately trades away.",
+)
+def ridge_regression_normal_eq(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.round(F.count(F.lit(1)) + _RIDGE_L, 2).alias("a"),
+        F.round(F.sum("l_quantity"), 2).alias("b"),
+        F.round(F.sum("l_discount"), 2).alias("c"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_quantity")) + _RIDGE_L, 2).alias("e"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_discount")), 2).alias("f"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_discount")) + _RIDGE_L, 2).alias("i"),
+        F.round(F.sum("l_extendedprice"), 2).alias("p"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 2).alias("q"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_extendedprice")), 2).alias("r"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    e, f, i = F.col("e"), F.col("f"), F.col("i")
+    p, q, r = F.col("p"), F.col("q"), F.col("r")
+    det = (a * (e * i - f * f)) - (b * (b * i - f * c)) + (c * (b * f - e * c))
+    s = m.withColumn("det", det)
+    return s.select(
+        F.round(
+            ((p * (e * i - f * f)) - (b * (q * i - f * r))
+             + (c * (q * f - e * r))) / F.col("det"), 6
+        ).alias("beta0"),
+        F.round(
+            ((a * (q * i - f * r)) - (p * (b * i - c * f))
+             + (c * (b * r - q * c))) / F.col("det"), 6
+        ).alias("beta1"),
+        F.round(
+            ((a * (e * r - q * f)) - (b * (b * r - q * c))
+             + (p * (b * f - e * c))) / F.col("det"), 6
+        ).alias("beta2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP-prep sensitivity audit (per-user contribution bounds)
+# ---------------------------------------------------------------------------
+
+_DP_DOM = 0.05  # a single user contributing > 5% of a statistic dominates it
+
+
+@query(
+    "dp_sensitivity_audit",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, round(sum(abs(value)), 2) AS contrib
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    per_type AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_users,
+             round(sum(contrib), 2) AS total_mass,
+             round(max(contrib), 2) AS max_contrib,
+             round(quantile_cont(contrib, 0.99), 2) AS p99_clamp
+      FROM per_user GROUP BY event_type)
+    SELECT event_type, n_users, max_contrib, p99_clamp,
+           round(max_contrib / total_mass, 4) AS max_share,
+           (round(max_contrib / total_mass, 4) > {_DP_DOM}) AS dominated
+    FROM per_type
+    """,
+    doc="Differential-privacy preparation audit: per statistic (event "
+    "type), the largest single-user contribution, its share of the "
+    "total mass, and the p99 per-user contribution as the suggested "
+    "clamp bound — the sensitivity analysis every DP release does "
+    "BEFORE choosing noise scale (noise is calibrated to max per-user "
+    "contribution; unclamped heavy users force useless noise levels). "
+    "Deterministic by design — the audit is exact arithmetic; only "
+    "the eventual noise draw is random and out of scope. Two "
+    "map-side-combinable aggs (user grain then type grain), exact "
+    "p99 per type with group-bounded combine; at 100 TB swap "
+    "approx_percentile exactly as the histogram ops document.",
+)
+def dp_sensitivity_audit(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum(F.abs("value")), 2).alias("contrib"))
+    )
+    per_type = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("contrib"), 2).alias("total_mass"),
+        F.round(F.max("contrib"), 2).alias("max_contrib"),
+        F.round(F.percentile("contrib", F.lit(0.99)), 2).alias("p99_clamp"),
+    )
+    share = F.round(F.col("max_contrib") / F.col("total_mass"), 4)
+    return per_type.select(
+        "event_type",
+        "n_users",
+        "max_contrib",
+        "p99_clamp",
+        share.alias("max_share"),
+        (share > _DP_DOM).alias("dominated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram selectivity-estimation certificate
+# ---------------------------------------------------------------------------
+
+_FRACTIONS_SEL = [k / 16 for k in range(1, 16)]
+_SEL_CUT = 150000.0  # the probe predicate: o_totalprice <= _SEL_CUT
+
+
+@query(
+    "selectivity_estimate_cert",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, {_FRACTIONS_SEL}) AS bs FROM orders),
+    binned AS (
+      SELECT o_totalprice AS v,
+             1 + len(list_filter(bs, b -> o_totalprice > b)) AS bin
+      FROM orders CROSS JOIN bounds),
+    per_bin AS (
+      SELECT bin, count(*)::BIGINT AS n,
+             min(v) AS lo, max(v) AS hi
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(n)::DOUBLE AS nn FROM per_bin),
+    est AS (
+      SELECT round(sum(
+        CASE WHEN hi <= {_SEL_CUT} THEN n
+             WHEN lo > {_SEL_CUT} THEN 0
+             ELSE n * ({_SEL_CUT} - lo) / greatest(hi - lo, 1e-12) END
+      ) / tot.nn, 4) AS est_sel
+      FROM per_bin, tot GROUP BY tot.nn),
+    act AS (
+      SELECT round(sum(CASE WHEN v <= {_SEL_CUT} THEN 1 ELSE 0 END)
+                   / (SELECT nn FROM tot), 4) AS actual_sel
+      FROM binned)
+    SELECT est.est_sel, act.actual_sel,
+           (abs(est.est_sel - act.actual_sel) <= 0.02) AS within_tol
+    FROM est, act
+    """,
+    doc="Filter-selectivity estimation certificate — the other half "
+    "of ANALYZE statistics (join_cardinality_estimate covers joins): "
+    "a 16-bin equi-depth histogram estimates the selectivity of "
+    f"o_totalprice <= {_SEL_CUT:.0f} with the textbook within-bin "
+    "linear interpolation, certified against the exact fraction. "
+    "Equi-depth bounds the per-bin error at 1/16 by construction and "
+    "interpolation shrinks it far below that — the reason every "
+    "cost-based optimizer stores equal-HEIGHT (not equal-width) "
+    "histograms. One percentile aggregate, one per-bin combine, one "
+    "exact count: all map-side-combinable.",
+)
+def selectivity_estimate_cert(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    price = orders.select(F.col("o_totalprice").alias("v"))
+    bounds = price.agg(
+        F.percentile(
+            "v", F.array(*[F.lit(k / 16) for k in range(1, 16)])
+        ).alias("bs")
+    )
+    per_bin = (
+        price.crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            (F.lit(1) + F.size(F.filter("bs", lambda b: F.col("v") > b))).alias(
+                "bin"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+    tot = per_bin.agg(F.sum("n").cast("double").alias("nn"))
+    cut = F.lit(_SEL_CUT)
+    est = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("nn")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("hi") <= cut, F.col("n"))
+                    .when(F.col("lo") > cut, F.lit(0))
+                    .otherwise(
+                        F.col("n")
+                        * (cut - F.col("lo"))
+                        / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))
+                    )
+                )
+                / F.col("nn"),
+                4,
+            ).alias("est_sel")
+        )
+        .select("est_sel")
+    )
+    act = price.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum((F.col("v") <= cut).cast("int")) / F.first("nn"), 4
+        ).alias("actual_sel")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "est_sel",
+        "actual_sel",
+        (F.abs(F.col("est_sel") - F.col("actual_sel")) <= 0.02).alias(
+            "within_tol"
+        ),
     )

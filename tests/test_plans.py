@@ -342,6 +342,12 @@ _SCALAR_RESULT_QUERIES = {
     # combine, and the 1-row exact-count certification input — all
     # bounded certification state, never data
     "join_cardinality_estimate",
+    # the 9-value normal-equation moment combine (training IS one
+    # scalar aggregate here; the solve is expression arithmetic)
+    "ridge_regression_normal_eq",
+    # 1-row boundary/total aggregates + the 16-row per-bin relation's
+    # estimate combine — histogram certification state, never data
+    "selectivity_estimate_cert",
 }
 
 

@@ -50,14 +50,17 @@ def test_driver_front_block_is_deliberate():
 
 def test_front_covers_every_never_verified_query():
     # the r4 verdict's headline process bug: never-verified queries
-    # sitting past the driver budget. The front must contain ALL of
-    # them (as of the rounds the block was chosen against).
+    # sitting past the driver budget. Every one of them must be in
+    # the front block, or — when the front is already full — form the
+    # exact HEAD of the staged queue, so surplus budget (or the next
+    # rotation) reaches them before any already-green query.
     from dso_import_spark.queries import FRONT_CHOSEN_AGAINST_ROUND
     from dso_import_spark.rotation import green_queries
 
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
-    assert set(never) <= set(FRONT_50), sorted(set(never) - set(FRONT_50))
+    beyond = [n for n in never if n not in set(FRONT_50)]
+    assert set(beyond) == set(ROUND6_QUEUE[: len(beyond)]), beyond
 
 
 def test_round6_queue_is_staged():
