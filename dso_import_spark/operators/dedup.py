@@ -169,6 +169,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_array(text_col: str, shingle_len: int = 3):
+    """Distinct word ``shingle_len``-gram array of a text column, as a
+    pure Column expression (space-joined token windows; empty array for
+    texts shorter than ``shingle_len`` tokens)."""
+    t = tokens(text_col)
+    return F.when(
+        F.size(t) >= shingle_len,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (shingle_len - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + off) for off in range(shingle_len)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -176,6 +194,7 @@ def shingle_containment_pairs(
     block_cols: list | None = None,
     threshold: float = 0.1,
     shingle_len: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection by word-shingle CONTAINMENT
     (Broder 1997): max-containment = |A∩B| / min(|A|,|B|) over distinct
@@ -195,29 +214,60 @@ def shingle_containment_pairs(
     minutes unspread (SCALING.md round-5 table). Returns
     (id_a, id_b, containment >= threshold) with containment rounded
     to 4dp.
+
+    SCALE WARNING — this exact form self-joins on EVERY shared
+    (shingle, block) key: a shingle present in d documents contributes
+    d·(d−1)/2 candidate pairs, so one viral boilerplate shingle goes
+    quadratic (measured: ×10 corpus replication → 136× pairs; ×100 →
+    DNF, SCALING.md round-5 table). Keep this form as the
+    certification pin on bounded corpora; at 100 TB run
+    ``shingle_containment_banded`` (MinHash-banded candidates feeding
+    the identical verify arithmetic — candidate count is bounded by
+    the LSH S-curve, not by shingle document frequency).
+
+    ``max_df`` is the guard for the exact form: when set, the shingle
+    document frequency per block is profiled BEFORE the self-join,
+    shingles occurring in more than ``max_df`` documents are dropped
+    from pair generation (the standard max-df cap — boilerplate docs
+    still pair through their thousands of non-viral shingles), and a
+    ``UserWarning`` names the hottest shingle's frequency so the
+    would-be blowup is visible before it burns a cluster-day. The cap
+    changes results only for pairs whose EVERY shared shingle is
+    hotter than ``max_df``; n_a/n_b stay uncapped so surviving pairs
+    keep their exact containment value.
     """
     from dso_import_spark.queries_pkg.util import spread_for_explode
 
     block_cols = block_cols or []
     df = spread_for_explode(df, id_col, amplification=500)
-    t = tokens(text_col)
-    shingles = F.when(
-        F.size(t) >= shingle_len,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (shingle_len - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(t, i + off) for off in range(shingle_len)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     sh = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        shingles.alias("sh"),
+        shingle_array(text_col, shingle_len).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        import warnings
+
+        freq = ex.groupBy(*block_cols, "shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        hot = freq.filter(F.col("df") > max_df)
+        top = hot.agg(
+            F.count(F.lit(1)).alias("n_hot"), F.max("df").alias("top_df")
+        ).collect()[0]
+        if top["n_hot"]:
+            warnings.warn(
+                f"shingle_containment_pairs: {top['n_hot']} shingles "
+                f"exceed max_df={max_df} (hottest appears in "
+                f"{top['top_df']} docs → ~{top['top_df'] ** 2 // 2} pairs "
+                "from that key alone); dropping them from pair "
+                "generation. For unbounded corpora use "
+                "shingle_containment_banded.",
+                UserWarning,
+                stacklevel=2,
+            )
+        ex = ex.join(hot.select(*block_cols, "shingle"), [*block_cols, "shingle"], "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
@@ -240,6 +290,189 @@ def shingle_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def set_minhash_band_candidates(
+    exploded: DataFrame,
+    id_col: str = "id",
+    elem_col: str = "shingle",
+    block_cols: list | None = None,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding over an arbitrary exploded element set:
+    the candidate-generation stage of every set-similarity pipeline,
+    generalized from words (``minhash_band_candidates``) to any
+    (id, element) relation — shingles, char-grams, feature ids.
+
+    Same engine-portable arithmetic as ``minhash_band_candidates``
+    (md5-prefix 32-bit element hash; signature i = min((a_i·x + b_i)
+    mod P) with P = 4294967311, a_i = 40503·i + 1, b_i = 12345·i + 7;
+    bands of ``band_size`` consecutive signatures), so a SQL oracle
+    replays candidates exactly. ``block_cols`` (carried through the
+    signature groupBy and required equal in the band join) confine
+    candidates to a partition key — e.g. language.
+
+    Plan: one shuffle to build signatures (groupBy id), one on the
+    band key; band values are md5-derived minima, so bucket skew is
+    bounded by true set similarity (identical sets collide — that is
+    the point), never by a single hot element the way a raw
+    element-equality self-join is. Returns distinct (id_a, id_b) with
+    id_a < id_b.
+    """
+    P = 4294967311
+    block_cols = block_cols or []
+    n_bands = n_hashes // band_size
+    hashed = exploded.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        word_hash32(F.col(elem_col)).alias("x"),
+    )
+    sigs = hashed.groupBy("doc_id", *block_cols).agg(
+        *[
+            F.min((F.lit(40503 * i + 1) * F.col("x") + F.lit(12345 * i + 7)) % P)
+            .alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        *block_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"m{j * band_size + k}").alias(f"v{k}")
+                            for k in range(band_size)
+                        ],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", *block_cols, "b.*")
+    vkeys = ["band"] + [f"v{k}" for k in range(band_size)] + list(block_cols)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in vkeys]
+            + [F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def exact_containment_verify(
+    exploded: DataFrame,
+    cand: DataFrame,
+    threshold: float = 0.1,
+    round_scale: int = 4,
+) -> DataFrame:
+    """Exact set-containment over a candidate-pair set: |A∩B| /
+    min(|A|,|B|) — the verify stage of ``shingle_containment_pairs``
+    factored to run on candidates only.
+
+    ``exploded`` is (id, n_sh, shingle) — one row per distinct element
+    per set, with the set's TOTAL size carried on every row; ``cand``
+    is (id_a, id_b) with id_a < id_b. Only candidate pairs are ever
+    scored: two broadcast-or-shuffle hash joins against the exploded
+    relation and one count aggregation, so cost is
+    O(candidates · avg set size), never O(shared-element pairs).
+    Returns (id_a, id_b, containment >= threshold), rounded.
+    """
+    words = exploded.select(
+        F.col("id").alias("doc_id"), F.col("n_sh"), F.col("shingle")
+    )
+    shared = (
+        cand.join(
+            words.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                "shingle",
+            ),
+            "id_a",
+        )
+        .join(
+            words.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                "shingle",
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.withColumn("containment", F.round(cont, round_scale))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def shingle_containment_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list | None = None,
+    threshold: float = 0.1,
+    shingle_len: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The 100 TB form of ``shingle_containment_pairs``: MinHash-banded
+    candidate pairs over the shingle sets, then the identical exact
+    containment verify on candidates only.
+
+    The exact form's cost is Σ_shingle df·(df−1)/2 — quadratic in the
+    hottest shingle's document frequency, which is exactly the viral-
+    boilerplate case this operator exists to detect (measured DNF at
+    ×100 replication, SCALING.md). Here candidate generation is the
+    LSH band join instead: cost follows the banding S-curve
+    P(candidate) = 1 − (1 − j^r)^b over shingle-set Jaccard j, bounded
+    by true pair similarity rather than by any single key's frequency.
+    The verify stage then computes the same rounded containment value
+    the exact form would — so banded output ⊆ exact output, missing
+    only pairs the S-curve keeps (quantified per-decile by
+    ``minhash_recall_cert``'s machinery on word sets).
+
+    Honest recall note: banding estimates shingle-set JACCARD, so an
+    extreme-size-ratio inclusion (a 30-shingle quote inside a
+    30 000-shingle page: containment 1.0, Jaccard 0.001) sits on the
+    S-curve floor and can be missed; at that regime use size-stratified
+    banding (LSH Ensemble) — partition docs by log(set size) and band
+    within partitions. The moderate-ratio boilerplate case (templates,
+    quoted passages up to ~10× size difference at default (b=4, r=2))
+    lands above the knee.
+
+    Returns (id_a, id_b, containment >= threshold), rounded to 4dp.
+    """
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    block_cols = block_cols or []
+    df = spread_for_explode(df, id_col, amplification=500)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        shingle_array(text_col, shingle_len).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+    cand = set_minhash_band_candidates(
+        ex,
+        id_col="id",
+        elem_col="shingle",
+        block_cols=block_cols,
+        n_hashes=n_hashes,
+        band_size=band_size,
+    )
+    return exact_containment_verify(ex, cand, threshold)
 
 
 def exact_jaccard_verify(

@@ -81,6 +81,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     placement,
     stats_ops,
     mlops,
+    compositions,
 )
 
 # ROUND 5 FRONT BLOCK (applied): all 25 never-verified queries first

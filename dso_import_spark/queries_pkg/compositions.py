@@ -1,0 +1,107 @@
+"""Scale compositions: verified pipeline stages composed into the
+form a 100 TB run would actually execute, registered as first-class
+queries with end-to-end oracles.
+
+Round-6 charter (VERDICT r5, "What's missing" #2): a stage verified in
+isolation is not evidence the COMPOSITION is right — candidate
+generation and verify can disagree on blocking keys, id ordering, or
+null handling, and only an end-to-end differential catches that. Each
+query here wires previously-verified stages together and replays the
+whole pipeline in DuckDB, candidates included.
+
+- ``shingle_containment_banded``: MinHash-banded candidates (the
+  ``minhash_band_candidates`` arithmetic, generalized to shingle sets)
+  feeding the exact containment verify — the documented scale path of
+  ``shingle_containment``, whose exact form self-joins every shared
+  shingle and goes quadratic on viral boilerplate (SCALING.md ×100:
+  DNF by design). The exact form stays registered as the
+  certification pin; this is what a 100 TB corpus runs.
+"""
+
+from __future__ import annotations
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# The banding replay (8 affine min-hashes over md5-prefix element
+# hashes, 4 bands of 2) matches operators/dedup.py's
+# set_minhash_band_candidates constants: P = 4294967311,
+# a_i = 40503*i + 1, b_i = 12345*i + 7 — engine-portable arithmetic,
+# same scheme minhash_recall_cert already replays for word sets.
+_BANDED_CONTAINMENT_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, greatest(len(t) - 1, 1))]) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    hw AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM ex),
+    sigs AS (
+      SELECT doc_id, lang,
+             min(((40503*0 + 1) * x + (12345*0 + 7)) % 4294967311) AS m0,
+             min(((40503*1 + 1) * x + (12345*1 + 7)) % 4294967311) AS m1,
+             min(((40503*2 + 1) * x + (12345*2 + 7)) % 4294967311) AS m2,
+             min(((40503*3 + 1) * x + (12345*3 + 7)) % 4294967311) AS m3,
+             min(((40503*4 + 1) * x + (12345*4 + 7)) % 4294967311) AS m4,
+             min(((40503*5 + 1) * x + (12345*5 + 7)) % 4294967311) AS m5,
+             min(((40503*6 + 1) * x + (12345*6 + 7)) % 4294967311) AS m6,
+             min(((40503*7 + 1) * x + (12345*7 + 7)) % 4294967311) AS m7
+      FROM hw GROUP BY doc_id, lang),
+    bands AS (
+      SELECT doc_id, lang, 0 AS band, m0 AS v0, m1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, lang, 1, m2, m3 FROM sigs
+      UNION ALL SELECT doc_id, lang, 2, m4, m5 FROM sigs
+      UNION ALL SELECT doc_id, lang, 3, m6, m7 FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.lang = b.lang AND a.doc_id < b.doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_shared
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(n_shared / least(n_a, n_b), 4) AS containment
+    FROM shared
+    WHERE round(n_shared / least(n_a, n_b), 4) >= 0.1
+    """
+
+
+@query(
+    "shingle_containment_banded",
+    oracle=_BANDED_CONTAINMENT_ORACLE,
+    doc="The 100 TB composition of shingle_containment: MinHash-LSH "
+    "banded candidate pairs over the word-3-gram shingle sets "
+    "(8 md5-derived affine min-hashes, 4 bands of 2, lang-blocked) "
+    "feeding the IDENTICAL exact containment verify on candidates "
+    "only. The exact form's (shingle, lang) self-join is quadratic in "
+    "the hottest shingle's document frequency (×10 replication: 136× "
+    "pairs; ×100: DNF — SCALING.md round-5), which is precisely the "
+    "viral-boilerplate case the operator targets; here candidate "
+    "count follows the LSH S-curve P = 1-(1-j^r)^b over shingle-set "
+    "Jaccard, bounded by true pair similarity, never by one hot key. "
+    "Verified pairs carry the same rounded containment value as the "
+    "exact form, so banded ⊆ exact (asserted on fixtures in "
+    "tests/test_compositions.py); the oracle replays the WHOLE "
+    "pipeline — hashes, signatures, band join, verify — so the "
+    "composition, not just the stages, is what the differential "
+    "certifies.",
+)
+def shingle_containment_banded(spark, sf_dir):
+    from dso_import_spark.operators.dedup import (
+        shingle_containment_banded as banded,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return banded(docs, "text", "doc_id", block_cols=["lang"], threshold=0.1)

@@ -38,3 +38,41 @@ def test_nonconvergence_raises_instead_of_splitting(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=2)
+
+
+def test_hot_shingle_max_df_guard_fires_and_caps(spark):
+    # a viral boilerplate shingle shared by 30 docs would contribute
+    # 30·29/2 = 435 pairs from that one key; with max_df the guard
+    # must WARN (visibility before the burn) and drop the hot shingle
+    # from pair generation, while rare-shingle pairs survive with
+    # their exact containment (n_a/n_b uncapped)
+    import warnings
+
+    from dso_import_spark.operators.dedup import shingle_containment_pairs
+
+    viral = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"{viral} unique{i} filler{i} body{i}", "en") for i in range(30)]
+        + [
+            (100, "shared rare passage one two three", "en"),
+            (101, "shared rare passage one two nine", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = shingle_containment_pairs(
+            docs, block_cols=["lang"], threshold=0.1, max_df=10
+        ).collect()
+    fired = [w for w in caught if "max_df=10" in str(w.message)]
+    assert fired, "guard did not warn on a 30-doc hot shingle"
+    assert "30 docs" in str(fired[0].message)
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # every viral-only pair is gone; the rare-passage pair survives
+    assert got == {(100, 101)}
+    # and uncapped, the same input pays the quadratic price: all 435
+    # viral pairs (plus the rare pair) come back
+    full = shingle_containment_pairs(
+        docs, block_cols=["lang"], threshold=0.1
+    ).count()
+    assert full == 435 + 1

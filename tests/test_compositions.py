@@ -1,0 +1,95 @@
+"""Scale compositions (queries_pkg/compositions.py): the banded
+containment pipeline's end-to-end invariants beyond the differential
+suite's oracle match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import REGISTRY
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"], r["containment"]) for r in df.collect()
+    }
+
+
+def test_banded_is_subset_of_exact_with_identical_values(spark, sf_dir):
+    # the banded composition may MISS pairs (LSH S-curve) but every
+    # pair it surfaces must carry the exact form's containment value —
+    # candidate generation must not change verify arithmetic
+    banded = _pairs(REGISTRY["shingle_containment_banded"].spark(spark, sf_dir))
+    exact = _pairs(REGISTRY["shingle_containment"].spark(spark, sf_dir))
+    assert banded, "banding surfaced no pairs on the fixture corpus"
+    assert banded <= exact
+
+
+def test_banded_catches_near_identical_inclusion(spark):
+    from dso_import_spark.operators.dedup import shingle_containment_banded
+
+    # two docs sharing a long passage: shingle-set Jaccard high enough
+    # to sit above the (b=4, r=2) knee, containment 1.0
+    passage = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, passage, "en"),
+            (2, passage + " trailing extra words here", "en"),
+            (3, "completely unrelated text about something else entirely", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = shingle_containment_banded(
+        docs, block_cols=["lang"], threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0
+
+
+def test_banded_respects_block_cols(spark):
+    from dso_import_spark.operators.dedup import shingle_containment_banded
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, passage, "en"), (2, passage, "nl")],
+        "doc_id long, text string, lang string",
+    )
+    # identical shingle sets but different langs: the band join's block
+    # equality must keep them apart
+    assert (
+        shingle_containment_banded(docs, block_cols=["lang"]).count() == 0
+    )
+
+
+def test_set_minhash_candidates_match_word_banding(spark):
+    # the generalized set-level candidate stage, fed word sets, must
+    # reproduce minhash_band_candidates exactly (same hash constants,
+    # same banding) — the reuse contract the composition relies on
+    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.operators.dedup import (
+        minhash_band_candidates,
+        set_minhash_band_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "zeta eta theta kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    words = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(tokens("text"))).alias("shingle"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in set_minhash_band_candidates(words).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_band_candidates(docs).collect()
+    }
+    assert got == want and want
