@@ -84,52 +84,43 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     compositions,
 )
 
-# ROUND 5 FRONT BLOCK (applied): all 25 never-verified queries first
-# (r4 verdict finding #2: the five stats_ops rows sat past position
-# 100 and a 50-budget round would have skipped them — they lead), then
-# the three semantics-changed staleys, then re-staled greens whose
-# PLANS changed (round-4 broadcast-hint drop: TPC-H joins), filled to
-# 50 from the stale list in registry order.
-ROUND5_FRONT = [
-    # (1) never-verified stats_ops module (r4 verdict top priority)
-    "equi_depth_histogram", "compaction_bin_packing", "pivot_event_matrix",
-    "skyline_pareto_frontier", "theil_sen_trend",
-    # (2) rest of the never-verified pool: the scale-path SemDeDup
-    # (headline promotion this round), placement, the 10 deferred
-    # aggregation/window leftovers
-    "semdedup_prune_autok", "zorder_layout_stats", "cluster_aware_split",
-    "cohort_retention", "sliding_distinct_users", "activity_streaks",
-    "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
-    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
-    "daily_retention_d1_d7",
-    # (3) new round-5 queries (mlops module + the approx histogram):
-    # includes the k>=64 kernel differential from the r4 review
-    "semdedup_autok_kernel", "equi_depth_histogram_approx",
-    "shingle_containment", "stratified_sample_exact",
-    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
-    # (4) semantics changed after their verifying round (set_ops
-    # subtract `e2a9d48`, date parsers `acbd504`, merge default
-    # narrowed `a26bf70` — the last lives in operators/merge.py, below
-    # the module granularity stale_green sees: FORCE_REVERIFY)
-    "set_ops_nations", "date_parse_variants", "merge_insert_update",
-    # (5) re-staled greens: hint-drop-touched joins first (their
-    # physical plans changed, not just text), then registry order
-    "dedup_minhash_lsh", "sparse_tfidf_topk", "hard_negative_mining",
-    "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
-    "q08_market_share", "q09_product_type_profit",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # (6) second + third mlops batches (weighted sampling, BM25, model
-    # eval, MinHash recall cert, capped Theil–Sen, join-cardinality
-    # cert, Wasserstein drift, source blocklist) — these took the last
-    # nine slots from merely-re-staled queries (now at the head of
-    # ROUND6_QUEUE): a never-verified operator is worth more driver
-    # evidence than a posture-only stale refresh
-    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
-    "auc_mann_whitney", "minhash_recall_cert",
-    "theil_sen_capped", "join_cardinality_estimate",
-    "wasserstein_drift", "source_quality_blocklist",
+# ROUND 6 FRONT BLOCK (applied): the four never-verified queries first
+# (the r4 rule — three fourth-batch mlops certs staged at the old
+# ROUND6_QUEUE head, plus this round's new banded-containment
+# composition), then the stale backlog in the staged priority order
+# (text-only re-staled pair, windows module, hint-touched tpch_rest
+# and core — their physical plans changed when the forced broadcast
+# hints were dropped — then registry order), filled to 50.
+ROUND6_FRONT = [
+    # (1) never-verified: the fourth mlops batch (landed after the r5
+    # front froze; locally differential-green and ×100-measured since
+    # birth) and the round-6 scale composition (VERDICT r5 weak-item
+    # fix: the 100 TB form of shingle_containment)
+    "ridge_regression_normal_eq", "dp_sensitivity_audit",
+    "selectivity_estimate_cert", "shingle_containment_banded",
+    # (2) stale backlog, staged order: text-only re-staled pair first
+    "json_extract_events", "dq_expectations_report",
+    # (3) windows module
+    "window_topk_per_group", "running_sum", "lag_lead_delta",
+    "sessionize_events", "tumbling_hour_window", "asof_join_last_signup",
+    "ntile_rank_analytics", "rolling_hour_stats", "group_exact_percentiles",
+    "revenue_share_window",
+    # (4) tpch_rest module (hint-drop-touched: plans changed, not text)
+    "q14_promo_revenue", "q16_supplier_part_counts", "q22_idle_customers",
+    "q10_returned_items", "q11_important_balances",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    # (5) core module (hint-drop-touched)
+    "q01_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue",
+    "conditional_agg_pivot", "distinct_agg", "semi_join_big_spenders",
+    "anti_join_no_orders", "rollup_lineitem", "cube_orders",
+    "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
+    "string_math_funcs", "q04_order_priority", "q18_large_orders",
+    # (6) remaining staleys in registry order (asof, similarity, text)
+    "asof_tolerance_cogroup",
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
+    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+    "doc_fingerprints", "text_tfidf_top_terms",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -138,52 +129,28 @@ ROUND5_FRONT = [
 # (tests/test_rotation.py checks the choice against exactly these
 # rounds, so a *new* round's results landing mid-cycle doesn't
 # retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 4
+FRONT_CHOSEN_AGAINST_ROUND = 5
 
 # Green queries whose SEMANTICS changed in a module stale_green can't
 # see (operators/*, not the defining queries_pkg module). Spending a
 # front slot on these is deliberate re-verification, not waste.
-FORCE_REVERIFY = ["merge_insert_update"]
+# (Empty this round: merge_insert_update's narrowed default was
+# re-verified green in r5.)
+FORCE_REVERIFY: list[str] = []
 
-# ROUND 6 QUEUE (pre-staged): every remaining stale green, in priority
-# order — the hint-drop-touched modules first (tpch_rest, core,
-# windows: their PLANS changed when the forced broadcast hints were
-# removed, the rest were re-staled by text-only sweeps), then registry
-# order. Staging the full remainder pins the whole registry order, so
-# any surplus driver budget lands on the highest-value stale rows.
-# Recompute with `python -m dso_import_spark.rotation` before rotating.
-ROUND6_QUEUE = [
-    # never-verified FIRST (the r4 rule, enforced by
-    # test_registry_order): the fourth mlops batch landed after the
-    # front block was full, so it heads the queue — surplus round-5
-    # driver budget or the round-6 front picks these before any
-    # already-green query
-    "ridge_regression_normal_eq", "dp_sensitivity_audit",
-    "selectivity_estimate_cert",
-    # displaced from the round-5 front by the mlops batches: the two
-    # text-only re-staled queries, then the windows module
-    "json_extract_events", "dq_expectations_report",
-    "window_topk_per_group", "running_sum", "lag_lead_delta",
-    "sessionize_events",
-    "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
-    "rolling_hour_stats", "group_exact_percentiles", "revenue_share_window",
-    # tpch_rest module (hint-touched; q14/q16/q22 displaced from the
-    # front by the mlops batches)
-    "q14_promo_revenue", "q16_supplier_part_counts", "q22_idle_customers",
-    "q10_returned_items", "q11_important_balances",
-    "q12_late_shipment_priority", "q13_customer_order_distribution",
-    # core module (hint-touched)
-    "q01_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue",
-    "conditional_agg_pivot", "distinct_agg", "semi_join_big_spenders",
-    "anti_join_no_orders", "rollup_lineitem", "cube_orders",
-    "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
-    "string_math_funcs", "q04_order_priority", "q18_large_orders",
-    # remaining staleys in registry order
-    "asof_tolerance_cogroup",
-    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-    "doc_fingerprints", "text_tfidf_top_terms", "doc_chunking",
+# ROUND 7 QUEUE (pre-staged): every remaining stale green in registry
+# order — after the r6 front lands these 68 are the whole stale
+# backlog (114 at r5 → 68 after this round's 46 stale slots; the
+# banded-containment composition deliberately takes the 47th slot the
+# r5 verdict arithmetic assumed, because a never-verified scale
+# composition outranks one more posture-only stale refresh). Staging
+# the full remainder pins registry order end-to-end, so any surplus
+# driver budget lands on the highest-value stale rows. New queries
+# added mid-round go at the HEAD of this list (never-verified first,
+# enforced by tests/test_registry_order.py). Recompute with
+# `python -m dso_import_spark.rotation` before rotating.
+ROUND7_QUEUE = [
+    "doc_chunking",
     "multimodal_metadata", "multimodal_decode_stats",
     "multimodal_frame_sample", "multimodal_features",
     "salted_heavy_hitters", "salted_join_revenue",
@@ -232,4 +199,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND5_FRONT, ROUND6_QUEUE)
+_apply_front_block(ROUND6_FRONT, ROUND7_QUEUE)

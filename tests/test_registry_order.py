@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND5_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND6_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,43 +9,43 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND5_FRONT, ROUND6_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND6_FRONT, ROUND7_QUEUE
 
 FRONT_50 = [
-    # never-verified stats_ops module (r4 verdict top priority)
-    "equi_depth_histogram", "compaction_bin_packing", "pivot_event_matrix",
-    "skyline_pareto_frontier", "theil_sen_trend",
-    # rest of the never-verified pool
-    "semdedup_prune_autok", "zorder_layout_stats", "cluster_aware_split",
-    "cohort_retention", "sliding_distinct_users", "activity_streaks",
-    "mode_event_type", "value_outliers_mad", "winsorized_variant_means",
-    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
-    "daily_retention_d1_d7",
-    # new round-5 queries (mlops + approx histogram)
-    "semdedup_autok_kernel", "equi_depth_histogram_approx",
-    "shingle_containment", "stratified_sample_exact",
-    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
-    # semantics-changed staleys
-    "set_ops_nations", "date_parse_variants", "merge_insert_update",
-    # re-staled greens (hint-drop-touched joins first)
-    "dedup_minhash_lsh", "sparse_tfidf_topk", "hard_negative_mining",
-    "q02_min_cost_supplier", "q05_nation_revenue", "q07_volume_shipping",
-    "q08_market_share", "q09_product_type_profit",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # second + third mlops batches (displaced nine posture-only
-    # staleys to ROUND6_QUEUE)
-    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
-    "auc_mann_whitney", "minhash_recall_cert",
-    "theil_sen_capped", "join_cardinality_estimate",
-    "wasserstein_drift", "source_quality_blocklist",
+    # never-verified first: the fourth mlops batch (staged at the old
+    # ROUND6_QUEUE head in r5) and the round-6 banded-containment
+    # scale composition (VERDICT r5 weak-item fix)
+    "ridge_regression_normal_eq", "dp_sensitivity_audit",
+    "selectivity_estimate_cert", "shingle_containment_banded",
+    # stale backlog in staged priority order: text-only re-staled pair
+    "json_extract_events", "dq_expectations_report",
+    # windows module
+    "window_topk_per_group", "running_sum", "lag_lead_delta",
+    "sessionize_events", "tumbling_hour_window", "asof_join_last_signup",
+    "ntile_rank_analytics", "rolling_hour_stats", "group_exact_percentiles",
+    "revenue_share_window",
+    # tpch_rest module (hint-drop-touched: physical plans changed)
+    "q14_promo_revenue", "q16_supplier_part_counts", "q22_idle_customers",
+    "q10_returned_items", "q11_important_balances",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    # core module (hint-drop-touched)
+    "q01_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue",
+    "conditional_agg_pivot", "distinct_agg", "semi_join_big_spenders",
+    "anti_join_no_orders", "rollup_lineitem", "cube_orders",
+    "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
+    "string_math_funcs", "q04_order_priority", "q18_large_orders",
+    # remaining staleys in registry order
+    "asof_tolerance_cogroup",
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
+    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+    "doc_fingerprints", "text_tfidf_top_terms",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND5_FRONT == FRONT_50
+    assert ROUND6_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -60,18 +60,18 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND6_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND7_QUEUE[: len(beyond)]), beyond
 
 
-def test_round6_queue_is_staged():
+def test_round7_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND6_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND6_QUEUE) & set(FRONT_50)
+    assert set(ROUND7_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND7_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND6_QUEUE)] == ROUND6_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND7_QUEUE)] == ROUND7_QUEUE
     # front + queue covers the whole stale backlog: together with the
     # front's never-verified coverage, registry order is fully pinned
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND6_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND7_QUEUE) | set(FRONT_50)
