@@ -82,6 +82,22 @@ HEADLINE = [
     "record_linkage_fuzzy",
 ]
 
+# Rotating extra slot (VERDICT r5 item 4): ~5-7 queries that never had
+# a driver-recorded wall time, timed the same way but reported under
+# separate keys so headline_total stays round-over-round comparable.
+# Rotate the picks each round toward whatever is newest/least-timed.
+BENCH_EXTRA = [
+    # round 6: the new scale composition + the fourth mlops batch +
+    # three r5 mlops certs that have correctness rows but no timings
+    "shingle_containment_banded",
+    "ridge_regression_normal_eq",
+    "dp_sensitivity_audit",
+    "selectivity_estimate_cert",
+    "wasserstein_drift",
+    "auc_mann_whitney",
+    "bm25_scoring",
+]
+
 
 def _sf_from_dir(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
@@ -111,6 +127,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    extra: dict[str, float] = {}
+    for name in BENCH_EXTRA:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +144,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
+                "extra_total_sec": round(sum(extra.values()), 3),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -169,11 +169,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingle_array(text_col: str, shingle_len: int = 3):
-    """Distinct word ``shingle_len``-gram array of a text column, as a
-    pure Column expression (space-joined token windows; empty array for
-    texts shorter than ``shingle_len`` tokens)."""
-    t = tokens(text_col)
+def shingle_array_from_tokens(t, shingle_len: int = 3):
+    """Distinct word ``shingle_len``-gram array from a token-array
+    Column (space-joined token windows; empty array below
+    ``shingle_len`` tokens).
+
+    Pass a BOUND column (a projected attribute), not an inline
+    ``tokens(...)`` expression: this expression references the token
+    array ~3× per shingle, and codegen re-evaluates embedded
+    subexpressions each time — an inline split() makes one shingling
+    pass O(n_tokens²) per row (measured: 9.2 s for one pass over 5000
+    sf0.1 docs inline vs <1 s with the tokens projected first)."""
     return F.when(
         F.size(t) >= shingle_len,
         F.array_distinct(
@@ -185,6 +191,15 @@ def shingle_array(text_col: str, shingle_len: int = 3):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_array(text_col: str, shingle_len: int = 3):
+    """Distinct word ``shingle_len``-gram array of a text column, as a
+    pure Column expression. Convenience wrapper embedding the tokenize
+    — fine under an explode (one evaluation), quadratic when consumed
+    many times per row; prefer projecting ``tokens()`` to a column and
+    calling ``shingle_array_from_tokens`` (see its docstring)."""
+    return shingle_array_from_tokens(tokens(text_col), shingle_len)
 
 
 def shingle_containment_pairs(
@@ -240,17 +255,34 @@ def shingle_containment_pairs(
 
     block_cols = block_cols or []
     df = spread_for_explode(df, id_col, amplification=500)
-    sh = df.select(
+    # tokens staged as a bound column, and explode_OUTER: a plain
+    # explode lets the optimizer infer `size(sh) > 0` and push it —
+    # with the whole shingle expression inlined — below the spread
+    # exchange into the single-split scan task, serializing the
+    # shingling (measured 14.1 s vs 3.0 s at sf0.1). explode_outer
+    # infers nothing; the NULL shingle row an empty doc emits can
+    # never satisfy the a.shingle = b.shingle equi-join, so results
+    # are identical.
+    toked = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        shingle_array(text_col, shingle_len).alias("sh"),
+        tokens(text_col).alias("t"),
+    )
+    sh = toked.select(
+        "id",
+        *block_cols,
+        shingle_array_from_tokens(F.col("t"), shingle_len).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
+    ex = sh.select(
+        "id", "n_sh", *block_cols, F.explode_outer("sh").alias("shingle")
+    )
     if max_df is not None:
         import warnings
 
-        freq = ex.groupBy(*block_cols, "shingle").agg(
-            F.count(F.lit(1)).alias("df")
+        freq = (
+            ex.filter(F.col("shingle").isNotNull())
+            .groupBy(*block_cols, "shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
         )
         hot = freq.filter(F.col("df") > max_df)
         top = hot.agg(
@@ -452,27 +484,128 @@ def shingle_containment_banded(
     quoted passages up to ~10× size difference at default (b=4, r=2))
     lands above the knee.
 
+    Physical plan — everything stays ARRAY-NATIVE, never exploding the
+    ~500× shingle inventory the exact form shuffles:
+    - signatures are per-row Column expressions (``array_min`` over the
+      affine-transformed shingle-hash array — same arithmetic as
+      ``set_minhash_band_candidates``'s groupBy(min), zero shuffle);
+    - the band explode emits ``n_bands`` 3-int rows per doc (not one
+      row per shingle), so the only wide shuffle is the band equi-join;
+    - the verify joins the small candidate set back to the per-doc
+      shingle ARRAYS and counts ``array_intersect`` — O(|A|+|B|) per
+      candidate pair, with AQE free to broadcast the candidate side.
+    Measured at sf0.1: 2.1 s vs 17.9 s for the exploded composition and
+    14.1 s for the exact form (SCALING.md round-6).
+
     Returns (id_a, id_b, containment >= threshold), rounded to 4dp.
     """
     from dso_import_spark.queries_pkg.util import spread_for_explode
 
+    P = 4294967311
     block_cols = block_cols or []
+    n_bands = n_hashes // band_size
+    # No row explosion, but the per-doc Column work (tokenize → shingle
+    # transform → n_hashes affine passes, × three consumers of `sets`)
+    # is ~500 ops per input byte — the same splits ≪ cores hazard as an
+    # explode, so the same volume-gated spread applies (measured: one
+    # sf0.1 parquet split → every tokenize stage single-task, 32.3 s;
+    # spread → 2.1 s).
     df = spread_for_explode(df, id_col, amplification=500)
-    sh = df.select(
+    # Stage the array pipeline as separate projections so each level is
+    # a BOUND attribute computed once per row (tokens → shingles →
+    # hashes) — see shingle_array_from_tokens. Deliberately NO
+    # row-level filter on the shingle array: a filter referencing it
+    # (explicit n_sh > 0, or one inferred from an explode) gets
+    # predicate-pushed below the spread exchange with the whole
+    # shingle expression INLINED, shingling the corpus inside the
+    # single-split scan task (measured: 14 s single-task vs 0.4 s
+    # spread at sf0.1). Empty-shingle docs instead die algebraically:
+    # array_min(empty) is NULL, and NULL band values match nothing in
+    # the band equi-join.
+    toked = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        shingle_array(text_col, shingle_len).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", *block_cols, F.explode("sh").alias("shingle"))
-    cand = set_minhash_band_candidates(
-        ex,
-        id_col="id",
-        elem_col="shingle",
-        block_cols=block_cols,
-        n_hashes=n_hashes,
-        band_size=band_size,
+        tokens(text_col).alias("t"),
     )
-    return exact_containment_verify(ex, cand, threshold)
+    sets = toked.select(
+        "id",
+        *block_cols,
+        shingle_array_from_tokens(F.col("t"), shingle_len).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash32))
+    sigs = hashed.select(
+        "id",
+        *block_cols,
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda x, i=i: (
+                        F.lit(40503 * i + 1) * x + F.lit(12345 * i + 7)
+                    )
+                    % P,
+                )
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = sigs.select(
+        "id",
+        *block_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"m{j * band_size + k}").alias(f"v{k}")
+                            for k in range(band_size)
+                        ],
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", *block_cols, "b.*")
+    vkeys = ["band"] + [f"v{k}" for k in range(band_size)] + list(block_cols)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in vkeys]
+            + [F.col("a.id") < F.col("b.id")],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.least("n_a", "n_b"),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)
 
 
 def exact_jaccard_verify(
