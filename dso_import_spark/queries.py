@@ -82,6 +82,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     stats_ops,
     mlops,
     compositions,
+    mlops2,
 )
 
 # ROUND 6 FRONT BLOCK (applied): the four never-verified queries first
@@ -150,6 +151,13 @@ FORCE_REVERIFY: list[str] = []
 # enforced by tests/test_registry_order.py). Recompute with
 # `python -m dso_import_spark.rotation` before rotating.
 ROUND7_QUEUE = [
+    # never-verified FIRST (the r4 rule, enforced by
+    # test_registry_order): the round-6 mlops2 batch landed after the
+    # r6 front froze — surplus round-6 driver budget or the round-7
+    # front picks these before any already-green query
+    "calibration_ece_bins", "js_divergence_sources",
+    "pmi_collocations", "purged_timeseries_cv",
+    # the stale backlog in registry order
     "doc_chunking",
     "multimodal_metadata", "multimodal_decode_stats",
     "multimodal_frame_sample", "multimodal_features",

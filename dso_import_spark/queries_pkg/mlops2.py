@@ -1,0 +1,469 @@
+"""Round-6 mlops batch: calibration, divergence, collocations, and
+leakage-safe time-series CV — four operators a model-evaluation /
+corpus-governance pipeline runs after the round-5 mlops set, each with
+an end-to-end DuckDB oracle.
+
+- ``calibration_ece_bins``: reliability diagram + expected-calibration
+  -error contributions per confidence bin — the readout that tells you
+  whether a score is a probability (AUC alone cannot).
+- ``js_divergence_sources``: per-source Jensen–Shannon divergence from
+  the corpus token distribution over a bounded top-V vocabulary — the
+  symmetric, finite drift measure KL lacks (KL blows up on zero
+  counts; JS is bounded by ln 2).
+- ``pmi_collocations``: top-k adjacent-bigram collocations by
+  pointwise mutual information with a min-count floor — the classic
+  corpus-analysis operator (and the fixed-phrase detector tokenizer
+  teams use to seed merge rules).
+- ``purged_timeseries_cv``: contiguous time folds with an embargo zone
+  — the leakage-safe cross-validation split for temporally correlated
+  data (a plain random K-fold leaks near-future rows into training).
+
+Determinism discipline (same as mlops.py): every libm call (ln) is
+quantized — ``round(Q·ln(rational-of-exact-integer-counts))`` cast to
+BIGINT — before any cross-row sum, and cross-row sums are over
+BIGINTs, so partition order can never flip a value; probabilities are
+single divisions of exact counts. No UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability bins + ECE
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+@query(
+    "calibration_ece_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT (embedding[1]::DOUBLE + embedding[2]::DOUBLE
+              + embedding[3]::DOUBLE + embedding[4]::DOUBLE) AS score,
+             (label <= 1)::INT AS pos
+      FROM embeddings),
+    rng AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+    conf AS (
+      SELECT pos,
+             CAST(round(1000000 * (score - mn) / (mx - mn)) AS BIGINT)
+               AS conf_micro
+      FROM scored, rng),
+    binned AS (
+      SELECT least(conf_micro * {_CAL_BINS} // 1000000,
+                   {_CAL_BINS - 1}) + 1 AS bin,
+             pos, conf_micro
+      FROM conf),
+    per AS (
+      SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+             sum(conf_micro)::BIGINT AS conf_sum
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(n) AS nn FROM per)
+    SELECT bin, n, n_pos,
+           round(conf_sum * 1.0 / n / 1000000, 6) AS avg_conf,
+           round(n_pos * 1.0 / n, 6) AS pos_rate,
+           round(abs(conf_sum * 1.0 / n / 1000000 - n_pos * 1.0 / n)
+                 * n / tot.nn, 6) AS ece_part
+    FROM per, tot
+    """,
+    doc="Reliability diagram + expected-calibration-error parts per "
+    f"confidence bin ({_CAL_BINS} equal-width bins over the min-max-"
+    "normalized score; positives = label <= 1): per bin the average "
+    "claimed confidence, the observed positive rate, and the "
+    "bin-weighted |gap| whose sum is ECE — the calibration readout "
+    "AUC cannot give (a perfectly-ranked but over-confident model has "
+    "AUC 1 and terrible ECE). Confidence is quantized to integer "
+    "micros per ROW before any aggregation, so every cross-row sum is "
+    "a BIGINT sum (partition-order-proof) and the only doubles are "
+    "final single divisions. Plan: one 2-value min/max agg broadcast "
+    "back, one 10-key hash agg, one 1-row total joined broadcast — "
+    "scan-bound at any corpus size.",
+)
+def calibration_ece_bins(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(
+        score.alias("score"), (F.col("label") <= 1).cast("int").alias("pos")
+    )
+    rng = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    conf = scored.crossJoin(F.broadcast(rng)).select(
+        "pos",
+        F.round(
+            F.lit(1000000) * (F.col("score") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+        )
+        .cast("long")
+        .alias("conf_micro"),
+    )
+    binned = conf.select(
+        (
+            F.least(
+                (F.col("conf_micro") * _CAL_BINS / F.lit(1000000))
+                .cast("long"),
+                F.lit(_CAL_BINS - 1),
+            )
+            + 1
+        ).alias("bin"),
+        "pos",
+        "conf_micro",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("conf_micro").cast("long").alias("conf_sum"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"))
+    avg_conf = F.col("conf_sum") * 1.0 / F.col("n") / F.lit(1000000)
+    pos_rate = F.col("n_pos") * 1.0 / F.col("n")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(avg_conf, 6).alias("avg_conf"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(
+            F.abs(avg_conf - pos_rate) * F.col("n") / F.col("nn"), 6
+        ).alias("ece_part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence per source
+# ---------------------------------------------------------------------------
+
+_JS_VOCAB = 200
+
+
+@query(
+    "js_divergence_sources",
+    oracle=rf"""
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM words GROUP BY w
+        ORDER BY c DESC, w LIMIT {_JS_VOCAB})),
+    cs AS (
+      SELECT source, w, count(*)::BIGINT AS c
+      FROM words JOIN vocab USING (w) GROUP BY source, w),
+    corpus AS (
+      SELECT w, sum(c)::BIGINT AS cq FROM cs GROUP BY w),
+    stot AS (SELECT source, sum(c)::BIGINT AS ts FROM cs GROUP BY source),
+    qtot AS (SELECT sum(cq)::BIGINT AS tq FROM corpus),
+    grid AS (
+      SELECT stot.source, corpus.w, stot.ts, corpus.cq, qtot.tq,
+             coalesce(cs.c, 0)::BIGINT AS c
+      FROM stot CROSS JOIN corpus
+      CROSS JOIN qtot
+      LEFT JOIN cs ON cs.source = stot.source AND cs.w = corpus.w),
+    terms AS (
+      SELECT source,
+             CASE WHEN c = 0 THEN 0 ELSE CAST(round(1000000 *
+               (c * 1.0 / ts) * ln((c * 1.0 / ts)
+                 / (((c * 1.0 / ts) + (cq * 1.0 / tq)) / 2))) AS BIGINT)
+             END AS p_term,
+             CAST(round(1000000 *
+               (cq * 1.0 / tq) * ln((cq * 1.0 / tq)
+                 / (((c * 1.0 / ts) + (cq * 1.0 / tq)) / 2))) AS BIGINT)
+               AS q_term
+      FROM grid)
+    SELECT source,
+           round((sum(p_term) + sum(q_term)) / 2000000.0, 6) AS js
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source Jensen–Shannon divergence from the corpus token "
+    f"distribution over the top-{_JS_VOCAB} vocabulary (deterministic "
+    "count-desc/token-asc cut) — the bounded, symmetric source-drift "
+    "score: KL explodes on any token a source never uses, JS caps at "
+    "ln 2, so sources rank comparably. Every probability is a single "
+    "division of exact BIGINT counts; each p·ln(p/m) term is "
+    "quantized to integer micros BEFORE the per-source sum (the woe "
+    "pattern: libm ulp differences sit ~1e9 below the quantum), so "
+    "the cross-row sums are exact integer sums. The vocab cut bounds "
+    "all downstream state: the source×vocab grid is |sources|×"
+    f"{_JS_VOCAB} rows built from two broadcast-size relations — at "
+    "100 TB only the initial token count scans scale, both map-side "
+    "combinable.",
+)
+def js_divergence_sources(spark, sf_dir):
+    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # staged token projection + explode_outer: no filter may reference
+    # the computed array (SCALING.md round-6, InferFiltersFromGenerate);
+    # pre-spread because the token explode amplifies ~100× while the
+    # doc parquet arrives in few splits (×100 replica: 2 splits →
+    # 17.8 s unspread vs 6.1 s spread)
+    docs = spread_for_explode(docs, "doc_id", amplification=100)
+    words = docs.select("source", tokens("text").alias("t")).select(
+        "source", F.explode_outer("t").alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_JS_VOCAB)
+        .select("w")
+    )
+    cs = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    corpus = cs.groupBy("w").agg(F.sum("c").cast("long").alias("cq"))
+    stot = cs.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    qtot = corpus.agg(F.sum("cq").cast("long").alias("tq"))
+    grid = (
+        stot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(qtot))
+        .join(cs, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "ts",
+            "cq",
+            "tq",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    p = F.col("c") * 1.0 / F.col("ts")
+    q = F.col("cq") * 1.0 / F.col("tq")
+    m = (p + q) / 2
+    micro = lambda x: F.round(F.lit(1000000) * x).cast("long")  # noqa: E731
+    terms = grid.select(
+        "source",
+        F.when(F.col("c") == 0, F.lit(0).cast("long"))
+        .otherwise(micro(p * F.log(p / m)))
+        .alias("p_term"),
+        micro(q * F.log(q / m)).alias("q_term"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(
+            (F.sum("p_term") + F.sum("q_term")) / F.lit(2000000.0), 6
+        ).alias("js")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+    big AS (
+      SELECT unnest([t[i] || ' ' || t[i+1]
+                     for i in range(1, greatest(len(t), 1))]) AS bg
+      FROM toks),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    bc AS (SELECT bg, count(*)::BIGINT AS cxy FROM big GROUP BY bg
+           HAVING count(*) >= {_PMI_MIN_COUNT}),
+    uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+    nb AS (SELECT count(*)::BIGINT AS tb FROM big),
+    nu AS (SELECT count(*)::BIGINT AS tu FROM uni),
+    pmi AS (
+      SELECT bg, cxy,
+             CAST(round(1000 * ln((cxy * 1.0 / tb)
+               / ((ux.c * 1.0 / tu) * (uy.c * 1.0 / tu)))) AS BIGINT)
+               AS pmi_milli
+      FROM bc CROSS JOIN nb CROSS JOIN nu
+      JOIN uc ux ON ux.w = string_split(bc.bg, ' ')[1]
+      JOIN uc uy ON uy.w = string_split(bc.bg, ' ')[2])
+    SELECT bg AS bigram, cxy AS n_pair, pmi_milli
+    FROM pmi ORDER BY pmi_milli DESC, bg LIMIT {_PMI_TOP_K}
+    """,
+    doc=f"Top-{_PMI_TOP_K} adjacent-bigram collocations by pointwise "
+    "mutual information (PMI = ln(P(xy)/(P(x)P(y))), bigram count "
+    f">= {_PMI_MIN_COUNT}) — the fixed-phrase detector: high-PMI "
+    "pairs are multiword units a tokenizer should learn as merges "
+    "and a dedup pipeline should treat as boilerplate signals. "
+    "Counts are exact BIGINTs; the single ln is quantized to millis "
+    "before ranking (ulp-proof); the top-k is ORDER BY + LIMIT "
+    "(TakeOrderedAndProject — per-partition heaps, never a "
+    "SinglePartition window), tie-broken by the bigram string. "
+    "Bigrams come from an index zip over the staged token array "
+    "(non-distinct, position-preserving) with explode_outer so no "
+    "inferable filter drags the token pipeline below the spread.",
+)
+def pmi_collocations(spark, sf_dir):
+    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id", amplification=100)
+    toked = docs.select("doc_id", tokens("text").alias("t"))
+    # the size >= 2 guard matters: concat_ws SKIPS nulls, so an
+    # unguarded sequence(1, 1) on a 1-token doc would fabricate a
+    # 1-word "bigram" the oracle's range(1, len) never emits
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = toked.select(bigrams.alias("bgs")).select(
+        F.explode_outer("bgs").alias("bg")
+    )
+    uni = toked.select(F.explode_outer("t").alias("w"))
+    bc = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nb = big.agg(F.count(F.lit(1)).cast("long").alias("tb"))
+    nu = uni.agg(F.count(F.lit(1)).cast("long").alias("tu"))
+    parts = F.split(F.col("bg"), " ")
+    scored = (
+        bc.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .withColumn("wx", F.element_at(parts, 1))
+        .withColumn("wy", F.element_at(parts, 2))
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wx"), F.col("c").alias("cx"))),
+            "wx",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wy"), F.col("c").alias("cy"))),
+            "wy",
+        )
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cxy").alias("n_pair"),
+            F.round(
+                F.lit(1000)
+                * F.log(
+                    (F.col("cxy") * 1.0 / F.col("tb"))
+                    / (
+                        (F.col("cx") * 1.0 / F.col("tu"))
+                        * (F.col("cy") * 1.0 / F.col("tu"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_milli"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_milli"), F.asc("bigram")).limit(
+        _PMI_TOP_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purged time-series cross-validation folds
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+_CV_EMBARGO_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "purged_timeseries_cv",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+    rng AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+    w AS (SELECT mn, mx, (mx - mn) // {_CV_FOLDS} + 1 AS width FROM rng),
+    folds AS (
+      SELECT f.fold, w.mn + (f.fold - 1) * w.width AS fs,
+             w.mn + f.fold * w.width AS fe
+      FROM (SELECT unnest(range(1, {_CV_FOLDS + 1})) AS fold) f, w),
+    cells AS (
+      SELECT folds.fold,
+             CASE
+               WHEN ev.us >= folds.fs AND ev.us < folds.fe THEN 'test'
+               WHEN ev.us >= folds.fs - {_CV_EMBARGO_US}
+                    AND ev.us < folds.fe + {_CV_EMBARGO_US} THEN 'purged'
+               ELSE 'train'
+             END AS role
+      FROM ev CROSS JOIN folds)
+    SELECT fold,
+           sum((role = 'test')::INT)::BIGINT AS n_test,
+           sum((role = 'purged')::INT)::BIGINT AS n_purged,
+           sum((role = 'train')::INT)::BIGINT AS n_train
+    FROM cells GROUP BY fold
+    """,
+    doc=f"Purged time-series cross-validation: {_CV_FOLDS} contiguous "
+    "time folds (integer epoch-microsecond arithmetic — BIGINT "
+    "division, exact on both engines) with a 1-day embargo zone on "
+    "each side of the test fold; rows inside the embargo are PURGED "
+    "from training (Lopez de Prado's leakage fix: temporally adjacent "
+    "rows are correlated, so a random K-fold quietly trains on the "
+    "test set's neighbors). Output is the per-fold train/test/purged "
+    "census — the audit a temporal model pipeline runs before "
+    "training. Plan: one 2-value min/max agg, then each event "
+    f"classifies against a broadcast {_CV_FOLDS}-row fold table — "
+    "scan × folds, no shuffle wider than the final 5-key agg.",
+)
+def purged_timeseries_cv(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select(
+        (F.unix_micros(F.col("ts").cast("timestamp"))).alias("us")
+    )
+    rng = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    # `div` = exact BIGINT floor division, matching DuckDB's `//`
+    # (a double-division cast could land on the wrong side of an
+    # integer boundary for large epoch spans)
+    w = rng.select(
+        "mn", F.expr(f"(mx - mn) div {_CV_FOLDS} + 1 as width")
+    )
+    folds = (
+        w.select(
+            "mn",
+            "width",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_CV_FOLDS))
+            ).alias("fold"),
+        )
+        .select(
+            "fold",
+            (F.col("mn") + (F.col("fold") - 1) * F.col("width")).alias("fs"),
+            (F.col("mn") + F.col("fold") * F.col("width")).alias("fe"),
+        )
+    )
+    cells = ev.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        F.when(
+            (F.col("us") >= F.col("fs")) & (F.col("us") < F.col("fe")),
+            F.lit("test"),
+        )
+        .when(
+            (F.col("us") >= F.col("fs") - _CV_EMBARGO_US)
+            & (F.col("us") < F.col("fe") + _CV_EMBARGO_US),
+            F.lit("purged"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("role"),
+    )
+    return cells.groupBy("fold").agg(
+        F.sum((F.col("role") == "test").cast("int")).cast("long").alias(
+            "n_test"
+        ),
+        F.sum((F.col("role") == "purged").cast("int")).cast("long").alias(
+            "n_purged"
+        ),
+        F.sum((F.col("role") == "train").cast("int")).cast("long").alias(
+            "n_train"
+        ),
+    )

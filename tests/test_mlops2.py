@@ -1,0 +1,59 @@
+"""Round-6 mlops2 batch: structural invariants beyond the oracle
+differentials (which tests/test_queries_vs_duckdb.py runs for all
+four queries automatically)."""
+
+from __future__ import annotations
+
+import math
+
+from dso_import_spark.queries import REGISTRY
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    rows = REGISTRY["calibration_ece_bins"].spark(spark, sf_dir).collect()
+    assert {r["bin"] for r in rows} <= set(range(1, 11))
+    n_total = sum(r["n"] for r in rows)
+    from dso_import_spark.queries_pkg.util import tables
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    assert n_total == emb.count()
+    for r in rows:
+        assert 0.0 <= r["avg_conf"] <= 1.0
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        # ece_part is the bin-weighted |gap| — recomputable from the row
+        expected = abs(r["avg_conf"] - r["pos_rate"]) * r["n"] / n_total
+        assert math.isclose(r["ece_part"], expected, abs_tol=1e-5)
+
+
+def test_js_divergence_is_bounded_by_ln2(spark, sf_dir):
+    rows = REGISTRY["js_divergence_sources"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["js"] <= math.log(2) + 1e-6
+
+
+def test_pmi_topk_is_ranked_and_floored(spark, sf_dir):
+    rows = REGISTRY["pmi_collocations"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["n_pair"] >= 5 for r in rows)
+    millis = [r["pmi_milli"] for r in rows]
+    assert millis == sorted(millis, reverse=True)
+    # every bigram is two whitespace-joined tokens
+    assert all(len(r["bigram"].split(" ")) == 2 for r in rows)
+
+
+def test_purged_cv_roles_partition_each_fold(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tables
+
+    rows = REGISTRY["purged_timeseries_cv"].spark(spark, sf_dir).collect()
+    assert sorted(r["fold"] for r in rows) == [1, 2, 3, 4, 5]
+    (events,) = tables(spark, sf_dir, "events")
+    total = events.count()
+    for r in rows:
+        # per fold the three roles partition the event set
+        assert r["n_test"] + r["n_purged"] + r["n_train"] == total
+        assert r["n_test"] > 0
+    # the five test windows partition time: test counts sum to the total
+    assert sum(r["n_test"] for r in rows) == total
+    # the embargo is real: interior folds purge on both sides
+    assert all(r["n_purged"] > 0 for r in rows)
