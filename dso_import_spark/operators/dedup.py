@@ -324,6 +324,37 @@ def shingle_containment_pairs(
     )
 
 
+def minhash_sig_cols(hash_arr_col: str, n_hashes: int = 8) -> list:
+    """Array-native MinHash signature Column expressions over a
+    projected hash-array column: ``m_i = array_min((a_i·x + b_i) mod
+    P)`` with the engine-portable constants ``P = 4294967311``,
+    ``a_i = 40503·i + 1``, ``b_i = 12345·i + 7`` — identical values to
+    ``minhash_band_candidates``'s explode + groupBy(min) (asserted by
+    tests/test_compositions.py's parity test) with ZERO shuffle.
+
+    Built via a lambda FACTORY on purpose: passing F.transform a
+    ``lambda x, i=i: ...`` silently turns it into the two-argument
+    (element, index) lambda form — ``i`` becomes the array INDEX
+    column and every signature collapses to one index-weighted
+    expression. That bug shipped briefly in round 6 and the end-to-end
+    containment differential did NOT catch it (the fixture's
+    qualifying pairs coincided under both candidate sets); the sig
+    parity test is the guard.
+    """
+    P = 4294967311
+
+    def affine_min(i: int):
+        return F.array_min(
+            F.transform(
+                F.col(hash_arr_col),
+                lambda x: (F.lit(40503 * i + 1) * x + F.lit(12345 * i + 7))
+                % P,
+            )
+        )
+
+    return [affine_min(i).alias(f"m{i}") for i in range(n_hashes)]
+
+
 def set_minhash_band_candidates(
     exploded: DataFrame,
     id_col: str = "id",
@@ -534,20 +565,7 @@ def shingle_containment_banded(
     ).withColumn("n_sh", F.size("sh"))
     hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash32))
     sigs = hashed.select(
-        "id",
-        *block_cols,
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("hs"),
-                    lambda x, i=i: (
-                        F.lit(40503 * i + 1) * x + F.lit(12345 * i + 7)
-                    )
-                    % P,
-                )
-            ).alias(f"m{i}")
-            for i in range(n_hashes)
-        ],
+        "id", *block_cols, *minhash_sig_cols("hs", n_hashes)
     )
     bands = sigs.select(
         "id",
@@ -690,9 +708,15 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
+    # NULL-text guard on the RAW column, not size(toks) > 0: split()
+    # of any non-null string yields >= 1 element, so the two filters
+    # are equivalent — but a size(toks) predicate inlines the whole
+    # tokenize into a pushed-down filter (3 evals/row at the scan; the
+    # round-6 InferFiltersFromGenerate lesson), while IsNotNull(text)
+    # pushes into the parquet reader for free
+    docs = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("toks")
-    ).filter(F.size("toks") > 0)
+    )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features, binary=True)
     feat = tf.transform(docs)
     mh = MinHashLSH(

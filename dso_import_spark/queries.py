@@ -157,6 +157,7 @@ ROUND7_QUEUE = [
     # front picks these before any already-green query
     "calibration_ece_bins", "js_divergence_sources",
     "pmi_collocations", "purged_timeseries_cv",
+    "banding_estimator_cert",
     # the stale backlog in registry order
     "doc_chunking",
     "multimodal_metadata", "multimodal_decode_stats",

@@ -105,3 +105,169 @@ def shingle_containment_banded(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     return banded(docs, "text", "doc_id", block_cols=["lang"], threshold=0.1)
+
+
+# The same engine-portable signature scheme, but certifying the
+# ESTIMATOR: sig-agreement fraction ~ Jaccard is the property every
+# banding parameter choice silently assumes; this measures it on the
+# surfaced candidates.
+_SIG_EST_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, greatest(len(t) - 1, 1))]) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    hw AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM ex),
+    sigs AS (
+      SELECT doc_id,
+             min(((40503*0 + 1) * x + (12345*0 + 7)) % 4294967311) AS m0,
+             min(((40503*1 + 1) * x + (12345*1 + 7)) % 4294967311) AS m1,
+             min(((40503*2 + 1) * x + (12345*2 + 7)) % 4294967311) AS m2,
+             min(((40503*3 + 1) * x + (12345*3 + 7)) % 4294967311) AS m3,
+             min(((40503*4 + 1) * x + (12345*4 + 7)) % 4294967311) AS m4,
+             min(((40503*5 + 1) * x + (12345*5 + 7)) % 4294967311) AS m5,
+             min(((40503*6 + 1) * x + (12345*6 + 7)) % 4294967311) AS m6,
+             min(((40503*7 + 1) * x + (12345*7 + 7)) % 4294967311) AS m7
+      FROM hw GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 AS v0, m1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, 1, m2, m3 FROM sigs
+      UNION ALL SELECT doc_id, 2, m4, m5 FROM sigs
+      UNION ALL SELECT doc_id, 3, m6, m7 FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.doc_id < b.doc_id),
+    matched AS (
+      SELECT c.id_a, c.id_b,
+             ((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT
+              + (sa.m2 = sb.m2)::INT + (sa.m3 = sb.m3)::INT
+              + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT
+              + (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT)::BIGINT
+               AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b),
+    shared AS (
+      SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*)::BIGINT AS n_shared
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT m.n_match,
+             CAST(round(1000000 * coalesce(s.n_shared, 0)
+               / (za.n_sh + zb.n_sh - coalesce(s.n_shared, 0))) AS BIGINT)
+               AS jac_micro
+      FROM matched m
+      JOIN (SELECT doc_id, len(s)::BIGINT AS n_sh FROM sh) za
+        ON za.doc_id = m.id_a
+      JOIN (SELECT doc_id, len(s)::BIGINT AS n_sh FROM sh) zb
+        ON zb.doc_id = m.id_b
+      LEFT JOIN shared s ON s.id_a = m.id_a AND s.id_b = m.id_b)
+    SELECT n_match, count(*)::BIGINT AS n_pairs,
+           round(sum(jac_micro) * 1.0 / count(*) / 1000000, 6)
+             AS mean_true_jaccard
+    FROM pairs GROUP BY n_match
+    """
+
+
+@query(
+    "banding_estimator_cert",
+    oracle=_SIG_EST_ORACLE,
+    doc="MinHash signature-agreement calibration on the banded "
+    "candidate set: for every surfaced pair, how many of the 8 "
+    "signatures agree vs the pair's exact shingle-set Jaccard — "
+    "E[agreement fraction] = J is the unbiasedness property every "
+    "(bands, rows) parameter choice assumes, and this measures it on "
+    "real data (grouped by agreement count: n_pairs and the mean true "
+    "Jaccard, which should track n_match/8). Per-pair Jaccard is "
+    "quantized to integer micros before the group mean, so cross-row "
+    "sums are exact BIGINT sums. Candidates are the same band "
+    "equi-join as shingle_containment_banded — the cert runs at "
+    "candidate cost, never all-pairs cost.",
+)
+def banding_estimator_cert(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.functions.text import tokens, word_hash32
+    from dso_import_spark.operators.dedup import (
+        minhash_sig_cols,
+        shingle_array_from_tokens,
+    )
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id", amplification=500)
+    toked = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("t"))
+    sets = toked.select(
+        "id", shingle_array_from_tokens(F.col("t")).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash32))
+    sigs = hashed.select("id", "sh", "n_sh", *minhash_sig_cols("hs", 8))
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"m{2 * j}").alias("v0"),
+                        F.col(f"m{2 * j + 1}").alias("v1"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v0") == F.col("b.v0"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)],
+    )
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    ).cast("long")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac_micro = F.round(
+        F.lit(1000000) * inter / (F.col("n_a") + F.col("n_b") - inter)
+    ).cast("long")
+    pairs = joined.select(
+        n_match.alias("n_match"), jac_micro.alias("jac_micro")
+    )
+    return pairs.groupBy("n_match").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("jac_micro") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000),
+            6,
+        ).alias("mean_true_jaccard"),
+    )

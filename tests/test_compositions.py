@@ -61,6 +61,48 @@ def test_banded_respects_block_cols(spark):
     )
 
 
+def test_arraynative_sigs_equal_explode_groupby_sigs(spark, sf_dir):
+    # the zero-shuffle array_min signature path must produce the SAME
+    # m0..m7 as the explode + groupBy(min) ground truth — this is the
+    # test that catches the F.transform two-parameter-lambda trap
+    # (`lambda x, i=i` binds i to the ARRAY INDEX column and collapses
+    # all signatures to one expression; it shipped briefly in round 6
+    # and the end-to-end containment differential did not catch it)
+    from dso_import_spark.functions.text import tokens, word_hash32
+    from dso_import_spark.operators.dedup import (
+        minhash_sig_cols,
+        shingle_array_from_tokens,
+    )
+    from dso_import_spark.queries_pkg.util import tables
+
+    P = 4294967311
+    (docs,) = tables(spark, sf_dir, "documents")
+    toked = docs.select(F.col("doc_id").alias("id"), tokens("text").alias("t"))
+    sets = toked.select(
+        "id", shingle_array_from_tokens(F.col("t")).alias("sh")
+    )
+    fast = sets.withColumn(
+        "hs", F.transform(F.col("sh"), word_hash32)
+    ).select("id", *minhash_sig_cols("hs", 8))
+    ex = sets.select("id", F.explode_outer("sh").alias("w")).withColumn(
+        "x", word_hash32(F.col("w"))
+    )
+    slow = ex.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(40503 * i + 1) * F.col("x") + F.lit(12345 * i + 7))
+                % P
+            ).alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+    f = {r["id"]: tuple(r[f"m{i}"] for i in range(8)) for r in fast.collect()}
+    s = {r["id"]: tuple(r[f"m{i}"] for i in range(8)) for r in slow.collect()}
+    assert f == s
+    # and the signatures are not degenerate: some doc has 8 distinct sigs
+    assert any(len(set(v)) == 8 for v in f.values() if v[0] is not None)
+
+
 def test_set_minhash_candidates_match_word_banding(spark):
     # the generalized set-level candidate stage, fed word sets, must
     # reproduce minhash_band_candidates exactly (same hash constants,
