@@ -348,6 +348,19 @@ _SCALAR_RESULT_QUERIES = {
     # 1-row boundary/total aggregates + the 16-row per-bin relation's
     # estimate combine — histogram certification state, never data
     "selectivity_estimate_cert",
+    # 1-row score min/max + 1-row bin-total aggregates broadcast back
+    # — same class as equi_depth_histogram
+    "calibration_ece_bins",
+    # 1-row corpus-total aggregate + the top-V vocabulary cut
+    # (ORDER BY + LIMIT over per-token counts — <= 200 rows through
+    # the limit's exchange, vocabulary-bounded by construction)
+    "js_divergence_sources",
+    # two 1-row grand-total aggregates (token and bigram counts); the
+    # top-k itself is TakeOrderedAndProject, never a global window
+    "pmi_collocations",
+    # 1-row epoch min/max aggregate exploded into the 5-row broadcast
+    # fold table — bounded split state, never data
+    "purged_timeseries_cv",
 }
 
 
