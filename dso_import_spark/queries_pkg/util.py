@@ -33,6 +33,22 @@ def tune_session(spark: SparkSession) -> None:
             )
     except Exception:  # pragma: no cover - conf API unavailable
         pass
+    # InferFiltersFromGenerate triple-evaluates every explode'd
+    # computed array inside a pushed-down filter (measured 8-21× at
+    # ×100 docs, SCALING.md round-6). excludedRules is a RUNTIME conf,
+    # so a foreign session (the driver's own harness, a user's plain
+    # getOrCreate()) gets the sane plans too. Only the unset default
+    # is overridden — a caller's explicit exclusion list is respected.
+    try:
+        key = "spark.sql.optimizer.excludedRules"
+        if not spark.conf.get(key, None):
+            spark.conf.set(
+                key,
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            )
+    except Exception:  # pragma: no cover - conf API unavailable
+        pass
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
