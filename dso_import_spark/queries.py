@@ -93,12 +93,19 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # and core — their physical plans changed when the forced broadcast
 # hints were dropped — then registry order), filled to 50.
 ROUND6_FRONT = [
-    # (1) never-verified: the fourth mlops batch (landed after the r5
-    # front froze; locally differential-green and ×100-measured since
-    # birth) and the round-6 scale composition (VERDICT r5 weak-item
-    # fix: the 100 TB form of shingle_containment)
+    # (1) ALL nine never-verified queries (the r4 rule, applied to the
+    # front itself — a never-verified operator is worth more driver
+    # evidence than one more posture-only stale refresh): the fourth
+    # mlops batch (landed after the r5 front froze; locally
+    # differential-green and ×100-measured since birth), the round-6
+    # scale composition (VERDICT r5 weak-item fix: the 100 TB form of
+    # shingle_containment), the round-6 mlops2 batch, and the banding
+    # estimator calibration cert
     "ridge_regression_normal_eq", "dp_sensitivity_audit",
     "selectivity_estimate_cert", "shingle_containment_banded",
+    "calibration_ece_bins", "js_divergence_sources",
+    "pmi_collocations", "purged_timeseries_cv",
+    "banding_estimator_cert",
     # (2) stale backlog, staged order: text-only re-staled pair first
     "json_extract_events", "dq_expectations_report",
     # (3) windows module
@@ -116,12 +123,10 @@ ROUND6_FRONT = [
     "anti_join_no_orders", "rollup_lineitem", "cube_orders",
     "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
     "string_math_funcs", "q04_order_priority", "q18_large_orders",
-    # (6) remaining staleys in registry order (asof, similarity, text)
+    # (6) remaining staleys in registry order (asof, similarity)
     "asof_tolerance_cogroup",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
     "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-    "doc_fingerprints", "text_tfidf_top_terms",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -140,25 +145,22 @@ FRONT_CHOSEN_AGAINST_ROUND = 5
 FORCE_REVERIFY: list[str] = []
 
 # ROUND 7 QUEUE (pre-staged): every remaining stale green in registry
-# order — after the r6 front lands these 68 are the whole stale
-# backlog (114 at r5 → 68 after this round's 46 stale slots; the
-# banded-containment composition deliberately takes the 47th slot the
-# r5 verdict arithmetic assumed, because a never-verified scale
-# composition outranks one more posture-only stale refresh). Staging
-# the full remainder pins registry order end-to-end, so any surplus
-# driver budget lands on the highest-value stale rows. New queries
-# added mid-round go at the HEAD of this list (never-verified first,
-# enforced by tests/test_registry_order.py). Recompute with
-# `python -m dso_import_spark.rotation` before rotating.
+# order — after the r6 front lands these 73 are the whole stale
+# backlog (114 at r5 → 73: nine front slots went to never-verified
+# queries instead of stale refreshes, because with a 50-slot budget
+# "241/241 ever driver-green" outranks five more posture-only stale
+# rows; the r5 verdict ranked never-verified evidence above the stale
+# backlog too). Staging the full remainder pins registry order
+# end-to-end, so any surplus driver budget lands on the highest-value
+# stale rows. New queries added mid-round go at the HEAD of this list
+# (never-verified first, enforced by tests/test_registry_order.py).
+# Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND7_QUEUE = [
-    # never-verified FIRST (the r4 rule, enforced by
-    # test_registry_order): the round-6 mlops2 batch landed after the
-    # r6 front froze — surplus round-6 driver budget or the round-7
-    # front picks these before any already-green query
-    "calibration_ece_bins", "js_divergence_sources",
-    "pmi_collocations", "purged_timeseries_cv",
-    "banding_estimator_cert",
-    # the stale backlog in registry order
+    # the five text-module staleys displaced from the front by the
+    # mlops2 batch + cert, then the rest of the backlog in registry
+    # order
+    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
+    "doc_fingerprints", "text_tfidf_top_terms",
     "doc_chunking",
     "multimodal_metadata", "multimodal_decode_stats",
     "multimodal_frame_sample", "multimodal_features",

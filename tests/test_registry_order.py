@@ -12,11 +12,15 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND6_FRONT, ROUND7_QUEUE
 
 FRONT_50 = [
-    # never-verified first: the fourth mlops batch (staged at the old
-    # ROUND6_QUEUE head in r5) and the round-6 banded-containment
-    # scale composition (VERDICT r5 weak-item fix)
+    # ALL nine never-verified queries first: the fourth mlops batch
+    # (staged at the old ROUND6_QUEUE head in r5), the round-6
+    # banded-containment scale composition (VERDICT r5 weak-item fix),
+    # the round-6 mlops2 batch, and the banding estimator cert
     "ridge_regression_normal_eq", "dp_sensitivity_audit",
     "selectivity_estimate_cert", "shingle_containment_banded",
+    "calibration_ece_bins", "js_divergence_sources",
+    "pmi_collocations", "purged_timeseries_cv",
+    "banding_estimator_cert",
     # stale backlog in staged priority order: text-only re-staled pair
     "json_extract_events", "dq_expectations_report",
     # windows module
@@ -38,8 +42,6 @@ FRONT_50 = [
     "asof_tolerance_cogroup",
     "ann_brute_force_topk", "ann_ivf_topk", "ann_lsh_topk",
     "embedding_near_dup_lsh", "embedding_near_dup", "ivf_kmeans_train",
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-    "doc_fingerprints", "text_tfidf_top_terms",
 ]
 
 
