@@ -388,6 +388,51 @@ def test_no_query_plans_a_cartesian_or_rogue_single_partition(
     assert not offenders_single, offenders_single
 
 
+# Queries whose SEMANTIC row filter genuinely references a computed
+# array (short-document length gates): the triple-evaluation cost is a
+# deliberate, bounded trade there (one tokenize in a filter vs a wider
+# shuffle), documented at each site. Everything else must keep
+# higher-order-function expressions OUT of Filter nodes — the round-6
+# lesson: a Filter carrying a tokenize/shingle lambda gets pushed
+# below the spread exchange and serializes the pipeline into the scan
+# stage's split count (SCALING.md round-6, measured 8-21× at ×100).
+_HOF_FILTER_QUERIES = {
+    "boilerplate_ngram_mass",   # corpus_quality.py: size(ws) >= n gate
+    "bpe_pair_merge_counts",    # corpus_quality.py: size(ws) >= 2 gate
+    "ngram_novelty_decay",      # curation.py: size(ws) >= 2 gate
+    # semantic row filter on the composite quality score (stopword
+    # ratio is a lambda over the token array) — the gate IS the query
+    "corpus_pipeline_stats",
+    # InferFiltersFromConstraints adds isnotnull(<cluster expr>) for
+    # the cluster-blocked pair join; in the literal-centroid regime
+    # the expr is a k<=4 argmin (bounded double-eval), and the kernel
+    # regime (k >= 64) routes assignment through MapInPandas, a plan
+    # barrier constraint inference cannot inline
+    "semdedup_prune",
+    "semdedup_prune_autok",
+}
+
+
+def test_no_query_filters_on_a_higher_order_expression(spark, sf_dir, qs):
+    """Engine-wide guardrail for the round-6 pathology class: no
+    registered query may carry a lambda-function (higher-order array)
+    expression inside a Filter node — explicit or optimizer-inferred.
+    Such filters get predicate-pushed below repartition exchanges with
+    the array pipeline INLINED, evaluating it up to 3× per row inside
+    the scan stage whose parallelism is the input split count."""
+    offenders = []
+    for name, fn in qs.items():
+        if name.startswith("stream_") or name in _HOF_FILTER_QUERIES:
+            continue
+        plan = plan_of(fn(spark, sf_dir), "simple")
+        for line in plan.splitlines():
+            stripped = line.lstrip(" :+-*")
+            if stripped.startswith("Filter ") and "lambdafunction(" in stripped:
+                offenders.append(name)
+                break
+    assert not offenders, offenders
+
+
 def test_pii_redaction_is_one_narrow_stage_plus_agg(spark, sf_dir, qs):
     """All regex work must stay in the narrow map stage: the only
     shuffle is the per-language aggregate (with map-side partial), and
