@@ -208,18 +208,25 @@ def js_divergence_sources(spark, sf_dir):
     words = docs.select("source", tokens("text").alias("t")).select(
         "source", F.explode_outer("t").alias("w")
     )
+    # ONE token scan: the (source, token) count relation feeds both the
+    # vocabulary cut (via its token-grain rollup) and the per-source
+    # counts — a second scan of the exploded tokens would double the
+    # dominant cost (the oracle's two-CTE formulation is the same math)
+    cs_all = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # two consumers (vocab rollup + the
+    # vocab-cut counts); without the materialization each would replay
+    # the corpus token scan. State is |sources| × |distinct tokens| —
+    # orders of magnitude below the corpus it summarizes
+    corpus_all = cs_all.groupBy("w").agg(
+        F.sum("c").cast("long").alias("cq")
+    )
     vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("w"))
+        corpus_all.orderBy(F.desc("cq"), F.asc("w"))
         .limit(_JS_VOCAB)
         .select("w")
     )
-    cs = (
-        words.join(F.broadcast(vocab), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    cs = cs_all.join(F.broadcast(vocab), "w")
     corpus = cs.groupBy("w").agg(F.sum("c").cast("long").alias("cq"))
     stot = cs.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
     qtot = corpus.agg(F.sum("cq").cast("long").alias("tq"))
