@@ -212,7 +212,9 @@ def js_divergence_sources(spark, sf_dir):
     # vocabulary cut (via its token-grain rollup) and the per-source
     # counts — a second scan of the exploded tokens would double the
     # dominant cost (the oracle's two-CTE formulation is the same math)
-    cs_all = words.groupBy("source", "w").agg(
+    # isNotNull drops explode_outer's NULL row for NULL-text docs
+    # (DuckDB's unnest emits none); attribute filter, nothing inlines
+    cs_all = words.filter(F.col("w").isNotNull()).groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).localCheckpoint(eager=False)  # two consumers (vocab rollup + the
     # vocab-cut counts); without the materialization each would replay
@@ -334,14 +336,24 @@ def pmi_collocations(spark, sf_dir):
         F.explode_outer("bgs").alias("bg")
     )
     uni = toked.select(F.explode_outer("t").alias("w"))
-    bc = (
-        big.groupBy("bg")
-        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
-        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
-    )
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    nb = big.agg(F.count(F.lit(1)).cast("long").alias("tb"))
-    nu = uni.agg(F.count(F.lit(1)).cast("long").alias("tu"))
+    # checkpoint the two count relations: each feeds BOTH its grand
+    # total and the downstream scoring — without the materialization
+    # the token pipeline would be evaluated four times (counts ×2,
+    # 1-row totals ×2). State is the distinct-gram count tables, far
+    # below the corpus they summarize.
+    # the isNotNull drops explode_outer's NULL row for empty gram
+    # arrays (1-token or NULL-text docs) — DuckDB's unnest emits no
+    # such row, so totals must exclude it on this side too; the filter
+    # references only the generated ATTRIBUTE, so nothing inlines
+    bc_all = big.filter(F.col("bg").isNotNull()).groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("cxy")
+    ).localCheckpoint(eager=False)
+    uc = uni.filter(F.col("w").isNotNull()).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    bc = bc_all.filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    nb = bc_all.agg(F.sum("cxy").cast("long").alias("tb"))
+    nu = uc.agg(F.sum("c").cast("long").alias("tu"))
     parts = F.split(F.col("bg"), " ")
     scored = (
         bc.crossJoin(F.broadcast(nb))

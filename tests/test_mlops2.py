@@ -42,6 +42,47 @@ def test_pmi_topk_is_ranked_and_floored(spark, sf_dir):
     assert all(len(r["bigram"].split(" ")) == 2 for r in rows)
 
 
+def test_pmi_totals_exclude_short_doc_null_grams(spark):
+    # a 1-token doc emits NO bigram (explode_outer's NULL row must not
+    # count toward the bigram total) — DuckDB's unnest never emits it,
+    # so the Spark side must drop it too or PMI values drift
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.queries_pkg.util import spread_for_explode  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " * 10) for i in range(5)] + [(99, "lonely")],
+        "doc_id long, text string",
+    )
+    toked = docs.select("doc_id", tokens("text").alias("t"))
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = toked.select(bigrams.alias("bgs")).select(
+        F.explode_outer("bgs").alias("bg")
+    )
+    total = (
+        big.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .count()
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    # 5 docs × ("alpha beta " * 10 → 20 tokens... 21 with trailing-space
+    # split artifact) — whatever the tokenizer yields, the lonely doc
+    # contributes ZERO bigrams, so the total must be divisible by 5
+    assert total % 5 == 0 and total > 0
+
+
 def test_purged_cv_roles_partition_each_fold(spark, sf_dir):
     from dso_import_spark.queries_pkg.util import tables
 
