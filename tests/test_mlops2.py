@@ -49,7 +49,6 @@ def test_pmi_totals_exclude_short_doc_null_grams(spark):
     from pyspark.sql import functions as F
 
     from dso_import_spark.functions.text import tokens
-    from dso_import_spark.queries_pkg.util import spread_for_explode  # noqa: F401
 
     docs = spark.createDataFrame(
         [(i, "alpha beta " * 10) for i in range(5)] + [(99, "lonely")],
