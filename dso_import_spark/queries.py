@@ -156,6 +156,11 @@ FORCE_REVERIFY: list[str] = []
 # (never-verified first, enforced by tests/test_registry_order.py).
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND7_QUEUE = [
+    # never-verified FIRST (the r4 rule): the second mlops2 batch
+    # (ranking/calibration/balance governance) landed after the r6
+    # front froze — surplus round-6 driver budget or the round-7 front
+    # picks these before any already-green query
+    "ndcg_at_k", "conformal_coverage_cert", "smd_balance_check",
     # the five text-module staleys displaced from the front by the
     # mlops2 batch + cert, then the rest of the backlog in registry
     # order

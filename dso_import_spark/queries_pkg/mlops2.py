@@ -27,6 +27,7 @@ single divisions of exact counts. No UDFs anywhere in this module.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dso_import_spark.queries import query
@@ -485,4 +486,291 @@ def purged_timeseries_cv(spark, sf_dir):
         F.sum((F.col("role") == "train").cast("int")).cast("long").alias(
             "n_train"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k ranking evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_GROUPS = 50
+
+_SCORE2_SQL = (
+    "(embedding[1]::DOUBLE + embedding[2]::DOUBLE"
+    " + embedding[3]::DOUBLE + embedding[4]::DOUBLE)"
+)
+
+
+@query(
+    "ndcg_at_k",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id % {_NDCG_GROUPS} AS qgroup, vec_id,
+             {_SCORE2_SQL} AS score,
+             greatest(3 - label, 0)::BIGINT AS rel
+      FROM embeddings),
+    ranked AS (
+      SELECT qgroup, rel,
+             row_number() OVER (PARTITION BY qgroup
+                                ORDER BY score DESC, vec_id) AS i,
+             row_number() OVER (PARTITION BY qgroup
+                                ORDER BY rel DESC, vec_id) AS j
+      FROM scored),
+    gains AS (
+      SELECT qgroup,
+             sum(CASE WHEN i <= {_NDCG_K} THEN
+               CAST(round(1000000 * rel / log2(i + 1)) AS BIGINT)
+               ELSE 0 END)::BIGINT AS dcg_micro,
+             count(*)::BIGINT AS n_items
+      FROM ranked GROUP BY qgroup),
+    igains AS (
+      SELECT qgroup,
+             sum(CASE WHEN j <= {_NDCG_K} THEN
+               CAST(round(1000000 * rel / log2(j + 1)) AS BIGINT)
+               ELSE 0 END)::BIGINT AS idcg_micro
+      FROM ranked GROUP BY qgroup)
+    SELECT g.qgroup, g.n_items, g.dcg_micro, i.idcg_micro,
+           CASE WHEN i.idcg_micro = 0 THEN NULL
+                ELSE round(g.dcg_micro * 1.0 / i.idcg_micro, 6) END AS ndcg
+    FROM gains g JOIN igains i USING (qgroup)
+    """,
+    doc=f"NDCG@{_NDCG_K} per query group ({_NDCG_GROUPS} synthetic "
+    "groups = vec_id mod, score = leading-dims sum, graded relevance "
+    "= max(3 - label, 0)): the ranking-quality readout retrieval and "
+    "recommender evaluation leads with — position-discounted gain "
+    "against the ideal ordering. Each item's discounted gain is "
+    "quantized to integer micros (rel/log2(rank+1) takes one of 40 "
+    "possible values; libm ulps sit ~1e7 below the quantum), so "
+    "per-group DCG/IDCG are exact BIGINT sums and NDCG is one "
+    "division. Ranks come from group-partitioned windows (parallelism "
+    "= group count, no global sort); all-irrelevant groups yield NULL "
+    "(try_divide), matching the oracle's CASE. Deterministic "
+    "tie-breaks on vec_id in the predicted ordering; ties in the "
+    "ideal ordering are interchangeable equal-rel items, so the IDCG "
+    "sum is order-invariant.",
+)
+def ndcg_at_k(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(
+        (F.col("vec_id") % _NDCG_GROUPS).alias("qgroup"),
+        F.col("vec_id"),
+        score.alias("score"),
+        F.greatest(F.lit(3) - F.col("label"), F.lit(0))
+        .cast("long")
+        .alias("rel"),
+    )
+    wi = Window.partitionBy("qgroup").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    wj = Window.partitionBy("qgroup").orderBy(F.desc("rel"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qgroup",
+        "rel",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wj).alias("j"),
+    )
+
+    def gain(rank_col: str) -> F.Column:
+        return F.when(
+            F.col(rank_col) <= _NDCG_K,
+            F.round(
+                F.lit(1000000) * F.col("rel") / F.log2(F.col(rank_col) + 1)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    per = ranked.groupBy("qgroup").agg(
+        F.sum(gain("i")).cast("long").alias("dcg_micro"),
+        F.sum(gain("j")).cast("long").alias("idcg_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return per.select(
+        "qgroup",
+        "n_items",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.try_divide(
+                F.col("dcg_micro") * F.lit(1.0),
+                F.when(F.col("idcg_micro") == 0, None).otherwise(
+                    F.col("idcg_micro")
+                ),
+            ),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage certification
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1
+
+
+@query(
+    "conformal_coverage_cert",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id, {_SCORE2_SQL} AS score FROM embeddings),
+    cal AS (SELECT score FROM scored WHERE vec_id % 2 = 0),
+    tst AS (SELECT score FROM scored WHERE vec_id % 2 = 1),
+    nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+    klo AS (SELECT greatest(CAST(floor({_CONF_ALPHA} / 2 * (n_cal + 1))
+                            AS BIGINT), 1) AS k FROM nc),
+    khi AS (SELECT least(CAST(ceil((1 - {_CONF_ALPHA} / 2) * (n_cal + 1))
+                         AS BIGINT), n_cal) AS k FROM nc),
+    qlo AS (SELECT max(score) AS q FROM
+              (SELECT score FROM cal ORDER BY score
+               LIMIT (SELECT k FROM klo))),
+    qhi AS (SELECT min(score) AS q FROM
+              (SELECT score FROM cal ORDER BY score DESC
+               LIMIT (SELECT (SELECT n_cal FROM nc) - k + 1 FROM khi)))
+    SELECT nc.n_cal,
+           (SELECT count(*) FROM tst)::BIGINT AS n_test,
+           round(qlo.q, 6) AS q_lo, round(qhi.q, 6) AS q_hi,
+           round((SELECT count(*) FILTER (WHERE score >= qlo.q
+                                          AND score <= qhi.q)
+                  FROM tst) * 1.0
+                 / (SELECT count(*) FROM tst), 6) AS coverage
+    FROM nc, qlo, qhi
+    """,
+    doc=f"Split-conformal coverage certification (alpha = "
+    f"{_CONF_ALPHA}): the calibration half (even ids) yields the "
+    "rank-based empirical interval [q_lo, q_hi] (order statistics at "
+    "floor(alpha/2·(n+1)) and ceil((1-alpha/2)·(n+1)) — the "
+    "finite-sample-valid conformal ranks, not interpolated "
+    "percentiles), and the held-out half measures realized coverage — "
+    "the distribution-free guarantee every conformal deployment "
+    "certifies before trusting its intervals. Order statistics are "
+    "PICKED values via sort+limit (TakeOrderedAndProject per-partition "
+    "heaps, never a global-sort window), so both engines compare "
+    "against bit-identical doubles and coverage is an exact count "
+    "ratio. The one count() is calibration-set sizing, the same "
+    "driver-scalar class as semdedup's auto-k. Scale posture: the "
+    "order-statistic limit pulls ~alpha/2·n_cal rows to one task — "
+    "bounded by the CALIBRATION SAMPLE, which is statistically "
+    "fixed-size at any corpus scale (coverage precision saturates at "
+    "~1/sqrt(n_cal); production conformal calibrates on thousands, "
+    "not the corpus — the sample is the scale knob, as with "
+    "minhash_recall_cert).",
+)
+def conformal_coverage_cert(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(F.col("vec_id"), score.alias("score"))
+    cal = scored.filter(F.col("vec_id") % 2 == 0).select("score")
+    tst = scored.filter(F.col("vec_id") % 2 == 1).select("score")
+    import math
+
+    n_cal = cal.count()
+    k_lo = max(int(math.floor(_CONF_ALPHA / 2 * (n_cal + 1))), 1)
+    k_hi = min(int(math.ceil((1 - _CONF_ALPHA / 2) * (n_cal + 1))), n_cal)
+    qlo = cal.orderBy(F.asc("score")).limit(k_lo).agg(
+        F.max("score").alias("q_lo")
+    )
+    qhi = cal.orderBy(F.desc("score")).limit(n_cal - k_hi + 1).agg(
+        F.min("score").alias("q_hi")
+    )
+    cov = (
+        tst.crossJoin(F.broadcast(qlo))
+        .crossJoin(F.broadcast(qhi))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    (F.col("score") >= F.col("q_lo"))
+                    & (F.col("score") <= F.col("q_hi"))
+                ).cast("int")
+            ).alias("n_in"),
+            F.first("q_lo").alias("q_lo"),
+            F.first("q_hi").alias("q_hi"),
+        )
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_test",
+        F.round(F.col("q_lo"), 6).alias("q_lo"),
+        F.round(F.col("q_hi"), 6).alias("q_hi"),
+        F.round(F.col("n_in") * F.lit(1.0) / F.col("n_test"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standardized-mean-difference covariate balance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "smd_balance_check",
+    oracle="""
+    WITH armed AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS arm,
+             value
+      FROM events),
+    per AS (
+      SELECT event_type, arm, count(*)::BIGINT AS n,
+             avg(value) AS mu, var_samp(value) AS s2
+      FROM armed GROUP BY event_type, arm)
+    SELECT t.event_type,
+           t.n AS n_t, c.n AS n_c,
+           round(t.mu, 6) AS mean_t, round(c.mu, 6) AS mean_c,
+           round((t.mu - c.mu) / sqrt((t.s2 + c.s2) / 2), 4) AS smd,
+           (abs(round((t.mu - c.mu) / sqrt((t.s2 + c.s2) / 2), 4)) < 0.1)
+             AS balanced
+    FROM per t JOIN per c
+      ON t.event_type = c.event_type AND t.arm = 't' AND c.arm = 'c'
+    """,
+    doc="Standardized-mean-difference covariate balance per stratum "
+    "(arms = user-id parity, strata = event type, covariate = value): "
+    "SMD = (mean_t - mean_c) / sqrt((var_t + var_c)/2), the "
+    "causal-inference balance diagnostic run BEFORE trusting any "
+    "treatment-effect estimate — |SMD| < 0.1 is the conventional "
+    "balanced threshold, and the boolean is derived from the ROUNDED "
+    "smd so both engines compare the identical quantized value. One "
+    "map-side-combinable (stratum, arm) aggregate, then a stratum-"
+    "keyed self-join of the tiny stats relation — the same shape as "
+    "ab_test_welch_t, whose 6-decimal rounding of double moments this "
+    "inherits (events.value sums are ~1e7, twelve orders below the "
+    "quantum).",
+)
+def smd_balance_check(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    armed = events.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "t").otherwise("c").alias("arm"),
+        "value",
+    )
+    per = armed.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("s2"),
+    )
+    t = per.filter(F.col("arm") == "t").alias("t")
+    c = per.filter(F.col("arm") == "c").alias("c")
+    smd = F.round(
+        (F.col("t.mu") - F.col("c.mu"))
+        / F.sqrt((F.col("t.s2") + F.col("c.s2")) / 2),
+        4,
+    )
+    return t.join(c, F.col("t.event_type") == F.col("c.event_type")).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.n").alias("n_t"),
+        F.col("c.n").alias("n_c"),
+        F.round(F.col("t.mu"), 6).alias("mean_t"),
+        F.round(F.col("c.mu"), 6).alias("mean_c"),
+        smd.alias("smd"),
+        (F.abs(smd) < 0.1).alias("balanced"),
     )

@@ -82,6 +82,39 @@ def test_pmi_totals_exclude_short_doc_null_grams(spark):
     assert total % 5 == 0 and total > 0
 
 
+def test_ndcg_bounds_and_perfect_ranking(spark, sf_dir):
+    rows = REGISTRY["ndcg_at_k"].spark(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r["ndcg"] is not None:
+            assert 0.0 <= r["ndcg"] <= 1.0
+        assert r["dcg_micro"] <= r["idcg_micro"]
+    # some group should be imperfectly ranked (score is not relevance)
+    assert any(r["ndcg"] is not None and r["ndcg"] < 1.0 for r in rows)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    (row,) = REGISTRY["conformal_coverage_cert"].spark(
+        spark, sf_dir
+    ).collect()
+    assert row["q_lo"] < row["q_hi"]
+    # split-conformal guarantee: coverage ~ 1 - alpha (0.9); the
+    # finite-sample band at n_test = 250 is generous
+    assert 0.80 <= row["coverage"] <= 1.0
+
+
+def test_smd_is_antisymmetric_in_arms(spark, sf_dir):
+    rows = REGISTRY["smd_balance_check"].spark(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} and all(
+        r["n_t"] > 0 and r["n_c"] > 0 for r in rows
+    )
+    # parity arms of a synthetic fixture are near-balanced (SMD noise
+    # scales ~sqrt(2/n) — ~0.2 at the sf0.001 stratum sizes)
+    for r in rows:
+        assert abs(r["smd"]) < 1.0
+        assert r["balanced"] == (abs(r["smd"]) < 0.1)
+
+
 def test_purged_cv_roles_partition_each_fold(spark, sf_dir):
     from dso_import_spark.queries_pkg.util import tables
 

@@ -361,6 +361,13 @@ _SCALAR_RESULT_QUERIES = {
     # 1-row epoch min/max aggregate exploded into the 5-row broadcast
     # fold table — bounded split state, never data
     "purged_timeseries_cv",
+    # the conformal order statistics pull k ~ alpha/2·n_cal rows
+    # through a sort+limit: bounded by the CALIBRATION SAMPLE, which
+    # is statistically fixed-size at any corpus scale (coverage
+    # precision saturates at ~1/sqrt(n_cal) — thousands suffice; the
+    # cert's scale knob is the sample, same posture as
+    # minhash_recall_cert)
+    "conformal_coverage_cert",
 }
 
 
