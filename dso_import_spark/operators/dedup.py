@@ -243,13 +243,17 @@ def shingle_containment_pairs(
     ``max_df`` is the guard for the exact form: when set, the shingle
     document frequency per block is profiled BEFORE the self-join,
     shingles occurring in more than ``max_df`` documents are dropped
-    from pair generation (the standard max-df cap — boilerplate docs
-    still pair through their thousands of non-viral shingles), and a
-    ``UserWarning`` names the hottest shingle's frequency so the
-    would-be blowup is visible before it burns a cluster-day. The cap
+    from PAIR GENERATION ONLY (the standard max-df cap — boilerplate
+    docs still pair through their thousands of non-viral shingles),
+    and a ``UserWarning`` names the hottest shingle's frequency so the
+    would-be blowup is visible before it burns a cluster-day.
+    Candidates are then scored by ``exact_containment_verify`` against
+    the UNCAPPED exploded relation, so every surviving pair carries
+    its exact containment value, hot shingles included — the cap
     changes results only for pairs whose EVERY shared shingle is
-    hotter than ``max_df``; n_a/n_b stay uncapped so surviving pairs
-    keep their exact containment value.
+    hotter than ``max_df`` (they generate no candidate). Verify cost
+    is O(candidates · avg set size), linear in the hot shingles it
+    re-admits, never quadratic in their document frequency.
     """
     from dso_import_spark.queries_pkg.util import spread_for_explode
 
@@ -299,7 +303,29 @@ def shingle_containment_pairs(
                 UserWarning,
                 stacklevel=2,
             )
-        ex = ex.join(hot.select(*block_cols, "shingle"), [*block_cols, "shingle"], "left_anti")
+        # capped relation for PAIR GENERATION only: any pair sharing a
+        # mix of hot and cold shingles still candidates through its
+        # cold ones, and the verify below re-scores against the
+        # UNCAPPED relation so containment stays exact (a capped
+        # n_shared would silently undercount mixed pairs and drop them
+        # below threshold)
+        cold = ex.join(
+            hot.select(*block_cols, "shingle"),
+            [*block_cols, "shingle"],
+            "left_anti",
+        )
+        a, b = cold.alias("a"), cold.alias("b")
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.id") < F.col("b.id")
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        return exact_containment_verify(ex, cand, threshold)
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.id") < F.col("b.id")
@@ -506,14 +532,18 @@ def shingle_containment_banded(
     only pairs the S-curve keeps (quantified per-decile by
     ``minhash_recall_cert``'s machinery on word sets).
 
-    Honest recall note: banding estimates shingle-set JACCARD, so an
-    extreme-size-ratio inclusion (a 30-shingle quote inside a
-    30 000-shingle page: containment 1.0, Jaccard 0.001) sits on the
-    S-curve floor and can be missed; at that regime use size-stratified
-    banding (LSH Ensemble) — partition docs by log(set size) and band
-    within partitions. The moderate-ratio boilerplate case (templates,
-    quoted passages up to ~10× size difference at default (b=4, r=2))
-    lands above the knee.
+    Honest recall note: banding estimates shingle-set JACCARD, so this
+    form is reliable only for NEAR-TWIN pairs — at default (b=4, r=2)
+    a full inclusion at size ratio ρ has J ≈ 1/ρ and
+    P(candidate) = 1 − (1 − J²)⁴: ratio 1 → 100%, 2× (J = 0.5) → 68%,
+    3× (J = 0.33) → 37%, 5× (J = 0.2) → 15%, 10× (J = 0.1) → 4% — the
+    S-curve floor, measured at 0.001 recall on the ×10 corpus
+    (SCALING.md round-6 recall table). Asymmetric inclusions — the
+    quoted-passage case containment exists for — need
+    ``shingle_containment_prefix`` (prefix-filter candidates:
+    deterministic 100% recall at ANY size ratio, measured 1.000 at
+    2–30× on the round-7 inclusion fixture where this form reads ~0
+    past 5×) or LSH-Ensemble-style size-stratified banding.
 
     Physical plan — everything stays ARRAY-NATIVE, never exploding the
     ~500× shingle inventory the exact form shuffles:
@@ -594,6 +624,144 @@ def shingle_containment_banded(
             + [F.col("a.id") < F.col("b.id")],
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.least("n_a", "n_b"),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)
+
+
+def shingle_containment_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list | None = None,
+    threshold: float = 0.9,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Asymmetric-inclusion containment pairs via PREFIX FILTERING:
+    deterministic 100% recall at ANY size ratio — the scale path for
+    the quoted-passage case (a short document embedded in a much
+    longer one: containment ≈ 1.0, Jaccard ≈ 1/ratio) that MinHash
+    banding structurally misses (``shingle_containment_banded``'s
+    S-curve reads P ≈ 4% at 10× ratio and ~0 at 30×; measured 0.000
+    recall at ≥10× on the round-7 inclusion fixture where this form
+    measures 1.000 — SCALING.md).
+
+    The prefix-filter bound (Chaudhuri et al. 2006 SSJoin / Xiao et
+    al. PPJoin — the Jaccard form is ``dedup_prefix_filter_pairs``),
+    adapted to max-containment C = |A∩B| / min(|A|,|B|): order the
+    shingle universe by (document frequency ASC, shingle) and index
+    each document by its ⌊(1−t)·n⌋ + 1 RAREST shingles. For any pair
+    with C ≥ t, let A be the smaller side: fewer than ⌊(1−t)·n_A⌋ + 1
+    of A's shingles lie outside B, so A's prefix MUST contain a
+    shingle of B — joining every doc's prefix against the full
+    inventory provably surfaces every qualifying pair, at any size
+    ratio. (LSH Ensemble — size-stratified per-stratum (b, r) banding
+    — solves the same regime probabilistically for the query-vs-index
+    case; for the self-join case the prefix bound is strictly
+    stronger: exact, parameter-free, and one join.)
+
+    Scale shape: candidates form only through RARE-shingle posting
+    lists — a viral boilerplate shingle sits at the END of the global
+    frequency order, so it enters a prefix only for documents made
+    almost entirely of hotter shingles; the df-ascending order is
+    exactly what caps the per-key fan-out the naive (shingle, shingle)
+    self-join dies on. At threshold 0.9 the prefix is ~n/10 + 1
+    shingles per doc, so the candidate join reads ~10% of the
+    inventory on the probe side. Verify joins the candidate ids back
+    to the per-doc shingle ARRAYS (``array_intersect``, O(|A|+|B|)
+    per pair), so output = EXACTLY the exact form's pairs at
+    ``containment >= threshold`` (asserted against
+    ``shingle_containment_pairs`` in tests/test_components.py).
+
+    Shuffles: explode on (block, shingle) for the df profile, one
+    per-doc rank window (partition = doc — stratum-local, no global
+    sort), the prefix-vs-inventory equi-join, and the pair-keyed
+    verify. Returns (id_a, id_b, containment), rounded to 4dp.
+    """
+    from pyspark.sql import Window
+
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    block_cols = block_cols or []
+    df = spread_for_explode(df, id_col, amplification=500)
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        tokens(text_col).alias("t"),
+    )
+    sets = toked.select(
+        "id",
+        *block_cols,
+        shingle_array_from_tokens(F.col("t"), shingle_len).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # explode_outer, not explode: an inferred size(sh) > 0 filter would
+    # inline the shingle pipeline below the spread exchange (the
+    # round-6 InferFiltersFromGenerate lesson); NULL shingle rows die
+    # in the inner df join below.
+    ex = sets.select(
+        "id", "n_sh", *block_cols, F.explode_outer("sh").alias("shingle")
+    )
+    dfc = ex.groupBy(*block_cols, "shingle").agg(
+        F.count(F.lit(1)).alias("dfc")
+    )
+    ranked = ex.join(dfc, [*block_cols, "shingle"]).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("dfc", "shingle")
+        ),
+    )
+    # prefix length ⌊(1−t)·n⌋ + 1 computed as floor((1−t)·n + 1e-9) + 1:
+    # the epsilon guards the one-ulp-LOW case ((1−0.9)·20 =
+    # 1.9999999999999996 would floor to 1 and silently shorten the
+    # prefix below the guarantee); an epsilon overshoot only LENGTHENS
+    # the prefix, which is recall-safe. The oracle embeds repr(1−t) so
+    # both engines floor the identical double.
+    plen = (
+        F.floor(F.lit(1.0 - threshold) * F.col("n_sh") + F.lit(1e-9)) + 1
+    )
+    prefix = ranked.where(F.col("rk") <= plen).select(
+        F.col("id").alias("id_p"), *block_cols, "shingle"
+    )
+    inv = ex.select(F.col("id").alias("id_f"), *block_cols, "shingle")
+    jcond = (F.col("p.shingle") == F.col("f.shingle")) & (
+        F.col("p.id_p") != F.col("f.id_f")
+    )
+    for c in block_cols:
+        jcond = jcond & (F.col(f"p.{c}") == F.col(f"f.{c}"))
+    cand = (
+        prefix.alias("p")
+        .join(inv.alias("f"), jcond)
+        .select(
+            F.least("p.id_p", "f.id_f").alias("id_a"),
+            F.greatest("p.id_p", "f.id_f").alias("id_b"),
+        )
         .distinct()
     )
     scored = (
