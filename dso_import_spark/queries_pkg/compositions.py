@@ -16,6 +16,10 @@ whole pipeline in DuckDB, candidates included.
   shingle and goes quadratic on viral boilerplate (SCALING.md ×100:
   DNF by design). The exact form stays registered as the
   certification pin; this is what a 100 TB corpus runs.
+- ``shingle_containment_prefix`` (round 7): the ASYMMETRIC-INCLUSION
+  scale path — prefix-filter candidates with a deterministic recall
+  guarantee at any size ratio, closing the regime the banded form's
+  Jaccard S-curve structurally misses (VERDICT r6 "What's wrong #1").
 """
 
 from __future__ import annotations
@@ -105,6 +109,85 @@ def shingle_containment_banded(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     return banded(docs, "text", "doc_id", block_cols=["lang"], threshold=0.1)
+
+
+_PFX_T = 0.9
+# repr(1 - 0.9) — embedded verbatim so both engines floor the IDENTICAL
+# double; DuckDB parses bare decimals as DECIMAL (exact arithmetic), so
+# the ::DOUBLE cast is what keeps the two prefix-length computations
+# bit-equal. The + 1e-9 guards the one-ulp-LOW product (see
+# operators/dedup.py shingle_containment_prefix).
+_PFX_INV = repr(1.0 - _PFX_T)
+
+_PREFIX_CONTAINMENT_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, greatest(len(t) - 1, 1))]) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    dfc AS (
+      SELECT lang, shingle, count(*)::BIGINT AS dfc
+      FROM ex GROUP BY lang, shingle),
+    ranked AS (
+      SELECT e.doc_id, e.lang, e.n_sh, e.shingle,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.dfc, e.shingle) AS rk
+      FROM ex e JOIN dfc d ON d.lang = e.lang AND d.shingle = e.shingle),
+    prefix AS (
+      SELECT doc_id, lang, shingle FROM ranked
+      WHERE rk <= floor({_PFX_INV}::DOUBLE * n_sh + 1e-9) + 1),
+    cand AS (
+      SELECT DISTINCT least(p.doc_id, f.doc_id) AS id_a,
+                      greatest(p.doc_id, f.doc_id) AS id_b
+      FROM prefix p JOIN ex f
+        ON f.shingle = p.shingle AND f.lang = p.lang
+       AND f.doc_id <> p.doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_shared
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(n_shared / least(n_a, n_b), 4) AS containment
+    FROM shared
+    WHERE round(n_shared / least(n_a, n_b), 4) >= {_PFX_T}
+    """
+
+
+@query(
+    "shingle_containment_prefix",
+    oracle=_PREFIX_CONTAINMENT_ORACLE,
+    doc="The ASYMMETRIC-INCLUSION scale path of shingle_containment: "
+    "prefix-filter candidates (SSJoin/PPJoin bound adapted to "
+    "max-containment — each doc indexed by its floor((1-t)*n)+1 "
+    "RAREST shingles in global df order, prefixes joined against the "
+    "full inventory) feeding the identical array-native containment "
+    "verify. Deterministic guarantee: any pair with containment >= "
+    f"{_PFX_T} on the smaller side MUST collide through the small "
+    "side's prefix, at ANY size ratio — the quoted-passage regime "
+    "(containment 1.0, Jaccard 1/ratio) where the banded form's "
+    "S-curve reads ~4% at 10x and ~0 at 30x (measured: prefix recall "
+    "1.000 vs banded 0.000 at >=10x on the round-7 inclusion fixture, "
+    "SCALING.md). Candidates form only through rare-shingle posting "
+    "lists — viral boilerplate shingles sit at the END of the "
+    "df-ascending order and never enter a prefix unless a doc is made "
+    "of nothing hotter. The oracle replays the WHOLE pipeline: df "
+    "profile, per-doc rank, prefix join, verify.",
+)
+def shingle_containment_prefix(spark, sf_dir):
+    from dso_import_spark.operators.dedup import (
+        shingle_containment_prefix as prefix,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return prefix(docs, "text", "doc_id", block_cols=["lang"], threshold=_PFX_T)
 
 
 # The same engine-portable signature scheme, but certifying the
@@ -213,7 +296,13 @@ def banding_estimator_cert(spark, sf_dir):
         "id", shingle_array_from_tokens(F.col("t")).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     hashed = sets.withColumn("hs", F.transform(F.col("sh"), word_hash32))
-    sigs = hashed.select("id", "sh", "n_sh", *minhash_sig_cols("hs", 8))
+    # signatures only — the full shingle ARRAYS deliberately do NOT
+    # ride along (VERDICT r6 "What's wrong #2": carrying sh_a/sh_b
+    # through both candidate joins shuffled every array twice; the
+    # intersection is counted via the exploded relation below instead,
+    # the exact_containment_verify shape — ×100 row 43.4 s → re-measured
+    # after this trim in SCALING.md round-7)
+    sigs = hashed.select("id", "n_sh", *minhash_sig_cols("hs", 8))
     bands = sigs.select(
         "id",
         F.explode(
@@ -243,21 +332,37 @@ def banding_estimator_cert(spark, sf_dir):
     )
     sa = sigs.select(
         F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
         F.col("n_sh").alias("n_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)],
     )
     sb = sigs.select(
         F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("n_b"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)],
     )
-    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    # intersection via the exploded relation, candidates-only (the
+    # exact_containment_verify shape): per-pair cost O(|A|+|B|), and
+    # the wide shingle strings shuffle once (the explode) instead of
+    # twice as full arrays on both join sides
+    ex = sets.select("id", F.explode_outer("sh").alias("shingle"))
+    shared = (
+        cand.join(ex.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            ex.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    joined = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(shared, ["id_a", "id_b"], "left")
+    )
     n_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
     ).cast("long")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = F.coalesce(F.col("n_shared"), F.lit(0))
     jac_micro = F.round(
         F.lit(1000000) * inter / (F.col("n_a") + F.col("n_b") - inter)
     ).cast("long")
