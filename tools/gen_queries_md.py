@@ -13,7 +13,7 @@ from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-6 rotation (ROUND6_FRONT: the four never-verified queries first — the fourth mlops batch plus the round-6 banded-containment scale composition — then the stale backlog in staged order: windows module, hint-drop-touched tpch_rest/core, similarity/text), positions 51+ the pre-staged ROUND7_QUEUE (the remaining 68 staleys in registry order).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-7 rotation (ROUND7_FRONT: all four never-verified queries first — the second mlops2 batch plus the round-7 prefix-containment composition — then the six greens re-staled by this round's verdict-mandated mlops2/compositions edits, then the stale backlog in staged order: text, multimodal, salting/sketches, streaming, dedup families), positions 51+ the pre-staged ROUND8_QUEUE (the remaining 33 staleys in registry order).
 
 Total: {n} queries, all with SQL oracles.
 
