@@ -87,15 +87,18 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 6: the new scale composition + the fourth mlops batch +
-    # three r5 mlops certs that have correctness rows but no timings
-    "shingle_containment_banded",
-    "ridge_regression_normal_eq",
-    "dp_sensitivity_audit",
-    "selectivity_estimate_cert",
-    "wasserstein_drift",
-    "auc_mann_whitney",
-    "bm25_scoring",
+    # round 7: the new prefix-containment composition + the reshaped
+    # banding cert + both mlops2 batches — every query here has (or
+    # gets this round) a correctness row but no driver wall time yet
+    "shingle_containment_prefix",
+    "banding_estimator_cert",
+    "calibration_ece_bins",
+    "js_divergence_sources",
+    "pmi_collocations",
+    "purged_timeseries_cv",
+    "ndcg_at_k",
+    "conformal_coverage_cert",
+    "smd_balance_check",
 ]
 
 

@@ -10,9 +10,37 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# SPARK_GRAFT_HOSTILE=1 reproduces the README robustness-gate session
+# (VERDICT r6 missing-item #5: the claim rested on a manual run): a
+# PLAIN SparkSession.builder.getOrCreate() — none of the engine's
+# session tuning, Arrow/broadcast/memory configs, or the
+# InferFiltersFromGenerate exclusion baked in at build time — with AQE
+# disabled entirely and the process+JVM timezone forced off-UTC. Every
+# query must still match its oracle (queries pin UTC and tune unset
+# defaults at runtime via queries_pkg.util.tables; no plan may depend
+# on adaptive re-planning). Run the full gate with:
+#   SPARK_GRAFT_HOSTILE=1 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
+#     python -m pytest tests/test_queries_vs_duckdb.py -q
+HOSTILE = os.environ.get("SPARK_GRAFT_HOSTILE") == "1"
+
 
 @pytest.fixture(scope="session")
 def spark():
+    if HOSTILE:
+        import time
+
+        from pyspark.sql import SparkSession
+
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()  # off-UTC process tz BEFORE the JVM starts
+        s = (
+            SparkSession.builder.master("local[8]")
+            .appName("dso_import_spark_hostile")
+            .config("spark.sql.adaptive.enabled", "false")
+            .getOrCreate()
+        )
+        yield s
+        return
     from dso_import_spark.session import get_spark
 
     s = get_spark("dso_import_spark_tests", cpus=8)
