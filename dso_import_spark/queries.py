@@ -83,6 +83,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops,
     compositions,
     mlops2,
+    mlops3,
 )
 
 # ROUND 7 FRONT BLOCK (applied): the four never-verified queries
@@ -161,6 +162,14 @@ FORCE_REVERIFY: list[str] = []
 # (never-verified first, enforced by tests/test_registry_order.py).
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND8_QUEUE = [
+    # never-verified FIRST (the r4 rule): the round-7 mlops3 batch
+    # (ranking/agreement/independence/split/normalization/outliers)
+    # landed after the r7 front froze — surplus round-7 driver budget
+    # or the round-8 front picks these before any already-green query
+    "mrr_at_k", "cohens_kappa", "chi_square_independence",
+    "decision_stump_split", "quantile_normalize_sources",
+    "robust_outlier_mad",
+    # then the stale backlog in registry order
     "spatial_bbox_join",
     "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",
     "partitioned_events_scan", "stratified_sample_lang", "seq_packing_bins",

@@ -1,0 +1,544 @@
+"""Third mlops/governance batch: ranking, agreement, independence,
+split-finding, cross-source normalization, robust outliers.
+
+Round-7 additions extending the model-eval/data-governance family
+(mlops.py, mlops2.py) — each a standard readout a training-data or
+model-governance pipeline runs, re-expressed as Spark aggregates with
+engine-replayable arithmetic:
+
+- ``mrr_at_k``: mean reciprocal rank — the companion ranking metric to
+  ``ndcg_at_k`` (first-relevant position instead of graded gains).
+- ``cohens_kappa``: inter-rater chance-corrected agreement over two
+  deterministic raters; ONE confusion-matrix aggregate.
+- ``chi_square_independence``: contingency-table independence
+  statistic (event_type × user-parity arm) with micro-quantized
+  per-cell contributions so the cross-engine sum is an exact BIGINT.
+- ``decision_stump_split``: best single-feature split by information
+  gain over 15 exact-percentile candidate thresholds — the inner loop
+  of tree induction as one conditional aggregate per candidate.
+- ``quantile_normalize_sources``: bucketed quantile normalization of a
+  per-source feature onto the pooled distribution — the cross-source
+  calibration step mixture pipelines apply before comparing scores.
+- ``robust_outlier_mad``: median/MAD robust z-score outlier counts per
+  series — the outlier gate that, unlike mean/stddev, is not dragged
+  by the outliers it hunts.
+
+Determinism notes (the registry's house rules): counts stay BIGINT;
+libm-touching expressions (log2, reciprocal rank) are quantized to
+micros/millis far coarser than cross-engine ulps BEFORE any cross-row
+sum; exact percentiles only at exact-binary fractions (k/16, 0.5) so
+both engines interpolate bit-identically; no division that can yield
+NaN on data edges (MAD comparisons are rearranged to multiplications).
+No UDFs; every expression is JVM-side Column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank @ k
+# ---------------------------------------------------------------------------
+
+_MRR_K = 10
+_MRR_GROUPS = 50
+
+_SCORE3_SQL = (
+    "(embedding[1]::DOUBLE + embedding[2]::DOUBLE"
+    " + embedding[3]::DOUBLE + embedding[4]::DOUBLE)"
+)
+
+
+@query(
+    "mrr_at_k",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id % {_MRR_GROUPS} AS qgroup, vec_id,
+             {_SCORE3_SQL} AS score, (label = 0) AS rel
+      FROM embeddings),
+    ranked AS (
+      SELECT qgroup, rel,
+             row_number() OVER (PARTITION BY qgroup
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored),
+    hits AS (
+      SELECT qgroup,
+             CAST(round(1000000.0 / min(rnk)) AS BIGINT) AS rr_micro
+      FROM ranked WHERE rel AND rnk <= {_MRR_K}
+      GROUP BY qgroup),
+    groups AS (SELECT DISTINCT qgroup FROM scored)
+    SELECT count(*)::BIGINT AS n_groups,
+           count(h.rr_micro)::BIGINT AS n_hit,
+           round(sum(coalesce(h.rr_micro, 0)) * 1.0
+                 / count(*) / 1000000, 6) AS mrr
+    FROM groups g LEFT JOIN hits h ON h.qgroup = g.qgroup
+    """,
+    doc=f"Mean reciprocal rank @ {_MRR_K} over {_MRR_GROUPS} synthetic "
+    "query groups (vec_id mod groups; score = first-4-dim sum; "
+    "relevant = label 0): 1/rank of the FIRST relevant item, 0 when "
+    "none lands in the top k — the where-is-the-first-hit companion "
+    "to ndcg_at_k's graded gains. Per-group reciprocal ranks are "
+    "quantized to integer micros (1/rank for rank 1..10 — libm-free "
+    "but 1/3 is not a binary float, so the quantum absorbs it) and "
+    "summed as exact BIGINTs; ranks come from group-partitioned "
+    "windows with vec_id tie-breaks, so parallelism is the group "
+    "count and no global sort exists. Groups with no relevant item "
+    "in the top k contribute exactly 0 via the left join.",
+)
+def mrr_at_k(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(
+        (F.col("vec_id") % _MRR_GROUPS).alias("qgroup"),
+        F.col("vec_id"),
+        score.alias("score"),
+        (F.col("label") == 0).alias("rel"),
+    )
+    w = Window.partitionBy("qgroup").orderBy(F.desc("score"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qgroup", "rel", F.row_number().over(w).alias("rnk")
+    )
+    hits = (
+        ranked.filter(F.col("rel") & (F.col("rnk") <= _MRR_K))
+        .groupBy("qgroup")
+        .agg(
+            F.round(F.lit(1000000.0) / F.min("rnk"))
+            .cast("long")
+            .alias("rr_micro")
+        )
+    )
+    groups = scored.select("qgroup").distinct()
+    return groups.join(hits, "qgroup", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count("rr_micro").cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("rr_micro", F.lit(0)))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+            / F.lit(1000000),
+            6,
+        ).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement
+# ---------------------------------------------------------------------------
+
+_KAPPA_THR = 35.0
+
+
+@query(
+    "cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT (value > {_KAPPA_THR}) AS ra,
+             ((value + (user_id % 7) - 3) > {_KAPPA_THR}) AS rb
+      FROM events),
+    cm AS (
+      SELECT count(*)::BIGINT AS n,
+             sum((ra AND rb)::INT)::BIGINT AS n11,
+             sum((ra AND NOT rb)::INT)::BIGINT AS n10,
+             sum((NOT ra AND rb)::INT)::BIGINT AS n01,
+             sum((NOT ra AND NOT rb)::INT)::BIGINT AS n00
+      FROM rated)
+    SELECT n, n11, n10, n01, n00,
+           round(((n11 + n00) * 1.0 / n
+                  - ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                  - ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))
+                 / (1.0
+                  - ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                  - ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)),
+                 6) AS kappa
+    FROM cm
+    """,
+    doc="Cohen's kappa chance-corrected agreement between two "
+    "deterministic raters (rater A: value above the threshold; rater "
+    "B: the same value shifted by a user-keyed offset — correlated "
+    "but not identical, so kappa lands strictly between 0 and 1): "
+    "kappa = (p_o - p_e) / (1 - p_e) from ONE map-side-combinable "
+    "confusion-matrix aggregate. The label-noise/annotator-agreement "
+    "gate run before trusting any human-labeled training set. All "
+    "four cell counts are exact BIGINTs; p_o/p_e are ratios of counts "
+    "evaluated as the identical expression tree in both engines, "
+    "rounded at 6dp.",
+)
+def cohens_kappa(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    ra = F.col("value") > _KAPPA_THR
+    rb = (F.col("value") + (F.col("user_id") % 7) - 3) > _KAPPA_THR
+    cm = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((ra & rb).cast("int")).cast("long").alias("n11"),
+        F.sum((ra & ~rb).cast("int")).cast("long").alias("n10"),
+        F.sum((~ra & rb).cast("int")).cast("long").alias("n01"),
+        F.sum((~ra & ~rb).cast("int")).cast("long").alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / n
+    pe = ((F.col("n11") + F.col("n10")) * F.lit(1.0) / n) * (
+        (F.col("n11") + F.col("n01")) * F.lit(1.0) / n
+    ) + ((F.col("n01") + F.col("n00")) * F.lit(1.0) / n) * (
+        (F.col("n10") + F.col("n00")) * F.lit(1.0) / n
+    )
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS arm, count(*)::BIGINT AS o
+      FROM events GROUP BY event_type, user_id % 2),
+    rows_ AS (SELECT event_type, sum(o)::BIGINT AS rn FROM cells
+              GROUP BY event_type),
+    cols_ AS (SELECT arm, sum(o)::BIGINT AS cn FROM cells GROUP BY arm),
+    tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+    contrib AS (
+      SELECT CAST(round(1000000 * (c.o - r.rn * 1.0 * cl.cn / t.n)
+                        * (c.o - r.rn * 1.0 * cl.cn / t.n)
+                        / (r.rn * 1.0 * cl.cn / t.n)) AS BIGINT)
+               AS chi_micro
+      FROM cells c
+      JOIN rows_ r ON r.event_type = c.event_type
+      JOIN cols_ cl ON cl.arm = c.arm
+      CROSS JOIN tot t)
+    SELECT (SELECT n FROM tot) AS n,
+           ((SELECT count(*) FROM rows_) - 1)
+             * ((SELECT count(*) FROM cols_) - 1) AS dof,
+           round(sum(chi_micro) * 1.0 / 1000000, 6) AS chi2
+    FROM contrib
+    """,
+    doc="Chi-square test of independence for the event_type × "
+    "user-parity-arm contingency table: sum over cells of "
+    "(observed - expected)² / expected with expected = "
+    "row_total·col_total/n — the randomization check an A/B assignment "
+    "runs before attributing any effect to the arms. Per-cell "
+    "contributions are quantized to integer micros so the cross-cell "
+    "sum is an exact BIGINT (the cell count is bounded by "
+    "|types|·|arms|, so quantization error is bounded at ~cells·0.5 "
+    "micros); row/column/grand totals are tiny derived relations that "
+    "broadcast. dof is emitted so the reader can look up the critical "
+    "value; the statistic itself is exact count arithmetic.",
+)
+def chi_square_independence(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rn"))
+    cols = cells.groupBy("arm").agg(F.sum("o").cast("long").alias("cn"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("rn") * F.lit(1.0) * F.col("cn") / F.col("n")
+    contrib = (
+        cells.join(rows, "event_type")
+        .join(F.broadcast(cols), "arm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.lit(1000000) * (F.col("o") - e) * (F.col("o") - e) / e)
+            .cast("long")
+            .alias("chi_micro")
+        )
+    )
+    # dof from a 1-row category-count aggregate — column-side, so no
+    # driver action recomputes the cells relation
+    dims = cells.agg(
+        F.count_distinct("event_type").alias("nt"),
+        F.count_distinct("arm").alias("na"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .agg(
+            F.max("n").alias("n"),
+            ((F.max("nt") - 1) * (F.max("na") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round(
+                F.sum("chi_micro") * F.lit(1.0) / F.lit(1000000), 6
+            ).alias("chi2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder (information gain over percentile candidates)
+# ---------------------------------------------------------------------------
+
+_STUMP_FRACTIONS = [k / 16 for k in range(1, 16)]  # exact binary fractions
+
+
+@query(
+    "decision_stump_split",
+    oracle=f"""
+    WITH pts AS (
+      SELECT value AS x, (event_type = 'purchase')::INT AS y FROM events),
+    cands AS (
+      SELECT DISTINCT unnest(quantile_cont(x, {_STUMP_FRACTIONS})) AS thr
+      FROM pts),
+    split AS (
+      SELECT c.thr,
+             count(*)::BIGINT AS n, sum(p.y)::BIGINT AS pos,
+             sum((p.x <= c.thr)::INT)::BIGINT AS nl,
+             sum(CASE WHEN p.x <= c.thr THEN p.y ELSE 0 END)::BIGINT AS pl
+      FROM pts p CROSS JOIN cands c GROUP BY c.thr),
+    gain AS (
+      SELECT thr, nl, n - nl AS nr,
+             CAST(round(1000 * (
+               (CASE WHEN pos > 0 AND pos < n THEN
+                  -(pos*1.0/n) * log2(pos*1.0/n)
+                  - (1 - pos*1.0/n) * log2(1 - pos*1.0/n) ELSE 0 END)
+               - (nl*1.0/n) *
+                 (CASE WHEN pl > 0 AND pl < nl THEN
+                    -(pl*1.0/nl) * log2(pl*1.0/nl)
+                    - (1 - pl*1.0/nl) * log2(1 - pl*1.0/nl) ELSE 0 END)
+               - ((n-nl)*1.0/n) *
+                 (CASE WHEN (pos-pl) > 0 AND (pos-pl) < (n-nl) THEN
+                    -((pos-pl)*1.0/(n-nl)) * log2((pos-pl)*1.0/(n-nl))
+                    - (1 - (pos-pl)*1.0/(n-nl))
+                      * log2(1 - (pos-pl)*1.0/(n-nl)) ELSE 0 END)
+             )) AS BIGINT) AS gain_milli
+      FROM split)
+    SELECT round(thr, 6) AS threshold, gain_milli, nl AS n_left,
+           nr AS n_right
+    FROM gain ORDER BY gain_milli DESC, thr LIMIT 1
+    """,
+    doc="Best decision-stump split of the label (event_type = "
+    "'purchase') on the value feature by information gain — the inner "
+    "loop of tree induction as a data-parallel aggregate. Candidate "
+    "thresholds are the 15 exact k/16 percentiles (ONE percentile "
+    "aggregate; exact binary fractions interpolate bit-identically in "
+    "both engines — the equi_depth_histogram discipline), each row "
+    "joins the broadcast 15-row candidate relation (bounded constant "
+    "fan-out, never a sort per candidate), and one conditional "
+    "aggregate per threshold yields the left/right class counts. "
+    "Entropy gain is quantized to integer millis before the argmax "
+    "(three log2 calls per candidate — the quantum sits ~1e10 above "
+    "cross-engine libm ulps); ties break on the smaller threshold. "
+    "Degenerate splits (empty side, pure side) contribute zero "
+    "entropy via CASE guards, never NaN.",
+)
+def decision_stump_split(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    pts = events.select(
+        F.col("value").alias("x"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    cands = (
+        pts.agg(
+            F.percentile(
+                "x", F.array(*[F.lit(f) for f in _STUMP_FRACTIONS])
+            ).alias("bs")
+        )
+        .select(F.explode("bs").alias("thr"))
+        .distinct()
+    )
+    split = (
+        pts.crossJoin(F.broadcast(cands))
+        .groupBy("thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.sum((F.col("x") <= F.col("thr")).cast("int"))
+            .cast("long")
+            .alias("nl"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("pl"),
+        )
+    )
+
+    def entropy(p_num, p_den):
+        p = p_num * F.lit(1.0) / p_den
+        return F.when(
+            (p_num > 0) & (p_num < p_den),
+            -p * F.log2(p) - (F.lit(1.0) - p) * F.log2(F.lit(1.0) - p),
+        ).otherwise(F.lit(0.0))
+
+    n, pos, nl, pl = F.col("n"), F.col("pos"), F.col("nl"), F.col("pl")
+    nr, pr = n - nl, pos - pl
+    gain = (
+        entropy(pos, n)
+        - (nl * F.lit(1.0) / n) * entropy(pl, nl)
+        - (nr * F.lit(1.0) / n) * entropy(pr, nr)
+    )
+    ranked = split.select(
+        F.round("thr", 6).alias("threshold"),
+        F.round(F.lit(1000) * gain).cast("long").alias("gain_milli"),
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.col("thr"),
+    )
+    return ranked.orderBy(F.desc("gain_milli"), F.asc("thr")).limit(1).drop(
+        "thr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed quantile normalization across sources
+# ---------------------------------------------------------------------------
+
+_QN_BUCKETS = 16
+# bucket representative fractions (2j+1)/32, j = 0..15 — exact binary
+_QN_FRACTIONS = [(2 * j + 1) / 32 for j in range(_QN_BUCKETS)]
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle=f"""
+    WITH pooled AS (
+      SELECT quantile_cont(n_chars, {_QN_FRACTIONS}) AS reps
+      FROM documents),
+    ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents),
+    normed AS (
+      SELECT r.source,
+             p.reps[1 + least({_QN_BUCKETS} - 1,
+               CAST(floor((r.rnk - 0.5) / r.ns * {_QN_BUCKETS}) AS BIGINT))]
+               AS v
+      FROM ranked r CROSS JOIN pooled p)
+    SELECT source, count(*)::BIGINT AS n,
+           round(avg(v), 6) AS mean_norm,
+           round(min(v), 6) AS min_norm,
+           round(max(v), 6) AS max_norm
+    FROM normed GROUP BY source
+    """,
+    doc="Bucketed quantile normalization of n_chars across sources: "
+    "each document's within-source quantile (per-source rank window — "
+    "partitioned by source, never a global sort) maps to one of 16 "
+    "pooled-distribution representatives (the (2j+1)/32 exact "
+    "percentiles — ONE aggregate, exact binary fractions, broadcast "
+    "back as a 16-slot array), so every source's feature lands on the "
+    "same pooled scale — the cross-source calibration mixture "
+    "pipelines apply before comparing quality scores. The bucketed "
+    "form IS the 100 TB form: classic quantile normalization needs "
+    "per-rank alignment (a global sort); 16 representatives need one "
+    "percentile aggregate, and at scale the exact percentile swaps "
+    "for approx_percentile with everything downstream unchanged "
+    "(the equi_depth_histogram swap). Output verifies per-source "
+    "moments of the normalized values at 6dp.",
+)
+def quantile_normalize_sources(spark, sf_dir):
+    (docs,) = tables(spark, sf_dir, "documents")
+    pooled = docs.agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(f) for f in _QN_FRACTIONS])
+        ).alias("reps")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("ns"),
+    )
+    bucket = F.least(
+        F.lit(_QN_BUCKETS - 1),
+        F.floor(
+            (F.col("rnk") - 0.5) / F.col("ns") * _QN_BUCKETS
+        ).cast("long"),
+    )
+    normed = ranked.crossJoin(F.broadcast(pooled)).select(
+        "source", F.element_at("reps", (bucket + 1).cast("int")).alias("v")
+    )
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_norm"),
+        F.round(F.min("v"), 6).alias("min_norm"),
+        F.round(F.max("v"), 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier gate
+# ---------------------------------------------------------------------------
+
+_MAD_Z = 3.5
+_MAD_C = 0.6745
+
+
+@query(
+    "robust_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*)::BIGINT AS n,
+           round(max(d.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad,
+           sum((m.mad > 0 AND d.ad * {_MAD_C} > {_MAD_Z} * m.mad)::INT)
+             ::BIGINT AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier gate per series (event_type): median and MAD "
+    f"(median absolute deviation) via two exact percentile(0.5) "
+    "aggregates (0.5 is exact binary — bit-identical interpolation), "
+    f"outliers = points with modified z |{_MAD_C}·(x-med)/MAD| > "
+    f"{_MAD_Z} (Iglewicz–Hoaglin). Unlike mean/stddev gates, the "
+    "median/MAD pair is not dragged by the very outliers it hunts. "
+    "The z comparison is REARRANGED to multiplication "
+    f"(|x-med|·{_MAD_C} > {_MAD_Z}·MAD AND MAD > 0) so a zero-MAD "
+    "series yields zero outliers instead of NaN comparisons — DuckDB "
+    "orders NaN above everything while Spark's NaN comparisons are "
+    "false, so any division-born NaN would silently diverge the "
+    "engines. Two shuffles on the series key; the 5-row med/mad "
+    "relations broadcast back.",
+)
+def robust_outlier_mad(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    out = (
+        F.col("mad") > 0
+    ) & (F.col("ad") * F.lit(_MAD_C) > F.lit(_MAD_Z) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(out.cast("int")).cast("long").alias("n_outliers"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Semantic invariants for the third mlops batch (mlops3.py) — the
+differential suite (test_queries_vs_duckdb) checks oracle equality;
+these pin the statistics' defining properties on the real fixtures."""
+
+from __future__ import annotations
+
+from dso_import_spark.queries import REGISTRY
+
+
+def test_mrr_bounds_and_group_universe(spark, sf_dir):
+    (row,) = REGISTRY["mrr_at_k"].spark(spark, sf_dir).collect()
+    assert row["n_groups"] == 50
+    assert 0 <= row["n_hit"] <= row["n_groups"]
+    assert 0.0 <= row["mrr"] <= 1.0
+    # label=0 is 10% of vectors, so some groups hit within top-10
+    assert row["n_hit"] > 0 and row["mrr"] > 0.0
+
+
+def test_kappa_bounds_and_positive_by_construction(spark, sf_dir):
+    (row,) = REGISTRY["cohens_kappa"].spark(spark, sf_dir).collect()
+    assert row["n"] == row["n11"] + row["n10"] + row["n01"] + row["n00"]
+    assert -1.0 <= row["kappa"] <= 1.0
+    # rater B is rater A's value plus a bounded +-3 user-keyed shift:
+    # heavily correlated, so agreement must be far above chance
+    assert row["kappa"] > 0.5
+
+
+def test_chi_square_nonnegative_with_expected_dof(spark, sf_dir):
+    (row,) = (
+        REGISTRY["chi_square_independence"].spark(spark, sf_dir).collect()
+    )
+    assert row["chi2"] >= 0.0
+    assert row["dof"] == 4  # (5 event types - 1) * (2 arms - 1)
+    # arms are user-id parity of a synthetic fixture: independent by
+    # construction, so the statistic stays far below blow-up levels
+    assert row["chi2"] < 50.0
+
+
+def test_stump_partitions_the_table(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tables
+
+    (row,) = REGISTRY["decision_stump_split"].spark(spark, sf_dir).collect()
+    (events,) = tables(spark, sf_dir, "events")
+    assert row["n_left"] + row["n_right"] == events.count()
+    assert row["n_left"] > 0 and row["n_right"] > 0
+    assert row["gain_milli"] >= 0  # information gain is non-negative
+
+
+def test_quantile_normalization_lands_on_pooled_representatives(
+    spark, sf_dir
+):
+    rows = (
+        REGISTRY["quantile_normalize_sources"].spark(spark, sf_dir).collect()
+    )
+    assert len(rows) == 20  # every source normalized
+    # after normalization every source spans (a subset of) the SAME 16
+    # pooled representatives, so cross-source ranges must overlap hard:
+    # max of the per-source minima <= min of the per-source maxima
+    assert max(r["min_norm"] for r in rows) <= min(
+        r["max_norm"] for r in rows
+    )
+    for r in rows:
+        assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"]
+
+
+def test_mad_outliers_are_a_strict_minority(spark, sf_dir):
+    rows = REGISTRY["robust_outlier_mad"].spark(spark, sf_dir).collect()
+    assert {r["event_type"] for r in rows} and len(rows) == 5
+    for r in rows:
+        assert r["mad"] >= 0.0
+        # |modified z| > 3.5 marks at most a small tail by construction
+        # of the robust estimator (breakdown point 50%)
+        assert 0 <= r["n_outliers"] < 0.5 * r["n"]

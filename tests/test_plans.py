@@ -368,6 +368,24 @@ _SCALAR_RESULT_QUERIES = {
     # cert's scale knob is the sample, same posture as
     # minhash_recall_cert)
     "conformal_coverage_cert",
+    # 1-row global MRR aggregate over the <=|groups| per-group
+    # reciprocal-rank relation — scalar result, never data
+    "mrr_at_k",
+    # ONE 1-row confusion-matrix aggregate; the whole query is the
+    # scalar combine
+    "cohens_kappa",
+    # 1-row grand-total and category-count aggregates + the
+    # |types|x|arms|-bounded contribution combine — contingency state,
+    # never data
+    "chi_square_independence",
+    # 1-row percentile-candidate aggregate (15 thresholds broadcast
+    # back) + the 15-row argmax ORDER BY/LIMIT — bounded candidate
+    # state, the equi_depth_histogram class
+    "decision_stump_split",
+    # 1-row pooled-representative percentile aggregate (16 slots)
+    # broadcast back onto source-partitioned ranks — bounded
+    # calibration state, never data
+    "quantile_normalize_sources",
 }
 
 
