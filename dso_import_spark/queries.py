@@ -169,6 +169,8 @@ ROUND8_QUEUE = [
     "mrr_at_k", "cohens_kappa", "chi_square_independence",
     "decision_stump_split", "quantile_normalize_sources",
     "robust_outlier_mad",
+    "t_closeness_audit", "brier_decomposition", "f1_threshold_sweep",
+    "stratified_ate",
     # then the stale backlog in registry order
     "spatial_bbox_join",
     "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",

@@ -542,3 +542,368 @@ def robust_outlier_mad(spark, sf_dir):
             F.sum(out.cast("int")).cast("long").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity trio)
+# ---------------------------------------------------------------------------
+
+_T_MAX_MILLI = 200  # t = 0.2 in TVD millis
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH gs AS (
+      SELECT o_orderpriority AS priority,
+             extract(year FROM o_orderdate)::BIGINT AS yr,
+             o_orderstatus AS s, count(*)::BIGINT AS c
+      FROM orders GROUP BY 1, 2, 3),
+    g AS (SELECT priority, yr, sum(c)::BIGINT AS ng FROM gs
+          GROUP BY priority, yr),
+    gstat AS (SELECT s, sum(c)::BIGINT AS cs FROM gs GROUP BY s),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM gs),
+    full_m AS (
+      SELECT g.priority, g.yr, g.ng, gl.s, gl.cs, t.n,
+             coalesce(x.c, 0) AS cgs
+      FROM g CROSS JOIN gstat gl CROSS JOIN tot t
+      LEFT JOIN gs x ON x.priority = g.priority AND x.yr = g.yr
+                    AND x.s = gl.s)
+    SELECT priority, yr, max(ng) AS n_orders,
+           CAST(round(1000 * 0.5 * sum(abs(cgs * 1.0 / ng - cs * 1.0 / n)))
+                AS BIGINT) AS tvd_milli,
+           (CAST(round(1000 * 0.5 * sum(abs(cgs * 1.0 / ng - cs * 1.0 / n)))
+                 AS BIGINT) <= {_T_MAX_MILLI}) AS within_t
+    FROM full_m GROUP BY priority, yr
+    """,
+    doc="t-closeness audit over the (priority, order-year) quasi-"
+    "identifier — the third privacy gate after k_anonymity_audit and "
+    "l_diversity_audit (Li et al. 2007): a group is releasable only "
+    "when its sensitive-value (order status) distribution sits within "
+    "t of the GLOBAL distribution, here by total variation distance "
+    "0.5*sum|p_g - p| (the categorical-attribute form). l-diversity "
+    "misses skewed groups (3 distinct statuses at 98/1/1% still leak); "
+    "this catches them. The group x status matrix is completed by a "
+    "bounded cross join (|groups| x |statuses| rows, both broadcast) "
+    "so absent statuses contribute their full global mass; TVD is "
+    "milli-quantized count arithmetic, and the flag derives from the "
+    "QUANTIZED value so both engines compare identical integers.",
+)
+def t_closeness_audit(spark, sf_dir):
+    (orders,) = tables(spark, sf_dir, "orders")
+    gs = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = gs.groupBy("priority", "yr").agg(F.sum("c").cast("long").alias("ng"))
+    glob = gs.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    tot = gs.agg(F.sum("c").cast("long").alias("n"))
+    full_m = (
+        g.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(gs, ["priority", "yr", "s"], "left")
+        .select(
+            "priority",
+            "yr",
+            "ng",
+            "cs",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("cgs"),
+        )
+    )
+    tvd_milli = F.round(
+        F.lit(1000)
+        * F.lit(0.5)
+        * F.sum(
+            F.abs(
+                F.col("cgs") * F.lit(1.0) / F.col("ng")
+                - F.col("cs") * F.lit(1.0) / F.col("n")
+            )
+        )
+    ).cast("long")
+    return full_m.groupBy("priority", "yr").agg(
+        F.max("ng").alias("n_orders"),
+        tvd_milli.alias("tvd_milli"),
+        (tvd_milli <= _T_MAX_MILLI).alias("within_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition
+# ---------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+
+@query(
+    "brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT round(1.0 / (1.0 + exp(-({_SCORE3_SQL}))), 6) AS p,
+             (label = 0)::INT AS y
+      FROM embeddings),
+    binned AS (
+      SELECT least({_BRIER_BINS} - 1,
+                   CAST(floor(p * {_BRIER_BINS}) AS BIGINT)) AS bin,
+             p, y
+      FROM scored),
+    per_bin AS (
+      SELECT bin, count(*)::BIGINT AS nk, avg(p) AS pk, avg(y) AS yk
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT count(*)::BIGINT AS n, avg(y) AS ybar,
+             avg((p - y) * (p - y)) AS brier
+      FROM binned)
+    SELECT t.n,
+           round(t.brier, 6) AS brier,
+           round(sum(b.nk * (b.pk - b.yk) * (b.pk - b.yk)) / t.n, 6)
+             AS reliability,
+           round(sum(b.nk * (b.yk - t.ybar) * (b.yk - t.ybar)) / t.n, 6)
+             AS resolution,
+           round(t.ybar * (1 - t.ybar), 6) AS uncertainty
+    FROM per_bin b CROSS JOIN tot t
+    GROUP BY t.n, t.brier, t.ybar
+    """,
+    doc="Brier score with the Murphy decomposition (reliability − "
+    "resolution + uncertainty) over 10 fixed-width probability bins — "
+    "the forecast-quality readout that separates CALIBRATION error "
+    "(reliability) from discrimination ability (resolution): a "
+    "constant base-rate forecast and a sharp calibrated one can share "
+    "a Brier score and differ entirely here. Forecast p = "
+    "sigmoid(first-4-dim score) is quantized to 6dp immediately after "
+    "the lone libm exp() so every downstream comparison/bin/mean in "
+    "both engines consumes the identical double; the decomposition "
+    "terms are bin-count-weighted means (10-row bounded state). The "
+    "identity brier ≈ rel − res + unc holds up to within-bin forecast "
+    "variance (exact only for bin-constant forecasts) — all four "
+    "terms are emitted so the residual is visible, not asserted.",
+)
+def brier_decomposition(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p"),
+        (F.col("label") == 0).cast("int").alias("y"),
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(_BRIER_BINS - 1),
+            F.floor(F.col("p") * _BRIER_BINS).cast("long"),
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.avg("p").alias("pk"),
+        F.avg("y").alias("yk"),
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("ybar"),
+        F.avg(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+        ).alias("brier"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("n", "brier", "ybar")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("nk")
+                    * (F.col("pk") - F.col("yk"))
+                    * (F.col("pk") - F.col("yk"))
+                )
+                / F.col("n"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("nk")
+                    * (F.col("yk") - F.col("ybar"))
+                    * (F.col("yk") - F.col("ybar"))
+                )
+                / F.col("n"),
+                6,
+            ).alias("resolution"),
+        )
+        .select(
+            "n",
+            F.round("brier", 6).alias("brier"),
+            "reliability",
+            "resolution",
+            F.round(
+                F.col("ybar") * (F.lit(1.0) - F.col("ybar")), 6
+            ).alias("uncertainty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall/F1 threshold sweep
+# ---------------------------------------------------------------------------
+
+_F1_FRACTIONS = [k / 8 for k in range(1, 8)]  # exact binary fractions
+
+
+@query(
+    "f1_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_SCORE3_SQL} AS score, (label = 0)::INT AS y
+      FROM embeddings),
+    cands AS (
+      SELECT DISTINCT unnest(quantile_cont(score, {_F1_FRACTIONS})) AS thr
+      FROM scored),
+    sweep AS (
+      SELECT c.thr,
+             sum(CASE WHEN s.score >= c.thr THEN s.y ELSE 0 END)::BIGINT
+               AS tp,
+             sum(CASE WHEN s.score >= c.thr THEN 1 - s.y ELSE 0 END)::BIGINT
+               AS fp,
+             sum(CASE WHEN s.score < c.thr THEN s.y ELSE 0 END)::BIGINT
+               AS fn
+      FROM scored s CROSS JOIN cands c GROUP BY c.thr)
+    SELECT round(thr, 6) AS threshold, tp, fp, fn,
+           CAST(round(1000 * 2.0 * tp / (2 * tp + fp + fn)) AS BIGINT)
+             AS f1_milli
+    FROM sweep
+    """,
+    doc="Precision/recall operating-point sweep: TP/FP/FN and F1 at "
+    "the 7 exact k/8 score octiles (ONE percentile aggregate — exact "
+    "binary fractions interpolate bit-identically; the "
+    "decision_stump_split candidate discipline), each row joining the "
+    "broadcast 7-row threshold relation with one conditional "
+    "aggregate per threshold. The threshold-selection readout behind "
+    "every deployed classifier cutoff. F1 = 2TP/(2TP+FP+FN) is pure "
+    "count arithmetic, milli-quantized; 2·tp+fp+fn > 0 everywhere a "
+    "positive class exists, and the fixture's relevant rate is 10%.",
+)
+def f1_threshold_sweep(spark, sf_dir):
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    score = (
+        F.element_at(e, 1) + F.element_at(e, 2)
+        + F.element_at(e, 3) + F.element_at(e, 4)
+    )
+    scored = emb.select(
+        score.alias("score"), (F.col("label") == 0).cast("int").alias("y")
+    )
+    cands = (
+        scored.agg(
+            F.percentile(
+                "score", F.array(*[F.lit(f) for f in _F1_FRACTIONS])
+            ).alias("bs")
+        )
+        .select(F.explode("bs").alias("thr"))
+        .distinct()
+    )
+    hit = F.col("score") >= F.col("thr")
+    sweep = (
+        scored.crossJoin(F.broadcast(cands))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(hit, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, 1 - F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~hit, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return sweep.select(
+        F.round("thr", 6).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.lit(1000)
+            * F.lit(2.0)
+            * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        )
+        .cast("long")
+        .alias("f1_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stratified_ate",
+    oracle="""
+    WITH armed AS (
+      SELECT extract(hour FROM ts)::BIGINT AS stratum,
+             user_id % 2 AS arm, value AS y
+      FROM events),
+    per AS (
+      SELECT stratum, arm, count(*)::BIGINT AS n, avg(y) AS mu
+      FROM armed GROUP BY stratum, arm),
+    strata AS (
+      SELECT t.stratum, t.n + c.n AS ns, t.mu - c.mu AS diff
+      FROM per t JOIN per c
+        ON t.stratum = c.stratum AND t.arm = 0 AND c.arm = 1),
+    tot AS (SELECT sum(ns)::BIGINT AS n FROM strata)
+    SELECT t.n,
+           (SELECT count(*) FROM strata)::BIGINT AS n_strata,
+           round(sum(s.ns * s.diff) / t.n, 6) AS ate
+    FROM strata s CROSS JOIN tot t GROUP BY t.n
+    """,
+    doc="Stratified average treatment effect: arms = user-id parity, "
+    "strata = hour of day (the confounder a raw mean-difference "
+    "ignores when traffic mix shifts by hour), ATE = "
+    "sum_s (n_s/N)(mean_t,s - mean_c,s) — the blocked estimator "
+    "run alongside smd_balance_check and cuped_variance_reduction in "
+    "an experimentation pipeline. One (stratum, arm) moments "
+    "aggregate (map-side combinable), a 24-row stats self-join, and a "
+    "weighted combine; strata only count toward N when BOTH arms are "
+    "present (the estimator is undefined on one-armed strata). All "
+    "weights are exact BIGINTs; the mean difference is rounded at "
+    "6dp after the combine.",
+)
+def stratified_ate(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    armed = events.select(
+        F.hour("ts").cast("long").alias("stratum"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("value").alias("y"),
+    )
+    per = armed.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("mu"),
+    )
+    t = per.filter(F.col("arm") == 0).alias("t")
+    c = per.filter(F.col("arm") == 1).alias("c")
+    strata = t.join(
+        c, F.col("t.stratum") == F.col("c.stratum")
+    ).select(
+        F.col("t.stratum").alias("stratum"),
+        (F.col("t.n") + F.col("c.n")).alias("ns"),
+        (F.col("t.mu") - F.col("c.mu")).alias("diff"),
+    )
+    tot = strata.agg(
+        F.sum("ns").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_strata")
+        .agg(
+            F.round(
+                F.sum(F.col("ns") * F.col("diff")) / F.col("n"), 6
+            ).alias("ate")
+        )
+        .select("n", "n_strata", "ate")
+    )

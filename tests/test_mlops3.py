@@ -71,3 +71,49 @@ def test_mad_outliers_are_a_strict_minority(spark, sf_dir):
         # |modified z| > 3.5 marks at most a small tail by construction
         # of the robust estimator (breakdown point 50%)
         assert 0 <= r["n_outliers"] < 0.5 * r["n"]
+
+
+def test_t_closeness_flags_derive_from_quantized_tvd(spark, sf_dir):
+    rows = REGISTRY["t_closeness_audit"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tvd_milli"] <= 1000  # TVD is bounded in [0, 1]
+        assert r["within_t"] == (r["tvd_milli"] <= 200)
+
+
+def test_brier_decomposition_terms_are_consistent(spark, sf_dir):
+    (row,) = REGISTRY["brier_decomposition"].spark(spark, sf_dir).collect()
+    assert 0.0 <= row["brier"] <= 1.0
+    assert row["reliability"] >= 0.0 and row["resolution"] >= 0.0
+    assert 0.0 <= row["uncertainty"] <= 0.25  # p(1-p) max at 0.5
+    # resolution can never exceed uncertainty (variance decomposition)
+    assert row["resolution"] <= row["uncertainty"] + 1e-6
+    # Murphy identity holds up to within-bin forecast variance
+    assert abs(
+        row["brier"]
+        - (row["reliability"] - row["resolution"] + row["uncertainty"])
+    ) < 0.05
+
+
+def test_f1_sweep_is_monotone_in_the_right_places(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["f1_threshold_sweep"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert len(rows) == 7
+    # raising the threshold can only shrink the predicted-positive set:
+    # tp and fp are non-increasing, fn non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
+        assert b["fn"] >= a["fn"]
+    for r in rows:
+        assert 0 <= r["f1_milli"] <= 1000
+
+
+def test_stratified_ate_counts_two_armed_strata_only(spark, sf_dir):
+    (row,) = REGISTRY["stratified_ate"].spark(spark, sf_dir).collect()
+    assert 1 <= row["n_strata"] <= 24
+    assert row["n"] > 0
+    # parity arms of a synthetic fixture: ATE must be near zero
+    # relative to the value scale (mean ~50)
+    assert abs(row["ate"]) < 10.0

@@ -386,6 +386,19 @@ _SCALAR_RESULT_QUERIES = {
     # broadcast back onto source-partitioned ranks — bounded
     # calibration state, never data
     "quantile_normalize_sources",
+    # 1-row grand-total aggregate + the |groups|x|statuses|-bounded
+    # completed contingency matrix (both broadcast) — audit state,
+    # never data
+    "t_closeness_audit",
+    # 1-row totals aggregate + the 10-row per-bin relation's weighted
+    # combine — decomposition state, never data
+    "brier_decomposition",
+    # 1-row percentile-candidate aggregate (7 thresholds broadcast
+    # back) — the decision_stump_split class
+    "f1_threshold_sweep",
+    # 1-row weighted-combine total over the <=24-row strata relation —
+    # scalar result, never data
+    "stratified_ate",
 }
 
 
