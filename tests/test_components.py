@@ -190,3 +190,49 @@ def test_prefix_containment_matches_exact_on_real_corpus(spark):
         ).collect()
     }
     assert pref == exact and pref
+
+
+def test_prefix_containment_guarantee_on_randomized_corpora(spark):
+    # Property pin for the prefix-filter bound: on seeded random
+    # corpora with overlapping vocabulary (shared + private token
+    # pools, varying doc sizes), the prefix path's output must EQUAL
+    # the exact form's output at the same threshold — for several
+    # thresholds, including low ones where prefixes are nearly whole
+    # docs. Deterministic LCG so the corpus is reproducible.
+    from dso_import_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_containment_prefix,
+    )
+
+    state = 123456789
+
+    def rnd(n):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return state % n
+
+    shared = [f"s{i}" for i in range(60)]
+    rows = []
+    for d in range(40):
+        size = 10 + rnd(80)
+        toks = []
+        for _ in range(size):
+            if rnd(10) < 6:  # 60% from the shared pool → real overlaps
+                toks.append(shared[rnd(len(shared))])
+            else:
+                toks.append(f"p{d}w{rnd(30)}")
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.5, 0.75, 0.9):
+        exact = {
+            tuple(r)
+            for r in shingle_containment_pairs(docs, threshold=thr).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in shingle_containment_prefix(
+                docs, threshold=thr
+            ).collect()
+        }
+        assert pref == exact, (thr, pref ^ exact)
