@@ -99,6 +99,10 @@ BENCH_EXTRA = [
     "ndcg_at_k",
     "conformal_coverage_cert",
     "smd_balance_check",
+    "t_closeness_audit",
+    "brier_decomposition",
+    "f1_threshold_sweep",
+    "stratified_ate",
 ]
 
 
