@@ -401,6 +401,8 @@ def decision_stump_split(spark, sf_dir):
 _QN_BUCKETS = 16
 # bucket representative fractions (2j+1)/32, j = 0..15 — exact binary
 _QN_FRACTIONS = [(2 * j + 1) / 32 for j in range(_QN_BUCKETS)]
+# per-source bucket boundary fractions k/16, k = 1..15 — exact binary
+_QN_BOUNDS = [k / _QN_BUCKETS for k in range(1, _QN_BUCKETS)]
 
 
 @query(
@@ -409,18 +411,15 @@ _QN_FRACTIONS = [(2 * j + 1) / 32 for j in range(_QN_BUCKETS)]
     WITH pooled AS (
       SELECT quantile_cont(n_chars, {_QN_FRACTIONS}) AS reps
       FROM documents),
-    ranked AS (
-      SELECT source, n_chars,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars, doc_id) AS rnk,
-             count(*) OVER (PARTITION BY source) AS ns
-      FROM documents),
+    src_bounds AS (
+      SELECT source, quantile_cont(n_chars, {_QN_BOUNDS}) AS bs
+      FROM documents GROUP BY source),
     normed AS (
-      SELECT r.source,
-             p.reps[1 + least({_QN_BUCKETS} - 1,
-               CAST(floor((r.rnk - 0.5) / r.ns * {_QN_BUCKETS}) AS BIGINT))]
-               AS v
-      FROM ranked r CROSS JOIN pooled p)
+      SELECT d.source,
+             p.reps[1 + len(list_filter(b.bs, x -> d.n_chars > x))] AS v
+      FROM documents d
+      JOIN src_bounds b ON b.source = d.source
+      CROSS JOIN pooled p)
     SELECT source, count(*)::BIGINT AS n,
            round(avg(v), 6) AS mean_norm,
            round(min(v), 6) AS min_norm,
@@ -428,19 +427,23 @@ _QN_FRACTIONS = [(2 * j + 1) / 32 for j in range(_QN_BUCKETS)]
     FROM normed GROUP BY source
     """,
     doc="Bucketed quantile normalization of n_chars across sources: "
-    "each document's within-source quantile (per-source rank window — "
-    "partitioned by source, never a global sort) maps to one of 16 "
-    "pooled-distribution representatives (the (2j+1)/32 exact "
-    "percentiles — ONE aggregate, exact binary fractions, broadcast "
-    "back as a 16-slot array), so every source's feature lands on the "
-    "same pooled scale — the cross-source calibration mixture "
-    "pipelines apply before comparing quality scores. The bucketed "
-    "form IS the 100 TB form: classic quantile normalization needs "
-    "per-rank alignment (a global sort); 16 representatives need one "
-    "percentile aggregate, and at scale the exact percentile swaps "
-    "for approx_percentile with everything downstream unchanged "
-    "(the equi_depth_histogram swap). Output verifies per-source "
-    "moments of the normalized values at 6dp.",
+    "each document's within-source equi-depth bucket (its value "
+    "counted against the source's 15 exact k/16 percentile boundaries "
+    "— ONE grouped percentile aggregate, broadcast back as a "
+    "|sources|-row boundary relation; bucket = size(filter(bounds, "
+    "b -> v > b)), the equi_depth_histogram codegen-array shape) maps "
+    "to one of 16 pooled-distribution representatives (the (2j+1)/32 "
+    "exact percentiles — one more 1-row aggregate), so every source's "
+    "feature lands on the same pooled scale — the cross-source "
+    "calibration mixture pipelines apply before comparing quality "
+    "scores. Deliberately WINDOW-FREE: the rank-based formulation "
+    "puts each source in one task (a window partition cannot split), "
+    "while both aggregates here are map-side combinable and the "
+    "per-row bucket assignment is embarrassingly parallel — at 100 TB "
+    "the exact percentiles swap for approx_percentile with everything "
+    "downstream unchanged (the equi_depth_histogram swap). All "
+    "fractions are exact binary, so both engines interpolate "
+    "bit-identically; output verifies per-source moments at 6dp.",
 )
 def quantile_normalize_sources(spark, sf_dir):
     (docs,) = tables(spark, sf_dir, "documents")
@@ -449,21 +452,19 @@ def quantile_normalize_sources(spark, sf_dir):
             "n_chars", F.array(*[F.lit(f) for f in _QN_FRACTIONS])
         ).alias("reps")
     )
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
-    ranked = docs.select(
-        "source",
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(wc).alias("ns"),
+    src_bounds = docs.groupBy("source").agg(
+        F.percentile(
+            "n_chars", F.array(*[F.lit(f) for f in _QN_BOUNDS])
+        ).alias("bs")
     )
-    bucket = F.least(
-        F.lit(_QN_BUCKETS - 1),
-        F.floor(
-            (F.col("rnk") - 0.5) / F.col("ns") * _QN_BUCKETS
-        ).cast("long"),
-    )
-    normed = ranked.crossJoin(F.broadcast(pooled)).select(
-        "source", F.element_at("reps", (bucket + 1).cast("int")).alias("v")
+    bucket = F.size(F.filter("bs", lambda b: F.col("n_chars") > b))
+    normed = (
+        docs.join(F.broadcast(src_bounds), "source")
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "source",
+            F.element_at("reps", (bucket + 1).cast("int")).alias("v"),
+        )
     )
     return normed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
