@@ -542,8 +542,9 @@ def shingle_containment_banded(
     quoted-passage case containment exists for — need
     ``shingle_containment_prefix`` (prefix-filter candidates:
     deterministic 100% recall at ANY size ratio, measured 1.000 at
-    2–30× on the round-7 inclusion fixture where this form reads ~0
-    past 5×) or LSH-Ensemble-style size-stratified banding.
+    2–30× on the round-7 inclusion fixture where this form measures
+    0.56/0.12/0.04/0.04) or LSH-Ensemble-style size-stratified
+    banding.
 
     Physical plan — everything stays ARRAY-NATIVE, never exploding the
     ~500× shingle inventory the exact form shuffles:
@@ -669,9 +670,10 @@ def shingle_containment_prefix(
     the quoted-passage case (a short document embedded in a much
     longer one: containment ≈ 1.0, Jaccard ≈ 1/ratio) that MinHash
     banding structurally misses (``shingle_containment_banded``'s
-    S-curve reads P ≈ 4% at 10× ratio and ~0 at 30×; measured 0.000
-    recall at ≥10× on the round-7 inclusion fixture where this form
-    measures 1.000 — SCALING.md).
+    S-curve predicts P ≈ 4% at 10× ratio and ~0.4% at 30×; measured
+    banded recall on the round-7 inclusion fixture: 0.56 / 0.12 /
+    0.04 / 0.04 at 2×/5×/10×/30×, where this form measures 1.000 at
+    every ratio — SCALING.md round-7 table).
 
     The prefix-filter bound (Chaudhuri et al. 2006 SSJoin / Xiao et
     al. PPJoin — the Jaccard form is ``dedup_prefix_filter_pairs``),

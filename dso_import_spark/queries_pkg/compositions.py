@@ -173,8 +173,9 @@ _PREFIX_CONTAINMENT_ORACLE = rf"""
     f"{_PFX_T} on the smaller side MUST collide through the small "
     "side's prefix, at ANY size ratio — the quoted-passage regime "
     "(containment 1.0, Jaccard 1/ratio) where the banded form's "
-    "S-curve reads ~4% at 10x and ~0 at 30x (measured: prefix recall "
-    "1.000 vs banded 0.000 at >=10x on the round-7 inclusion fixture, "
+    "S-curve predicts ~4% at 10x and ~0.4% at 30x (measured: prefix "
+    "recall 1.000 at every ratio vs banded 0.040 at >=10x on the "
+    "round-7 inclusion fixture, "
     "SCALING.md). Candidates form only through rare-shingle posting "
     "lists — viral boilerplate shingles sit at the END of the "
     "df-ascending order and never enter a prefix unless a doc is made "
