@@ -171,6 +171,7 @@ ROUND8_QUEUE = [
     "robust_outlier_mad",
     "t_closeness_audit", "brier_decomposition", "f1_threshold_sweep",
     "stratified_ate",
+    "mann_kendall_trend", "flesch_readability", "bootstrap_mean_ci",
     # then the stale backlog in registry order
     "spatial_bbox_join",
     "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",

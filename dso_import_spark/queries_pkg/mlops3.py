@@ -908,3 +908,299 @@ def stratified_ate(spark, sf_dir):
         )
         .select("n", "n_strata", "ate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (pair-capped — the significance half of Theil–Sen)
+# ---------------------------------------------------------------------------
+
+_MK_CAP = 40
+_MK_MIX = 2654435761
+_MK_SHIFT = 13
+_MK_MASK = 1 << 31
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (((event_id % {_MK_MASK}) * {_MK_MIX})
+                         >> {_MK_SHIFT}), event_id) AS rk
+      FROM events WHERE user_id % 5 = 0),
+    capped AS (SELECT * FROM ev WHERE rk <= {_MK_CAP}),
+    s AS (
+      SELECT a.user_id, sum(sign(b.value - a.value))::BIGINT AS s_stat
+      FROM capped a JOIN capped b
+        ON a.user_id = b.user_id AND a.ts < b.ts
+      GROUP BY a.user_id),
+    counts AS (
+      SELECT user_id, count(*)::BIGINT AS n_used FROM capped
+      GROUP BY user_id)
+    SELECT c.user_id, c.n_used, s.s_stat,
+           CAST(round(1000 * CASE WHEN s.s_stat = 0 THEN 0.0 ELSE
+             (s.s_stat - sign(s.s_stat))
+             / sqrt(c.n_used * (c.n_used - 1) * (2 * c.n_used + 5) / 18.0)
+             END) AS BIGINT) AS z_milli,
+           (abs(CAST(round(1000 * CASE WHEN s.s_stat = 0 THEN 0.0 ELSE
+             (s.s_stat - sign(s.s_stat))
+             / sqrt(c.n_used * (c.n_used - 1) * (2 * c.n_used + 5) / 18.0)
+             END) AS BIGINT)) > 1960) AS trending
+    FROM counts c JOIN s ON s.user_id = c.user_id
+    """,
+    doc="Mann–Kendall trend test per user — the SIGNIFICANCE half of "
+    "the Theil–Sen pair (sen slope says how steep, S and z say "
+    "whether the monotone trend is distinguishable from noise): "
+    "S = sum of sign(v_j - v_i) over time-ordered pairs, z from the "
+    "no-ties null variance n(n-1)(2n+5)/18 with the standard "
+    "continuity correction (values are continuous doubles, so the "
+    "tie-corrected variance term is negligible by construction — "
+    "stated, not hidden). Reuses theil_sen_capped's scale discipline "
+    f"verbatim: at most {_MK_CAP} events per user enter the pairwise "
+    "stage, chosen by the Knuth-mixed deterministic rank, so a hot "
+    "user contributes a constant number of pairs. z is milli-"
+    "quantized after the lone libm sqrt; the trending flag derives "
+    "from the QUANTIZED z so both engines compare identical integers.",
+)
+def mann_kendall_trend(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    base = events.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        "ts",
+        "value",
+        F.shiftright(
+            (F.col("event_id") % _MK_MASK) * F.lit(_MK_MIX), _MK_SHIFT
+        ).alias("mixk"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("mixk", "event_id")
+    capped = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MK_CAP)
+        .select("user_id", "ts", "value")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.ts") < F.col("b.ts")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.sum(F.signum(F.col("b.value") - F.col("a.value")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    counts = capped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used")
+    )
+    n = F.col("n_used")
+    var = (n * (n - 1) * (2 * n + 5)) / F.lit(18.0)
+    z = F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+        (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var)
+    )
+    z_milli = F.round(F.lit(1000) * z).cast("long")
+    return counts.join(s, "user_id").select(
+        "user_id",
+        "n_used",
+        "s_stat",
+        z_milli.alias("z_milli"),
+        (F.abs(z_milli) > 1960).alias("trending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease readability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flesch_readability",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(round(1000 * (206.835
+               - 1.015 * (len(string_split_regex(text, '\s+')) * 1.0
+                          / greatest(len(regexp_extract_all(text,
+                                         '[.!?]+')), 1))
+               - 84.6 * (len(regexp_extract_all(lower(text),
+                             '[aeiouy]+')) * 1.0
+                         / len(string_split_regex(text, '\s+')))))
+               AS BIGINT) AS f_milli
+      FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           round(sum(f_milli) * 1.0 / count(*) / 1000, 4) AS avg_flesch,
+           CAST(min(f_milli) AS BIGINT) AS min_f_milli,
+           CAST(max(f_milli) AS BIGINT) AS max_f_milli
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Flesch reading-ease per language: 206.835 − 1.015·(words/"
+    "sentences) − 84.6·(syllables/words), with sentences counted as "
+    "[.!?]+ runs (floored at 1 for fragment-only docs) and syllables "
+    "approximated by [aeiouy]+ vowel groups — the standard cheap "
+    "readability heuristic a text-quality pipeline runs alongside "
+    "Gopher gates and entropy screens (low Flesch = dense/technical, "
+    "implausibly high = fragment spam). Whole computation is three "
+    "regexp counts and arithmetic per row — whole-stage codegen, no "
+    "UDF, libm-free; per-doc scores are milli-quantized BIGINTs "
+    "before the per-language mean so cross-row sums are exact in "
+    "both engines.",
+)
+def flesch_readability(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # no explode here, but three regexp passes over every text byte is
+    # ~30 engine ops per input byte — the same splits-vs-compute hazard
+    # (the ×100 documents parquet reads as few splits; measured 10.1 s
+    # unspread vs 1.44 s spread at ×100, and the exchange also wins at
+    # sf0.1: 0.38 → 0.23 s)
+    docs = spread_for_explode(docs, "doc_id", amplification=32)
+    words = F.size(F.split(F.col("text"), r"\s+"))
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words * F.lit(1.0) / sentences)
+        - F.lit(84.6) * (syllables * F.lit(1.0) / words)
+    )
+    per_doc = docs.select(
+        "lang", F.round(F.lit(1000) * flesch).cast("long").alias("f_milli")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("f_milli") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000),
+            4,
+        ).alias("avg_flesch"),
+        F.min("f_milli").cast("long").alias("min_f_milli"),
+        F.max("f_milli").cast("long").alias("max_f_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Poisson-bootstrap confidence interval for the mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+_BOOT_MIX = 2654435761
+_BOOT_SHIFT = 13
+_BOOT_MASK = 1 << 31
+_BOOT_UBITS = 1 << 20
+# Poisson(1) CDF thresholds (both engines parse the identical doubles);
+# the tail above 6 has mass < 1e-4 and is clamped to 6
+_BOOT_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def _boot_w_sql(b: int) -> str:
+    u = (
+        f"((((event_id * {_BOOT_B} + {b}) % {_BOOT_MASK}) * {_BOOT_MIX} "
+        f">> {_BOOT_SHIFT}) % {_BOOT_UBITS}) * 1.0 / {_BOOT_UBITS}"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             round(sum(w_expr * value) / sum(w_expr), 6) AS mean_b
+      FROM (SELECT unnest(range({_BOOT_B})) AS b) b
+      CROSS JOIN LATERAL (
+        SELECT value, {_boot_w_sql(0).replace(' + 0)', ' + b.b)')} AS w_expr
+        FROM events) e
+      GROUP BY b.b),
+    ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn FROM reps),
+    base AS (
+      SELECT count(*)::BIGINT AS n, round(avg(value), 6) AS mean
+      FROM events)
+    SELECT base.n, base.mean,
+           (SELECT mean_b FROM ranked WHERE rn = 2) AS ci_lo,
+           (SELECT mean_b FROM ranked WHERE rn = {_BOOT_B} - 1) AS ci_hi
+    FROM base
+    """,
+    doc=f"One-pass Poisson bootstrap CI for the mean (the online "
+    f"bootstrap of Oza/Owen–Eckles): {_BOOT_B} resample replicates "
+    "where row i's weight in replicate b is a DETERMINISTIC Poisson(1) "
+    "draw — a Knuth-mixed 20-bit uniform from (event_id, b) inverted "
+    "through the Poisson CDF thresholds (literal doubles, identical "
+    "in both engines; u is an exact multiple of 2^-20 so every "
+    "comparison is bit-stable). The classic resample-the-table "
+    "bootstrap is unrunnable at 100 TB; this form is ONE aggregation "
+    f"pass computing {2 * _BOOT_B} weighted sums as columns — no row "
+    "replication, no shuffle beyond the single combine — then rank "
+    "statistics over the 32-row replicate-mean relation give the "
+    "~93.75% rank-based CI (2nd smallest / 2nd largest — integer "
+    "ranks, no non-binary percentile fractions). The oracle "
+    "deliberately uses the OPPOSITE shape (explode 32 replicates per "
+    "row, group by replicate) so the differential certifies the "
+    "weight arithmetic, not a mirror image.",
+)
+def bootstrap_mean_ci(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+
+    def w_col(b: int):
+        u = (
+            (
+                ((F.col("event_id") * _BOOT_B + b) % _BOOT_MASK)
+                * F.lit(_BOOT_MIX)
+            ).cast("long")
+        )
+        u = F.shiftright(u, _BOOT_SHIFT) % _BOOT_UBITS
+        u = u * F.lit(1.0) / F.lit(_BOOT_UBITS)
+        expr = F.lit(6)
+        for k in range(len(_BOOT_CDF) - 1, -1, -1):
+            expr = F.when(u < _BOOT_CDF[k], F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    ]
+    for b in range(_BOOT_B):
+        w = w_col(b)
+        aggs.append(F.sum(w * F.col("value")).alias(f"sw{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"nw{b}"))
+    one = events.agg(*aggs)
+    reps = one.select(
+        "n",
+        "mean",
+        F.explode(
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"sw{b}") / F.col(f"nw{b}"), 6
+                    )
+                    for b in range(_BOOT_B)
+                ]
+            )
+        ).alias("mean_b"),
+    )
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_b"))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        "n", "mean", F.col("mean_b").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return lo.crossJoin(F.broadcast(hi))

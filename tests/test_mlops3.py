@@ -117,3 +117,34 @@ def test_stratified_ate_counts_two_armed_strata_only(spark, sf_dir):
     # parity arms of a synthetic fixture: ATE must be near zero
     # relative to the value scale (mean ~50)
     assert abs(row["ate"]) < 10.0
+
+
+def test_mann_kendall_caps_pairs_and_flags_from_quantized_z(spark, sf_dir):
+    rows = REGISTRY["mann_kendall_trend"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_used"] <= 40  # the pair cap
+        max_s = r["n_used"] * (r["n_used"] - 1) // 2
+        assert -max_s <= r["s_stat"] <= max_s
+        assert r["trending"] == (abs(r["z_milli"]) > 1960)
+
+
+def test_flesch_is_finite_and_language_complete(spark, sf_dir):
+    rows = REGISTRY["flesch_readability"].spark(spark, sf_dir).collect()
+    assert len(rows) == 5  # every language scored
+    for r in rows:
+        assert r["min_f_milli"] <= r["max_f_milli"]
+        assert r["min_f_milli"] / 1000 <= r["avg_flesch"] <= (
+            r["max_f_milli"] / 1000
+        )
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
+    (row,) = REGISTRY["bootstrap_mean_ci"].spark(spark, sf_dir).collect()
+    assert row["ci_lo"] <= row["ci_hi"]
+    # the rank-based CI must bracket the full-sample mean, and its
+    # width must shrink with n (~1/sqrt(n) of the value sd ~50)
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    import math
+
+    assert (row["ci_hi"] - row["ci_lo"]) < 50.0 / math.sqrt(row["n"]) * 10

@@ -399,6 +399,11 @@ _SCALAR_RESULT_QUERIES = {
     # 1-row weighted-combine total over the <=24-row strata relation —
     # scalar result, never data
     "stratified_ate",
+    # ONE aggregation pass computes all 2B replicate sums as columns
+    # (no row replication); the only SinglePartition consumers are the
+    # 1-row combine and the 32-row replicate-mean rank window —
+    # B-bounded bootstrap state, never data
+    "bootstrap_mean_ci",
 }
 
 
