@@ -103,6 +103,9 @@ BENCH_EXTRA = [
     "brier_decomposition",
     "f1_threshold_sweep",
     "stratified_ate",
+    "mann_kendall_trend",
+    "flesch_readability",
+    "bootstrap_mean_ci",
 ]
 
 
