@@ -87,9 +87,10 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 7: the new prefix-containment composition + the reshaped
-    # banding cert + both mlops2 batches — every query here has (or
-    # gets this round) a correctness row but no driver wall time yet
+    # round 7: the new prefix-containment composition, the reshaped
+    # banding cert, the second mlops2 batch, and the full round-7
+    # mlops3 batch — every query here has (or gets this round) a
+    # correctness row but no driver wall time yet
     "shingle_containment_prefix",
     "banding_estimator_cert",
     "calibration_ece_bins",

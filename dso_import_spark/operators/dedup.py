@@ -699,7 +699,9 @@ def shingle_containment_prefix(
     inventory on the probe side. Verify joins the candidate ids back
     to the per-doc shingle ARRAYS (``array_intersect``, O(|A|+|B|)
     per pair), so output = EXACTLY the exact form's pairs at
-    ``containment >= threshold`` (asserted against
+    ``containment >= threshold`` — including the pairs whose RAW
+    containment sits a half-quantum below t but rounds up to it,
+    covered by the 5e-5 prefix-length slack (asserted against
     ``shingle_containment_pairs`` in tests/test_components.py).
 
     Shuffles: explode on (block, shingle) for the df profile, one
@@ -739,14 +741,26 @@ def shingle_containment_prefix(
             Window.partitionBy("id").orderBy("dfc", "shingle")
         ),
     )
-    # prefix length ⌊(1−t)·n⌋ + 1 computed as floor((1−t)·n + 1e-9) + 1:
-    # the epsilon guards the one-ulp-LOW case ((1−0.9)·20 =
-    # 1.9999999999999996 would floor to 1 and silently shorten the
-    # prefix below the guarantee); an epsilon overshoot only LENGTHENS
-    # the prefix, which is recall-safe. The oracle embeds repr(1−t) so
-    # both engines floor the identical double.
+    # prefix length ⌊(1−t+5e-5)·n⌋ + 1, computed as
+    # floor((1−t+5e-5)·n + 1e-9) + 1. Two guards live in that formula:
+    # (a) the output filter below compares 4dp-ROUNDED containment, so
+    # a pair with raw C in [t−5e-5, t) still passes the exact form —
+    # the bound must therefore cover raw C ≥ t − 5e-5, hence the
+    # half-quantum 5e-5 slack (one extra prefix shingle per 20 000 —
+    # free; without it a 20 001-shingle doc at raw C = 0.899955 rounds
+    # to 0.9000 yet its 2001-shingle prefix could sit entirely outside
+    # the partner, a silent recall gap at exactly the document sizes
+    # the operator targets); (b) the 1e-9 epsilon guards the
+    # one-ulp-LOW float product ((1−0.9)·20 = 1.9999999999999996 would
+    # floor to 1 and shorten the prefix below the guarantee). Both
+    # overshoots only LENGTHEN the prefix, which is recall-safe. The
+    # oracle embeds repr(1−t+5e-5) so both engines floor the identical
+    # double.
     plen = (
-        F.floor(F.lit(1.0 - threshold) * F.col("n_sh") + F.lit(1e-9)) + 1
+        F.floor(
+            F.lit(1.0 - threshold + 5e-5) * F.col("n_sh") + F.lit(1e-9)
+        )
+        + 1
     )
     prefix = ranked.where(F.col("rk") <= plen).select(
         F.col("id").alias("id_p"), *block_cols, "shingle"

@@ -112,12 +112,14 @@ def shingle_containment_banded(spark, sf_dir):
 
 
 _PFX_T = 0.9
-# repr(1 - 0.9) — embedded verbatim so both engines floor the IDENTICAL
-# double; DuckDB parses bare decimals as DECIMAL (exact arithmetic), so
-# the ::DOUBLE cast is what keeps the two prefix-length computations
-# bit-equal. The + 1e-9 guards the one-ulp-LOW product (see
+# repr(1 - 0.9 + 5e-5) — embedded verbatim so both engines floor the
+# IDENTICAL double; DuckDB parses bare decimals as DECIMAL (exact
+# arithmetic), so the ::DOUBLE cast is what keeps the two prefix-length
+# computations bit-equal. The 5e-5 is the half-quantum slack covering
+# pairs whose raw containment rounds UP to the threshold; the + 1e-9
+# guards the one-ulp-LOW product (both in
 # operators/dedup.py shingle_containment_prefix).
-_PFX_INV = repr(1.0 - _PFX_T)
+_PFX_INV = repr(1.0 - _PFX_T + 5e-5)
 
 _PREFIX_CONTAINMENT_ORACLE = rf"""
     WITH toks AS (

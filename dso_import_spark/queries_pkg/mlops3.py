@@ -22,6 +22,21 @@ engine-replayable arithmetic:
 - ``robust_outlier_mad``: median/MAD robust z-score outlier counts per
   series — the outlier gate that, unlike mean/stddev, is not dragged
   by the outliers it hunts.
+- ``t_closeness_audit``: per-QI-group TVD of the sensitive-value
+  distribution to the global one — completes the k-anonymity /
+  l-diversity privacy trio.
+- ``brier_decomposition``: Brier score with the Murphy
+  reliability/resolution/uncertainty decomposition over 10 bins.
+- ``f1_threshold_sweep``: TP/FP/FN and F1 operating points at the 7
+  exact k/8 score octiles.
+- ``stratified_ate``: hour-blocked average treatment effect — the
+  blocked estimator beside smd_balance_check/cuped.
+- ``mann_kendall_trend``: pair-capped S statistic + continuity-
+  corrected z — the significance half of the Theil–Sen pair.
+- ``flesch_readability``: reading-ease from three regexp counts per
+  row, spread-gated for the regex-heavy scan.
+- ``bootstrap_mean_ci``: one-pass Poisson bootstrap (Owen–Eckles) —
+  32 deterministic replicate weights as columns, rank-based CI.
 
 Determinism notes (the registry's house rules): counts stay BIGINT;
 libm-touching expressions (log2, reciprocal rank) are quantized to
@@ -47,10 +62,10 @@ from dso_import_spark.queries_pkg.util import tables
 _MRR_K = 10
 _MRR_GROUPS = 50
 
-_SCORE3_SQL = (
-    "(embedding[1]::DOUBLE + embedding[2]::DOUBLE"
-    " + embedding[3]::DOUBLE + embedding[4]::DOUBLE)"
-)
+# the shared synthetic first-4-dim embedding score — imported, not
+# duplicated, so the mlops2/mlops3 ranking/calibration family can never
+# silently diverge on its score definition
+from dso_import_spark.queries_pkg.mlops2 import _SCORE2_SQL as _SCORE3_SQL  # noqa: E402
 
 
 @query(
@@ -209,7 +224,9 @@ def cohens_kappa(spark, sf_dir):
     oracle="""
     WITH cells AS (
       SELECT event_type, user_id % 2 AS arm, count(*)::BIGINT AS o
-      FROM events GROUP BY event_type, user_id % 2),
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type, user_id % 2),
     rows_ AS (SELECT event_type, sum(o)::BIGINT AS rn FROM cells
               GROUP BY event_type),
     cols_ AS (SELECT arm, sum(o)::BIGINT AS cn FROM cells GROUP BY arm),
@@ -243,6 +260,13 @@ def cohens_kappa(spark, sf_dir):
 )
 def chi_square_independence(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
+    # NULL categories are excluded in BOTH engines up front: Spark's
+    # count_distinct skips NULLs while a GROUP BY keeps the NULL group,
+    # so an unfiltered table would diverge the dof (and row totals)
+    # between the engines the moment a NULL event_type appears
+    events = events.filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     cells = events.groupBy(
         "event_type", (F.col("user_id") % 2).alias("arm")
     ).agg(F.count(F.lit(1)).cast("long").alias("o"))

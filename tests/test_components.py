@@ -167,7 +167,7 @@ def test_prefix_containment_exact_recall_at_extreme_size_ratios(spark):
     assert (0, 3) not in band and (0, 4) not in band
 
 
-def test_prefix_containment_matches_exact_on_real_corpus(spark):
+def test_prefix_containment_matches_exact_on_real_corpus(spark, sf_dir):
     # block-keyed run on the real documents fixture: prefix output must
     # equal the exact form's output filtered to the prefix threshold
     from dso_import_spark.operators.dedup import (
@@ -175,7 +175,7 @@ def test_prefix_containment_matches_exact_on_real_corpus(spark):
         shingle_containment_prefix,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {
         tuple(r)
         for r in shingle_containment_pairs(
@@ -236,3 +236,40 @@ def test_prefix_containment_guarantee_on_randomized_corpora(spark):
             ).collect()
         }
         assert pref == exact, (thr, pref ^ exact)
+
+
+def test_prefix_length_covers_the_rounding_boundary(spark):
+    # Round-7 code-review finding: the output filter compares
+    # 4dp-ROUNDED containment, so a pair with raw C in [t-5e-5, t)
+    # passes the exact form (0.899955 -> 0.9000) — the prefix length
+    # must therefore cover raw C >= t - 5e-5. For n = 20001 at t = 0.9
+    # the worst case has |A\B| = 2001 shingles outside the partner;
+    # the slack-free length floor(0.1*20001)+1 = 2001 could sit
+    # entirely outside, while the slacked length must be >= 2002 so at
+    # least one prefix shingle is shared. Pins the exact Column
+    # arithmetic the operator (and its oracle, via repr(1-t+5e-5))
+    # evaluates.
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(F.lit(20001).alias("n_sh"))
+        .select(
+            (
+                F.floor(
+                    F.lit(1.0 - 0.9 + 5e-5) * F.col("n_sh") + F.lit(1e-9)
+                )
+                + 1
+            ).alias("plen")
+        )
+        .collect()[0]
+    )
+    assert row["plen"] >= 2002
+    # and a DuckDB replay of the embedded literal floors identically
+    import duckdb
+
+    (dplen,) = duckdb.sql(
+        f"SELECT CAST(floor({1.0 - 0.9 + 5e-5!r}::DOUBLE * 20001 + 1e-9)"
+        " AS BIGINT) + 1"
+    ).fetchone()
+    assert dplen == row["plen"]
