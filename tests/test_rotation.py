@@ -71,7 +71,11 @@ def test_next_front_prefers_never_verified_then_stale(tmp_path):
     nf = next_front(budget=10, repo=tmp_path)
     assert isinstance(nf, list) and len(nf) <= 10
     # real repo: the recommendation starts with never-verified queries
-    # in registry order and fits the budget
+    # in registry order and FITS the budget. Exact-length belongs only on
+    # the synthesized fixture above — against LIVE driver artifacts the
+    # pool (never-verified + stale) can legitimately shrink below the
+    # budget as the registry converges to all-verified (it did after the
+    # driver's r07 artifacts landed: 13 never + 33 stale = 46 < 50).
     real = next_front(budget=50)
-    assert len(real) == 50
+    assert 0 < len(real) <= 50
     assert real[0] in set(names)
