@@ -87,26 +87,16 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 7: the new prefix-containment composition, the reshaped
-    # banding cert, the second mlops2 batch, and the full round-7
-    # mlops3 batch — every query here has (or gets this round) a
-    # correctness row but no driver wall time yet
+    # round 8: the six mlops3 rows the r7 extra slot didn't reach
+    # (driver wall times exist for the other seven since BENCH_r07)
+    "mrr_at_k",
+    "cohens_kappa",
+    "chi_square_independence",
+    "decision_stump_split",
+    "quantile_normalize_sources",
+    "robust_outlier_mad",
+    # re-measured after this round's hashed-set verify re-shape
     "shingle_containment_prefix",
-    "banding_estimator_cert",
-    "calibration_ece_bins",
-    "js_divergence_sources",
-    "pmi_collocations",
-    "purged_timeseries_cv",
-    "ndcg_at_k",
-    "conformal_coverage_cert",
-    "smd_balance_check",
-    "t_closeness_audit",
-    "brier_decomposition",
-    "f1_threshold_sweep",
-    "stratified_ate",
-    "mann_kendall_trend",
-    "flesch_readability",
-    "bootstrap_mean_ci",
 ]
 
 

@@ -86,93 +86,25 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops3,
 )
 
-# ROUND 7 FRONT BLOCK (applied): the four never-verified queries
-# first (the r4 rule — the second mlops2 batch staged at the old
-# ROUND7_QUEUE head, plus this round's new prefix-containment
-# composition), then the six queries RE-STALED by this round's
-# verdict-mandated edits (mlops2.py grew the conformal calibration
-# cap; compositions.py got the banding-cert shuffle trim — deliberate
-# re-verification after demonstrated-issue fixes, not waste), then the
-# stale backlog in the staged priority order (text, multimodal,
-# salting/sketch, streaming, dedup families), filled to 50.
-ROUND7_FRONT = [
-    # (1) ALL four never-verified queries: the second mlops2 batch
-    # (ranking/calibration/balance governance, staged at the old queue
-    # head) and the round-7 asymmetric-inclusion containment path
-    # (VERDICT r6 weak-item fix — deterministic recall where the
-    # banded form's S-curve reads ~0)
-    "ndcg_at_k", "conformal_coverage_cert", "smd_balance_check",
-    "shingle_containment_prefix",
-    # (2) re-staled by this round's edits to their defining modules
-    "calibration_ece_bins", "js_divergence_sources",
-    "pmi_collocations", "purged_timeseries_cv",
-    "shingle_containment_banded", "banding_estimator_cert",
-    # (3) stale backlog, staged order: text module (oldest r2 greens)
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-    "doc_fingerprints", "text_tfidf_top_terms", "doc_chunking",
-    # (4) multimodal module
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    # (5) salting / sketches / grouping sets
-    "salted_heavy_hitters", "salted_join_revenue",
-    "approx_distinct_sketch", "approx_quantile_sketch",
-    "grouping_sets_revenue",
-    # (6) streaming module
-    "stream_tumbling_hour", "stream_session_windows",
-    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
-    "stream_upsert_state",
-    # (7) modern-sql / stats
-    "variant_json_events", "sql_pipe_syntax", "histogram_width_bucket",
-    "regression_stats",
-    # (8) dedup family
-    "dedup_exact_stats", "dedup_prefix_groups", "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprints", "dedup_minhash_banded",
-    "incremental_corpus_dedup", "dedup_substring_spans",
-    # (9) remaining staleys in registry order
-    "wkt_coerce_geometries", "hash_split_train_test",
-    "dedup_cluster_components",
-    "sql_entry_point", "udaf_geometric_mean", "udtf_sentence_split",
-    "unpivot_melt_measures", "table_profile",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded
-# (unless stale or FORCE_REVERIFY). Bump when rotating
-# (tests/test_rotation.py checks the choice against exactly these
-# rounds, so a *new* round's results landing mid-cycle doesn't
-# retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 6
-
-# Green queries whose SEMANTICS changed in a module stale_green can't
-# see (operators/*, not the defining queries_pkg module). Spending a
-# front slot on these is deliberate re-verification, not waste.
-# (Empty this round: the round-7 operators/dedup.py max_df fix does
-# not touch the registered shingle_containment query, which never
-# passes max_df — its no-cap plan and output are byte-identical.)
-FORCE_REVERIFY: list[str] = []
-
-# ROUND 8 QUEUE (pre-staged): every remaining stale green in registry
-# order — after the r7 front lands these 33 are the whole stale
-# backlog (73 at r6 → 33: ten front slots went to never-verified
-# queries and this round's re-staled mlops2/compositions greens, the
-# same never-verified-outranks-stale trade the r5/r6 verdicts
-# blessed). Staging the full remainder pins registry order end-to-end,
-# so any surplus driver budget lands on the highest-value stale rows.
-# New queries added mid-round go at the HEAD of this list
-# (never-verified first, enforced by tests/test_registry_order.py).
-# Recompute with `python -m dso_import_spark.rotation` when rotating.
-ROUND8_QUEUE = [
-    # never-verified FIRST (the r4 rule): the round-7 mlops3 batch
-    # (ranking/agreement/independence/split/normalization/outliers)
-    # landed after the r7 front froze — surplus round-7 driver budget
-    # or the round-8 front picks these before any already-green query
+# ROUND 8 FRONT BLOCK (applied): for the first time the entire backlog
+# fits one front-50 — the 13 never-verified mlops3 queries (the r4
+# never-verified-first rule), then ALL 33 remaining stale greens in
+# registry order, then 4 deliberate refresh picks: the prefix
+# containment composition (its operators/dedup.py verify stage gets the
+# hashed-set re-shape this round — FORCE_REVERIFY) and the three oldest
+# greens in the registry (r1/r2 evidence). A 50/50 round leaves the
+# registry 258/258 ever-green with stale ≈ new-edits-only.
+ROUND8_FRONT = [
+    # (1) never-verified: the round-7 mlops3 batch, staged at the old
+    # ROUND8_QUEUE head (ranking/agreement/independence/split/
+    # normalization/outliers/governance/trend/readability/bootstrap)
     "mrr_at_k", "cohens_kappa", "chi_square_independence",
     "decision_stump_split", "quantile_normalize_sources",
     "robust_outlier_mad",
     "t_closeness_audit", "brier_decomposition", "f1_threshold_sweep",
     "stratified_ate",
     "mann_kendall_trend", "flesch_readability", "bootstrap_mean_ci",
-    # then the stale backlog in registry order
+    # (2) the ENTIRE stale backlog, registry order (33)
     "spatial_bbox_join",
     "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",
     "partitioned_events_scan", "stratified_sample_lang", "seq_packing_bins",
@@ -186,6 +118,53 @@ ROUND8_QUEUE = [
     "exact_quota_sample", "twap_time_weighted", "ohlc_hourly_bars",
     "table_content_checksum", "event_path_trigrams", "ab_test_welch_t",
     "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
+    # (3) refresh picks filling to 50: the round-8 prefix verify
+    # re-shape (semantics live in operators/dedup.py, invisible to
+    # stale_green — FORCE_REVERIFY), then the three oldest greens
+    "shingle_containment_prefix",
+    "pii_redaction_stats", "repetition_quality_flags",  # r1 evidence
+    "surrogate_key",  # oldest r2 green in registry order
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 7
+
+# Green queries whose SEMANTICS changed in a module stale_green can't
+# see (operators/*, not the defining queries_pkg module), plus
+# deliberate evidence-freshness picks. Spending a front slot on these
+# is deliberate re-verification, not waste.
+FORCE_REVERIFY: list[str] = [
+    # round-8 hashed-set verify re-shape in operators/dedup.py (the
+    # registered callable lives in compositions.py, so stale_green
+    # can't see the change)
+    "shingle_containment_prefix",
+    # oldest driver evidence in the registry (r1/r2 rows) — refreshed
+    # now that the never+stale pool no longer fills the budget
+    "pii_redaction_stats", "repetition_quality_flags", "surrogate_key",
+]
+
+# ROUND 9 QUEUE (pre-staged): with the backlog cleared by the r8
+# front, surplus driver budget goes to evidence freshness — the
+# next-oldest greens in registry order (r2, then r3 rows). New queries
+# added mid-round go at the HEAD of this list (never-verified first,
+# enforced by tests/test_registry_order.py). Recompute with
+# `python -m dso_import_spark.rotation` when rotating.
+ROUND9_QUEUE = [
+    # oldest remaining driver evidence (r2 rows not already in the
+    # r8 front), registry order
+    "multi_id_zip", "safe_int_cast", "tri_state_boolean",
+    "interval_validity_filter", "open_interval_gate", "temporal_overlap",
+    "fk_validation", "delete_detection", "merge_counts_scale",
+    "explode_bridge",
+    # r3 rows
+    "stream_interval_left_outer", "wkt_file_scan",
+    "collated_dedup_groups", "recursive_cte_chain",
+    "listagg_order_sequences",
 ]
 
 
@@ -205,4 +184,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND7_FRONT, ROUND8_QUEUE)
+_apply_front_block(ROUND8_FRONT, ROUND9_QUEUE)

@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND7_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND8_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,52 +9,42 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND7_FRONT, ROUND8_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND8_FRONT, ROUND9_QUEUE
 
 FRONT_50 = [
-    # ALL four never-verified queries first (the r4 rule): the second
-    # mlops2 batch (staged at the old ROUND7_QUEUE head in r6) and the
-    # round-7 prefix-containment composition (VERDICT r6 weak-item fix)
-    "ndcg_at_k", "conformal_coverage_cert", "smd_balance_check",
+    # never-verified first (the r4 rule): the round-7 mlops3 batch,
+    # staged at the old ROUND8_QUEUE head
+    "mrr_at_k", "cohens_kappa", "chi_square_independence",
+    "decision_stump_split", "quantile_normalize_sources",
+    "robust_outlier_mad",
+    "t_closeness_audit", "brier_decomposition", "f1_threshold_sweep",
+    "stratified_ate",
+    "mann_kendall_trend", "flesch_readability", "bootstrap_mean_ci",
+    # the ENTIRE stale backlog, registry order (33)
+    "spatial_bbox_join",
+    "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",
+    "partitioned_events_scan", "stratified_sample_lang", "seq_packing_bins",
+    "decontam_ngram_overlap", "corpus_pipeline_stats", "bloom_join_prune",
+    "basket_pair_affinity", "record_linkage_fuzzy", "pagerank_shipments",
+    "incremental_agg_refresh", "feature_scale_normalize",
+    "notin_null_semantics", "ewma_fixed_lags", "drift_psi_periods",
+    "benford_first_digit", "triangle_count_parts",
+    "dedup_prefix_filter_pairs", "capped_running_balance",
+    "incremental_distinct_sketch", "attribution_first_last_touch",
+    "exact_quota_sample", "twap_time_weighted", "ohlc_hourly_bars",
+    "table_content_checksum", "event_path_trigrams", "ab_test_welch_t",
+    "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
+    # refresh picks filling to 50 (FORCE_REVERIFY): the round-8 prefix
+    # verify re-shape + the three oldest greens (r1/r2 driver rows)
     "shingle_containment_prefix",
-    # re-staled by this round's verdict-mandated edits (conformal
-    # calibration cap in mlops2.py; banding-cert shuffle trim in
-    # compositions.py) — deliberate re-verification
-    "calibration_ece_bins", "js_divergence_sources",
-    "pmi_collocations", "purged_timeseries_cv",
-    "shingle_containment_banded", "banding_estimator_cert",
-    # stale backlog in staged priority order: text module (oldest r2)
-    "text_token_stats", "text_quality_scores", "lang_id_heuristic",
-    "doc_fingerprints", "text_tfidf_top_terms", "doc_chunking",
-    # multimodal module
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    # salting / sketches / grouping sets
-    "salted_heavy_hitters", "salted_join_revenue",
-    "approx_distinct_sketch", "approx_quantile_sketch",
-    "grouping_sets_revenue",
-    # streaming module
-    "stream_tumbling_hour", "stream_session_windows",
-    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
-    "stream_upsert_state",
-    # modern-sql / stats
-    "variant_json_events", "sql_pipe_syntax", "histogram_width_bucket",
-    "regression_stats",
-    # dedup family
-    "dedup_exact_stats", "dedup_prefix_groups", "dedup_ngram_jaccard",
-    "dedup_simhash_fingerprints", "dedup_minhash_banded",
-    "incremental_corpus_dedup", "dedup_substring_spans",
-    # remaining staleys in registry order
-    "wkt_coerce_geometries", "hash_split_train_test",
-    "dedup_cluster_components",
-    "sql_entry_point", "udaf_geometric_mean", "udtf_sentence_split",
-    "unpivot_melt_measures", "table_profile",
+    "pii_redaction_stats", "repetition_quality_flags",
+    "surrogate_key",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND7_FRONT == FRONT_50
+    assert ROUND8_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -69,18 +59,31 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND8_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND9_QUEUE[: len(beyond)]), beyond
 
 
-def test_round8_queue_is_staged():
+def test_round9_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND8_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND8_QUEUE) & set(FRONT_50)
+    assert set(ROUND9_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND9_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND8_QUEUE)] == ROUND8_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND9_QUEUE)] == ROUND9_QUEUE
     # front + queue covers the whole stale backlog: together with the
     # front's never-verified coverage, registry order is fully pinned
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND8_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND9_QUEUE) | set(FRONT_50)
+
+
+def test_registry_names_appear_in_survey():
+    # registry↔SURVEY parity (r7 verdict missing #4): §2.10 lagged the
+    # registry in r6 and was caught by a judge, not a test. Every
+    # registered query name must appear verbatim somewhere in SURVEY.md
+    # so the coverage contract is self-enforcing — new queries land
+    # with their survey rows in the same commit or this goes red.
+    from pathlib import Path
+
+    survey = (Path(__file__).resolve().parents[1] / "SURVEY.md").read_text()
+    missing = [n for n in REGISTRY if n not in survey]
+    assert missing == [], f"registered queries absent from SURVEY.md: {missing}"
