@@ -121,6 +121,9 @@ _PFX_T = 0.9
 # operators/dedup.py shingle_containment_prefix).
 _PFX_INV = repr(1.0 - _PFX_T + 5e-5)
 
+# Round-8: the oracle replays the HASHED-universe pipeline — distinct
+# md5-prefix 32-bit hash per shingle (identical to Spark's
+# word_hash32), df profile / rank / prefix / verify all over hashes.
 _PREFIX_CONTAINMENT_ORACLE = rf"""
     WITH toks AS (
       SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
@@ -130,31 +133,37 @@ _PREFIX_CONTAINMENT_ORACLE = rf"""
              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                             for i in range(1, greatest(len(t) - 1, 1))]) AS s
       FROM toks),
-    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
-           FROM sh),
+    ex0 AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+    hv AS (
+      SELECT DISTINCT doc_id, lang,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+      FROM ex0),
+    hn AS (SELECT doc_id, count(*)::BIGINT AS n_hv FROM hv GROUP BY doc_id),
+    ex AS (SELECT v.doc_id, v.lang, n.n_hv, v.h
+           FROM hv v JOIN hn n ON n.doc_id = v.doc_id),
     dfc AS (
-      SELECT lang, shingle, count(*)::BIGINT AS dfc
-      FROM ex GROUP BY lang, shingle),
+      SELECT lang, h, count(*)::BIGINT AS dfc
+      FROM ex GROUP BY lang, h),
     ranked AS (
-      SELECT e.doc_id, e.lang, e.n_sh, e.shingle,
+      SELECT e.doc_id, e.lang, e.n_hv, e.h,
              row_number() OVER (PARTITION BY e.doc_id
-                                ORDER BY d.dfc, e.shingle) AS rk
-      FROM ex e JOIN dfc d ON d.lang = e.lang AND d.shingle = e.shingle),
+                                ORDER BY d.dfc, e.h) AS rk
+      FROM ex e JOIN dfc d ON d.lang = e.lang AND d.h = e.h),
     prefix AS (
-      SELECT doc_id, lang, shingle FROM ranked
-      WHERE rk <= floor({_PFX_INV}::DOUBLE * n_sh + 1e-9) + 1),
+      SELECT doc_id, lang, h FROM ranked
+      WHERE rk <= floor({_PFX_INV}::DOUBLE * n_hv + 1e-9) + 1),
     cand AS (
       SELECT DISTINCT least(p.doc_id, f.doc_id) AS id_a,
                       greatest(p.doc_id, f.doc_id) AS id_b
       FROM prefix p JOIN ex f
-        ON f.shingle = p.shingle AND f.lang = p.lang
+        ON f.h = p.h AND f.lang = p.lang
        AND f.doc_id <> p.doc_id),
     shared AS (
-      SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      SELECT c.id_a, c.id_b, a.n_hv AS n_a, b.n_hv AS n_b,
              count(*) AS n_shared
       FROM cand c
       JOIN ex a ON a.doc_id = c.id_a
-      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN ex b ON b.doc_id = c.id_b AND b.h = a.h
       GROUP BY 1, 2, 3, 4)
     SELECT id_a, id_b,
            round(n_shared / least(n_a, n_b), 4) AS containment
@@ -181,8 +190,13 @@ _PREFIX_CONTAINMENT_ORACLE = rf"""
     "SCALING.md). Candidates form only through rare-shingle posting "
     "lists — viral boilerplate shingles sit at the END of the "
     "df-ascending order and never enter a prefix unless a doc is made "
-    "of nothing hotter. The oracle replays the WHOLE pipeline: df "
-    "profile, per-doc rank, prefix join, verify.",
+    "of nothing hotter. Round-8: the whole pipeline runs in the HASHED "
+    "shingle universe (distinct word_hash32 sets, 8-byte longs on "
+    "every wide edge instead of ~50-byte strings — the "
+    "banding_estimator_cert re-shape applied end-to-end; the prefix "
+    "bound is element-type-agnostic so deterministic recall is "
+    "unchanged). The oracle replays the WHOLE pipeline: md5-prefix "
+    "hashing, df profile, per-doc rank, prefix join, verify.",
 )
 def shingle_containment_prefix(spark, sf_dir):
     from dso_import_spark.operators.dedup import (
