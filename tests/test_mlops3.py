@@ -148,3 +148,78 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
     import math
 
     assert (row["ci_hi"] - row["ci_lo"]) < 50.0 / math.sqrt(row["n"]) * 10
+
+
+def test_kappa_degenerate_raters_emit_zero_sentinel_in_both_engines(spark):
+    # ADVICE r7: pe = 1 (both raters constant) zeroes the kappa
+    # denominator; the guard must emit the explicit 0.0 sentinel in
+    # BOTH engines rather than an engine-divergent NaN/NULL. Replay
+    # the registered expression trees on a degenerate confusion matrix
+    # (all agreement in one cell).
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cm = spark.createDataFrame(
+        [(100, 100, 0, 0, 0)], "n long, n11 long, n10 long, n01 long, n00 long"
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / n
+    pe = ((F.col("n11") + F.col("n10")) * F.lit(1.0) / n) * (
+        (F.col("n11") + F.col("n01")) * F.lit(1.0) / n
+    ) + ((F.col("n01") + F.col("n00")) * F.lit(1.0) / n) * (
+        (F.col("n10") + F.col("n00")) * F.lit(1.0) / n
+    )
+    (row,) = cm.select(
+        F.when(pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .otherwise(F.lit(0.0))
+        .alias("kappa")
+    ).collect()
+    assert row["kappa"] == 0.0
+    (dk,) = duckdb.sql(
+        """
+        WITH cm AS (SELECT 100::BIGINT n, 100::BIGINT n11, 0::BIGINT n10,
+                           0::BIGINT n01, 0::BIGINT n00)
+        SELECT CASE WHEN ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                       + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)
+                       < 1.0
+               THEN round(((n11 + n00) * 1.0 / n
+                      - ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                      - ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))
+                     / (1.0
+                      - ((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                      - ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)),
+                     6)
+               ELSE 0.0 END FROM cm
+        """
+    ).fetchone()
+    assert float(dk) == 0.0
+
+
+def test_f1_degenerate_threshold_emits_zero_sentinel_in_both_engines(spark):
+    # ADVICE r7: a threshold slice with zero positives on either side
+    # (2tp+fp+fn = 0) zeroes the F1 denominator; both engines must
+    # emit the explicit 0 sentinel.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sweep = spark.createDataFrame([(0, 0, 0)], "tp long, fp long, fn long")
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    (row,) = sweep.select(
+        F.when(
+            denom > 0,
+            F.round(F.lit(1000) * F.lit(2.0) * F.col("tp") / denom).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("f1_milli")
+    ).collect()
+    assert row["f1_milli"] == 0
+    (dv,) = duckdb.sql(
+        """
+        SELECT CASE WHEN 2 * 0 + 0 + 0 > 0
+               THEN CAST(round(1000 * 2.0 * 0 / (2 * 0 + 0 + 0)) AS BIGINT)
+               ELSE 0 END
+        """
+    ).fetchone()
+    assert int(dv) == 0
