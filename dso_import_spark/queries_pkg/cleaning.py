@@ -69,10 +69,19 @@ PHONE_RE = r"\b\d{3}-\d{4}\b"
     "counts per language and a residual-match check proving the "
     "redacted corpus is clean. All regex work is JVM-side "
     "regexp_count/regexp_replace — one narrow stage before the "
-    "per-language aggregate.",
+    "per-language aggregate. Round-8 compute-amplification gate (the "
+    "flesch lesson generalized): ~10 regex passes per input byte make "
+    "splits-not-bytes the right parallelism unit, so the scan is "
+    "volume-gated-spread first — measured at x100 docs: 41.5 s "
+    "unspread (single-split scan does all the regex work in one task) "
+    "vs 4.1 s spread, the worst unspread hazard in the audit "
+    "(SCALING.md round-8).",
 )
 def pii_redaction_stats(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id", amplification=32)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),

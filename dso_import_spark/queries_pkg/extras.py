@@ -676,10 +676,16 @@ _BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
     "pure Column expression — the piece count a real byte-pair encoder "
     "starts from, vs whitespace words. Narrow map + one agg; both "
     "engines run the identical regex (branches are first-char-"
-    "disjoint, so Java regex and RE2 split identically).",
+    "disjoint, so Java regex and RE2 split identically). Round-8 "
+    "compute-amplification gate: the regexp_extract_all pass is "
+    "~piece-count work per byte — volume-gated spread before the scan "
+    "(x100: 6.4 s unspread vs 1.75 s spread, SCALING.md round-8).",
 )
 def bpe_regex_token_count(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import spread_for_explode
+
     (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_for_explode(docs, "doc_id", amplification=32)
     pieces = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
     ws = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
     return docs.groupBy("lang").agg(
