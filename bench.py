@@ -97,6 +97,15 @@ BENCH_EXTRA = [
     "robust_outlier_mad",
     # re-measured after this round's hashed-set verify re-shape
     "shingle_containment_prefix",
+    # the round-8 mlops4 batch (first driver wall times)
+    "bh_fdr_correction",
+    "eb_shrunken_rates",
+    "mutual_information_cols",
+    "ratio_metric_delta_ci",
+    "budget_water_filling",
+    "randomized_response_debias",
+    "pinball_loss_eval",
+    "jsonl_rescue_scan",
 ]
 
 

@@ -84,6 +84,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     compositions,
     mlops2,
     mlops3,
+    mlops4,
 )
 
 # ROUND 8 FRONT BLOCK (applied): for the first time the entire backlog
@@ -120,10 +121,13 @@ ROUND8_FRONT = [
     "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
     # (3) refresh picks filling to 50: the round-8 prefix verify
     # re-shape (semantics live in operators/dedup.py, invisible to
-    # stale_green — FORCE_REVERIFY), then the three oldest greens
+    # stale_green — FORCE_REVERIFY), the two oldest greens (r1), and
+    # lang_id_heuristic, whose plan changed this round (the round-8
+    # compute-amplification spread gate; pii_redaction_stats, the
+    # other gated query, is already above)
     "shingle_containment_prefix",
     "pii_redaction_stats", "repetition_quality_flags",  # r1 evidence
-    "surrogate_key",  # oldest r2 green in registry order
+    "lang_id_heuristic",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -143,25 +147,49 @@ FORCE_REVERIFY: list[str] = [
     # registered callable lives in compositions.py, so stale_green
     # can't see the change)
     "shingle_containment_prefix",
-    # oldest driver evidence in the registry (r1/r2 rows) — refreshed
+    # oldest driver evidence in the registry (r1 rows) — refreshed
     # now that the never+stale pool no longer fills the budget
-    "pii_redaction_stats", "repetition_quality_flags", "surrogate_key",
+    "pii_redaction_stats", "repetition_quality_flags",
 ]
 
-# ROUND 9 QUEUE (pre-staged): with the backlog cleared by the r8
-# front, surplus driver budget goes to evidence freshness — the
-# next-oldest greens in registry order (r2, then r3 rows). New queries
-# added mid-round go at the HEAD of this list (never-verified first,
-# enforced by tests/test_registry_order.py). Recompute with
-# `python -m dso_import_spark.rotation` when rotating.
+# ROUND 9 QUEUE (pre-staged): never-verified first (the round-8
+# mlops4 batch, landed after the r8 front froze), then the greens
+# RE-STALED by this round's module edits (text.py/extras.py got the
+# compute-amplification gates; compositions.py the hashed-universe
+# prefix oracle — module-granularity staleness, most rows untouched
+# but re-verification is cheap and honest), then the next-oldest
+# evidence (r2/r3 rows). New queries added mid-round go at the HEAD.
+# Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND9_QUEUE = [
-    # oldest remaining driver evidence (r2 rows not already in the
-    # r8 front), registry order
-    "multi_id_zip", "safe_int_cast", "tri_state_boolean",
+    # (1) never-verified: the round-8 mlops4 batch (FDR, shrinkage,
+    # MI, ratio CI, water-filling, local-DP, pinball loss, JSONL
+    # rescue)
+    "bh_fdr_correction", "eb_shrunken_rates", "mutual_information_cols",
+    "ratio_metric_delta_ci", "budget_water_filling",
+    "randomized_response_debias", "pinball_loss_eval", "jsonl_rescue_scan",
+    # (2) re-staled by round-8 module edits, registry order
+    # (lang_id_heuristic took a front slot — its plan changed)
+    "text_token_stats", "text_quality_scores", "doc_fingerprints",
+    "text_tfidf_top_terms", "doc_chunking",
+    "wkt_coerce_geometries", "date_parse_variants",
+    "hash_split_train_test", "dedup_cluster_components",
+    "dedup_cluster_canonical", "sql_entry_point", "udaf_geometric_mean",
+    "udtf_sentence_split", "unpivot_melt_measures", "table_profile",
+    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
+    "temperature_mix_weights", "ann_pq_topk", "ann_ivf_pq_topk",
+    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
+    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
+    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
+    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
+    "value_outliers_mad", "stream_session_dynamic_gap",
+    "shingle_containment_banded", "banding_estimator_cert",
+    # (3) next-oldest driver evidence (r2 rows not already covered),
+    # registry order
+    "surrogate_key", "multi_id_zip", "safe_int_cast", "tri_state_boolean",
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",
     "fk_validation", "delete_detection", "merge_counts_scale",
     "explode_bridge",
-    # r3 rows
+    # (4) r3 rows
     "stream_interval_left_outer", "wkt_file_scan",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",

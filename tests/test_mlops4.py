@@ -1,0 +1,105 @@
+"""Semantic invariants for the fourth mlops batch (mlops4.py) — the
+differential suite (test_queries_vs_duckdb) checks oracle equality;
+these pin the statistics' defining properties on the real fixtures."""
+
+from __future__ import annotations
+
+from dso_import_spark.queries import REGISTRY
+
+
+def test_bh_flagged_set_is_a_rank_prefix(spark, sf_dir):
+    rows = REGISTRY["bh_fdr_correction"].spark(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event type
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    # ranks are 1..m and p is non-decreasing along them
+    assert [r["rnk"] for r in by_rank] == list(range(1, len(rows) + 1))
+    ps = [r["p_micro"] for r in by_rank]
+    assert ps == sorted(ps) and all(0 <= p <= 1000000 for p in ps)
+    # BH step-up flags a PREFIX of the p-ordering, never a gap
+    flags = [r["flagged"] for r in by_rank]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_eb_shrinkage_pulls_toward_the_prior_mean(spark, sf_dir):
+    rows = REGISTRY["eb_shrunken_rates"].spark(spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    m = sum(r["r_micro"] for r in rows) / k / 1e6
+    for r in rows:
+        raw = r["r_micro"] / 1e6
+        # shrunken sits between the raw rate and the prior mean
+        lo, hi = min(raw, m), max(raw, m)
+        assert lo - 1e-6 <= r["shrunken"] <= hi + 1e-6, (r, m)
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    (row,) = REGISTRY["mutual_information_cols"].spark(spark, sf_dir).collect()
+    # MI >= 0 (up to per-cell nano-quantization slack) and bounded by
+    # both marginal entropies
+    slack = row["n_cells"]  # half-nano per cell, generously rounded up
+    assert row["mi_nano"] >= -slack
+    assert row["mi_nano"] <= min(row["h_row_nano"], row["h_col_nano"]) + slack
+    assert row["h_row_nano"] > 0 and row["h_col_nano"] > 0
+    # arms are user-id parity of a synthetic fixture: essentially
+    # independent, so MI must be tiny relative to the entropies
+    assert row["mi_nano"] < row["h_row_nano"] / 10
+
+
+def test_ratio_ci_brackets_the_ratio(spark, sf_dir):
+    rows = REGISTRY["ratio_metric_delta_ci"].spark(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["ci_lo"] <= r["ratio"] <= r["ci_hi"]
+        assert r["ci_hi"] - r["ci_lo"] > 0  # real data has variance
+
+
+def test_water_filling_exhausts_the_budget_within_caps(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tables
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["budget_water_filling"].spark(spark, sf_dir).collect()
+    (docs,) = tables(spark, sf_dir, "documents")
+    (tot,) = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("c")
+    ).collect()
+    budget = tot["c"] // 2
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert abs(total_alloc - budget) < 1e-2 * max(budget, 1)
+    for r in rows:
+        assert -1e-6 <= r["alloc_tokens"] <= r["cap_tokens"] + 1e-4
+        if r["saturated"]:
+            assert abs(r["alloc_tokens"] - r["cap_tokens"]) < 1e-6
+
+
+def test_randomized_response_debias_is_nearly_unbiased(spark, sf_dir):
+    (row,) = (
+        REGISTRY["randomized_response_debias"].spark(spark, sf_dir).collect()
+    )
+    assert row["n"] > 0
+    # debiased error is flip-sampling noise: sd = sqrt(p(1-p)/n)/(1-2p)
+    sd = (0.25 * 0.75 / row["n"]) ** 0.5 / 0.5
+    assert row["abs_err_micro"] <= 5 * sd * 1e6 + 1
+
+
+def test_pinball_loss_is_nonnegative_and_tau_complete(spark, sf_dir):
+    rows = REGISTRY["pinball_loss_eval"].spark(spark, sf_dir).collect()
+    taus = {r["tau"] for r in rows}
+    assert taus == {0.5, 0.75}
+    for r in rows:
+        assert r["pinball_loss"] >= 0.0 and r["n_eval"] > 0
+
+
+def test_jsonl_rescue_isolates_exactly_the_corrupted_lines(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tables
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["jsonl_rescue_scan"].spark(spark, sf_dir).collect()
+    by_bucket = {r["bucket"]: r for r in rows}
+    (events,) = tables(spark, sf_dir, "events")
+    (truth,) = events.where(F.col("event_type").isNotNull()).agg(
+        F.sum((F.col("event_id") % 7 == 0).cast("int")).alias("corrupt"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert by_bucket["_corrupt"]["n"] == truth["corrupt"]
+    assert by_bucket["_corrupt"]["amount_sum"] == 0
+    assert sum(r["n"] for r in rows) == truth["n"]

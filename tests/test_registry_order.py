@@ -34,11 +34,12 @@ FRONT_50 = [
     "exact_quota_sample", "twap_time_weighted", "ohlc_hourly_bars",
     "table_content_checksum", "event_path_trigrams", "ab_test_welch_t",
     "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
-    # refresh picks filling to 50 (FORCE_REVERIFY): the round-8 prefix
-    # verify re-shape + the three oldest greens (r1/r2 driver rows)
+    # refresh picks filling to 50: the round-8 prefix verify re-shape
+    # (FORCE_REVERIFY), the two oldest greens (r1 rows), and
+    # lang_id_heuristic (its plan changed this round — spread gate)
     "shingle_containment_prefix",
     "pii_redaction_stats", "repetition_quality_flags",
-    "surrogate_key",
+    "lang_id_heuristic",
 ]
 
 
