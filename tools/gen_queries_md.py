@@ -13,7 +13,7 @@ from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-7 rotation (ROUND7_FRONT: all four never-verified queries first — the second mlops2 batch plus the round-7 prefix-containment composition — then the six greens re-staled by this round's verdict-mandated mlops2/compositions edits, then the stale backlog in staged order: text, multimodal, salting/sketches, streaming, dedup families), positions 51+ the pre-staged ROUND8_QUEUE (the remaining 33 staleys in registry order).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-8 rotation (ROUND8_FRONT: the 13 never-verified mlops3 queries first, then the ENTIRE 33-query stale backlog in registry order, then 4 refresh picks — the re-shaped prefix composition, the two oldest r1 greens, and spread-gated lang_id_heuristic), positions 51+ the pre-staged ROUND9_QUEUE (the round-8 mlops4 batch first — never-verified — then the greens re-staled by round-8 module edits, then the oldest r2/r3 evidence).
 
 Total: {n} queries, all with SQL oracles.
 
