@@ -97,7 +97,7 @@ BENCH_EXTRA = [
     "robust_outlier_mad",
     # re-measured after this round's hashed-set verify re-shape
     "shingle_containment_prefix",
-    # the round-8 mlops4 batch (first driver wall times)
+    # the round-8 mlops4 batch + batch 2 (first driver wall times)
     "bh_fdr_correction",
     "eb_shrunken_rates",
     "mutual_information_cols",
@@ -106,6 +106,9 @@ BENCH_EXTRA = [
     "randomized_response_debias",
     "pinball_loss_eval",
     "jsonl_rescue_scan",
+    "autocorrelation_lags",
+    "order_lineitem_reconcile",
+    "khop_reachability",
 ]
 
 

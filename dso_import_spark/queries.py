@@ -85,6 +85,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops2,
     mlops3,
     mlops4,
+    tsops,
 )
 
 # ROUND 8 FRONT BLOCK (applied): for the first time the entire backlog
@@ -167,6 +168,9 @@ ROUND9_QUEUE = [
     "bh_fdr_correction", "eb_shrunken_rates", "mutual_information_cols",
     "ratio_metric_delta_ci", "budget_water_filling",
     "randomized_response_debias", "pinball_loss_eval", "jsonl_rescue_scan",
+    # (1b) never-verified: round-8 batch 2 (time-series ACF,
+    # header/detail reconciliation, k-hop BFS)
+    "autocorrelation_lags", "order_lineitem_reconcile", "khop_reachability",
     # (2) re-staled by round-8 module edits, registry order
     # (lang_id_heuristic took a front slot — its plan changed)
     "text_token_stats", "text_quality_scores", "doc_fingerprints",

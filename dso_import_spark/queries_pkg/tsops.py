@@ -1,0 +1,290 @@
+"""Round-8 batch 2: time-series autocorrelation, cross-table
+reconciliation, and bounded-depth graph reachability.
+
+Three operators rounding out families the registry already anchors:
+
+- ``autocorrelation_lags``: ACF of the hourly event-count series at
+  lags 1 and 24 per series — the seasonality detector that tells a
+  pipeline whether seasonal_baseline_residuals' (day-of-week, hour)
+  model is even warranted; one hourly aggregate + one lag window.
+- ``order_lineitem_reconcile``: header-vs-detail money reconciliation
+  (o_totalprice vs the recomputed lineitem extension) in exact
+  integer centi-cents — the cross-table consistency audit the per-
+  table quality gates (SURVEY §2.6) structurally cannot see.
+- ``khop_reachability``: minimum-hop BFS reach counts from a seed set
+  over the co-purchase graph, depth-bounded at 3 — iterative frontier
+  joins with per-iteration localCheckpoint (the connected-components
+  discipline) on the Spark side, a recursive CTE replay on the oracle
+  side: the two formulations are independent, which is the point.
+
+Determinism notes: per-term products are micro-quantized to BIGINT
+before any cross-row sum (engine sum order differs); money flows as
+exact centi-cent BIGINTs; degenerate denominators emit explicit 0.0
+sentinels in both engines (the ADVICE r7 kappa/F1 discipline); BFS
+hop assignment is min-hop by construction on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.queries import query
+from dso_import_spark.queries_pkg.util import tables
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly count series at fixed lags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "autocorrelation_lags",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*)::BIGINT AS x
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)),
+    stats AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx
+      FROM hourly GROUP BY event_type),
+    lagged AS (
+      SELECT h.event_type, h.x, s.n, s.sx,
+             s.sx * 1.0 / s.n AS xbar,
+             lag(h.x, 1) OVER w AS x1,
+             lag(h.x, 24) OVER w AS x24
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.h)),
+    terms AS (
+      SELECT event_type, n,
+             CAST(round(1000000 * (x - xbar) * (x - xbar)) AS BIGINT)
+               AS den_micro,
+             CASE WHEN x1 IS NOT NULL THEN
+               CAST(round(1000000 * (x - xbar) * (x1 - xbar)) AS BIGINT)
+             ELSE 0 END AS num1_micro,
+             CASE WHEN x24 IS NOT NULL THEN
+               CAST(round(1000000 * (x - xbar) * (x24 - xbar)) AS BIGINT)
+             ELSE 0 END AS num24_micro
+      FROM lagged)
+    SELECT event_type, max(n) AS n_hours,
+           CASE WHEN sum(den_micro) > 0
+           THEN round(sum(num1_micro) * 1.0 / sum(den_micro), 6)
+           ELSE 0.0 END AS acf_lag1,
+           CASE WHEN sum(den_micro) > 0
+           THEN round(sum(num24_micro) * 1.0 / sum(den_micro), 6)
+           ELSE 0.0 END AS acf_lag24
+    FROM terms GROUP BY event_type
+    """,
+    doc="Autocorrelation of the hourly event-count series at lags 1 "
+    "and 24 per event type — the seasonality detector run before "
+    "fitting any (day-of-week, hour) baseline: r_24 >> 0 says daily "
+    "seasonality is real, r_1 measures short-range burstiness. "
+    "r_k = Σ(x_t-x̄)(x_{t-k}-x̄)/Σ(x_t-x̄)² over the hourly counts: "
+    "x̄ comes from exact BIGINT (count, sum) so both engines build the "
+    "identical double, every cross-term is micro-quantized to BIGINT "
+    "BEFORE the cross-row sum (engine sum order differs, exact "
+    "integer sums do not), and a zero denominator (constant series) "
+    "emits the explicit 0.0 sentinel. Window input is |hours| per "
+    "series (the drift_ks posture), never |events|; both lags ride "
+    "ONE window pass.",
+)
+def autocorrelation_lags(spark, sf_dir):
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.where(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    xbar = F.col("sx") * 1.0 / F.col("n")
+    lagged = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        (F.col("x") - xbar).alias("d0"),
+        (F.lag("x", 1).over(w) - xbar).alias("d1"),
+        (F.lag("x", 24).over(w) - xbar).alias("d24"),
+    )
+    def q(col):
+        return F.round(F.lit(1000000) * col).cast("long")
+
+    terms = lagged.select(
+        "event_type",
+        "n",
+        q(F.col("d0") * F.col("d0")).alias("den_micro"),
+        F.when(F.col("d1").isNotNull(), q(F.col("d0") * F.col("d1")))
+        .otherwise(F.lit(0))
+        .alias("num1_micro"),
+        F.when(F.col("d24").isNotNull(), q(F.col("d0") * F.col("d24")))
+        .otherwise(F.lit(0))
+        .alias("num24_micro"),
+    )
+    den = F.sum("den_micro")
+    return terms.groupBy("event_type").agg(
+        F.max("n").alias("n_hours"),
+        F.when(den > 0, F.round(F.sum("num1_micro") * 1.0 / den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("acf_lag1"),
+        F.when(den > 0, F.round(F.sum("num24_micro") * 1.0 / den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("acf_lag24"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Header-vs-detail money reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_lineitem_reconcile",
+    oracle="""
+    WITH detail AS (
+      SELECT l_orderkey,
+             sum(CAST(round(10000 * l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax)) AS BIGINT))::BIGINT AS detail_cc
+      FROM lineitem GROUP BY l_orderkey),
+    joined AS (
+      SELECT o.o_orderpriority AS priority,
+             coalesce(d.detail_cc, 0)
+               - CAST(round(10000 * o.o_totalprice) AS BIGINT) AS diff_cc
+      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey)
+    SELECT priority, count(*)::BIGINT AS n_orders,
+           sum((abs(diff_cc) > 100)::INT)::BIGINT AS n_mismatched,
+           max(abs(diff_cc))::BIGINT AS max_abs_diff_cc
+    FROM joined GROUP BY priority
+    """,
+    doc="Header-vs-detail reconciliation: o_totalprice recomputed from "
+    "its lineitems as Σ extendedprice·(1-discount)·(1+tax), compared "
+    "in exact CENTI-CENT BIGINTs (each line's extension is quantized "
+    "to 1/10000 currency units BEFORE the per-order sum, so partition "
+    "order cannot move a single bit on either engine). Reports per "
+    "priority the order count, orders off by more than a cent, and "
+    "the worst absolute discrepancy — the cross-TABLE consistency "
+    "audit per-table quality gates (SURVEY §2.6) structurally cannot "
+    "express, and the first thing a migration validates after loading "
+    "a header/detail pair. Headerless details and detail-less headers "
+    "both surface (LEFT JOIN + coalesce). One shuffle per side on the "
+    "order key; AQE broadcasts the collapsed detail relation.",
+)
+def order_lineitem_reconcile(spark, sf_dir):
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    line_cc = F.round(
+        F.lit(10000)
+        * F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("long")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(line_cc).cast("long").alias("detail_cc")
+    )
+    joined = orders.join(
+        detail, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.coalesce(F.col("detail_cc"), F.lit(0))
+            - F.round(F.lit(10000) * F.col("o_totalprice")).cast("long")
+        ).alias("diff_cc"),
+    )
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.abs(F.col("diff_cc")) > 100).cast("int"))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.abs(F.col("diff_cc"))).cast("long").alias("max_abs_diff_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS reachability over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KHOP_SEEDS = 10
+_KHOP_DEPTH = 3
+
+
+@query(
+    "khop_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    seeds AS (
+      SELECT l_partkey AS node
+      FROM (SELECT DISTINCT l_partkey FROM lineitem
+            ORDER BY l_partkey LIMIT {_KHOP_SEEDS})),
+    bfs(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT a.v, b.hop + 1
+      FROM bfs b JOIN adj a ON a.u = b.node
+      WHERE b.hop < {_KHOP_DEPTH}),
+    minhop AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+    SELECT hop, count(*)::BIGINT AS n_reached
+    FROM minhop GROUP BY hop
+    """,
+    doc=f"Minimum-hop BFS reach counts from the {_KHOP_SEEDS} smallest "
+    f"part keys over the co-purchase graph, depth-bounded at "
+    f"{_KHOP_DEPTH} — the recall/blast-radius primitive behind "
+    "'which parts are within k recommendation hops' and supply-chain "
+    "impact analysis; completes the graph family (pagerank = "
+    "importance, triangles = density, components = partition, BFS = "
+    "reachability). Spark side: iterative frontier joins — each hop "
+    "joins the frontier to the adjacency list, anti-joins the "
+    "visited set, and localCheckpoints the (bounded, |nodes|-sized) "
+    "visited relation so the plan stays flat across iterations (the "
+    "connected-components discipline, dedup.py:connected_components). "
+    "Oracle side: an independent WITH RECURSIVE replay with min-hop "
+    "grouping. Per-hop counts are exact; min-hop is deterministic by "
+    "construction on both sides. Edges are basket-bounded "
+    "(the basket_pair_affinity bound), never |parts|².",
+)
+def khop_reachability(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        li.select("l_partkey")
+        .distinct()
+        .orderBy("l_partkey")
+        .limit(_KHOP_SEEDS)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    reached = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = reached.select("node")
+    for h in range(1, _KHOP_DEPTH + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        reached = reached.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return reached.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached")
+    )

@@ -103,3 +103,35 @@ def test_jsonl_rescue_isolates_exactly_the_corrupted_lines(spark, sf_dir):
     assert by_bucket["_corrupt"]["n"] == truth["corrupt"]
     assert by_bucket["_corrupt"]["amount_sum"] == 0
     assert sum(r["n"] for r in rows) == truth["n"]
+
+
+def test_acf_lag24_sees_daily_seasonality_if_present(spark, sf_dir):
+    rows = REGISTRY["autocorrelation_lags"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["acf_lag1"] <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= r["acf_lag24"] <= 1.0 + 1e-6
+        assert r["n_hours"] > 24
+
+
+def test_reconcile_covers_every_order_once(spark, sf_dir):
+    from dso_import_spark.queries_pkg.util import tables
+
+    rows = REGISTRY["order_lineitem_reconcile"].spark(spark, sf_dir).collect()
+    (orders,) = tables(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    for r in rows:
+        assert 0 <= r["n_mismatched"] <= r["n_orders"]
+        assert r["max_abs_diff_cc"] >= 0
+
+
+def test_khop_hops_are_contiguous_and_monotone_from_seeds(spark, sf_dir):
+    rows = REGISTRY["khop_reachability"].spark(spark, sf_dir).collect()
+    by_hop = {r["hop"]: r["n_reached"] for r in rows}
+    # hop 0 is exactly the seed set
+    assert by_hop[0] == 10
+    # hops present are contiguous from 0 (BFS can stop early when the
+    # frontier empties, but can never skip a level)
+    hops = sorted(by_hop)
+    assert hops == list(range(len(hops)))
+    assert all(n > 0 for n in by_hop.values())

@@ -404,6 +404,22 @@ _SCALAR_RESULT_QUERIES = {
     # 1-row combine and the 32-row replicate-mean rank window —
     # B-bounded bootstrap state, never data
     "bootstrap_mean_ci",
+    # the BH rank/step-up windows run over the |event types| p-value
+    # relation (5 rows); the KS stage itself is type-partitioned —
+    # bounded multiple-testing state, never data
+    "bh_fdr_correction",
+    # 1-row method-of-moments prior (exact BIGINT S1/S2 combine over
+    # the |strata| relation) broadcast back — bounded prior state
+    "eb_shrunken_rates",
+    # 1-row grand-total + the |types|x|arms|-bounded contingency
+    # combine — the chi_square_independence class
+    "mutual_information_cols",
+    # cumulative/cut windows over the |languages| caps relation
+    # (5 rows) + 1-row totals — bounded allocation state, never data
+    "budget_water_filling",
+    # ONE 1-row integer confusion aggregate; the whole query is the
+    # scalar combine — the cohens_kappa class
+    "randomized_response_debias",
 }
 
 
