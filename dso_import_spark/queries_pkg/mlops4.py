@@ -234,7 +234,7 @@ _EB_SHORT = 600  # "short document" cutoff in chars
     SELECT r.lang, r.source, r.n, r.x, r.r_micro,
            round(CASE WHEN p.v > 0 AND p.v < p.m * (1 - p.m)
                  THEN (r.x + p.m * (p.m * (1 - p.m) / p.v - 1))
-                    / (r.n + p.m * (1 - p.m) / p.v - 1)
+                    / (r.n + (p.m * (1 - p.m) / p.v - 1))
                  ELSE p.m END, 6) AS shrunken
     FROM rmicro r CROSS JOIN prior p
     """,
@@ -271,6 +271,9 @@ def eb_shrunken_rates(spark, sf_dir):
     m = F.col("s1") * 1.0 / F.col("k") / 1000000
     v = F.col("s2") * 1.0 / F.col("k") / 1000000000000 - m * m
     prior = mom.select(m.alias("m"), v.alias("v"))
+    # the oracle parenthesizes the denominator as n + (phi) to match
+    # THIS association exactly — FP addition is non-associative and
+    # ((n + m(1-m)/v) - 1) can differ by an ulp (round-8 code review)
     phi = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
     shrunken = F.when(
         (F.col("v") > 0) & (F.col("v") < F.col("m") * (1 - F.col("m"))),
@@ -729,9 +732,11 @@ _PB_TAUS = [0.5, 0.75]  # exact binary fractions
       SELECT event_type, value FROM events
       WHERE value IS NOT NULL AND ts >= TIMESTAMP '{_PB_SPLIT}')
     SELECT c.event_type, r.tau, count(*)::BIGINT AS n_eval,
-           round(avg(CASE WHEN c.value >= r.qhat
-                          THEN r.tau * (c.value - r.qhat)
-                          ELSE (1 - r.tau) * (r.qhat - c.value) END), 6)
+           round(sum(CAST(round(1000000 *
+                 (CASE WHEN c.value >= r.qhat
+                       THEN r.tau * (c.value - r.qhat)
+                       ELSE (1 - r.tau) * (r.qhat - c.value) END))
+                 AS BIGINT)) * 1.0 / count(*) / 1000000, 6)
              AS pinball_loss
     FROM cur c JOIN ref r ON r.event_type = c.event_type
     GROUP BY c.event_type, r.tau
@@ -776,12 +781,20 @@ def pinball_loss_eval(spark, sf_dir):
         F.col("value") >= F.col("qhat"),
         F.col("tau") * (F.col("value") - F.col("qhat")),
     ).otherwise((1 - F.col("tau")) * (F.col("qhat") - F.col("value")))
+    # per-row loss is micro-quantized to BIGINT BEFORE the cross-row
+    # mean (round-8 code review): a raw double avg() is partition-
+    # order dependent in Spark and scan-ordered in DuckDB, so a group
+    # mean near a 0.5e-6 boundary could round differently — exact
+    # integer sums cannot
+    loss_micro = F.round(F.lit(1000000) * loss).cast("long")
     return (
         cur.join(F.broadcast(ref), "event_type")
         .groupBy("event_type", "tau")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_eval"),
-            F.round(F.avg(loss), 6).alias("pinball_loss"),
+            F.round(
+                F.sum(loss_micro) * 1.0 / F.count(F.lit(1)) / 1000000, 6
+            ).alias("pinball_loss"),
         )
     )
 

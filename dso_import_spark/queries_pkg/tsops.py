@@ -26,7 +26,6 @@ hop assignment is min-hop by construction on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dso_import_spark.queries import query
@@ -50,21 +49,24 @@ from dso_import_spark.queries_pkg.util import tables
              sum(x)::BIGINT AS sx
       FROM hourly GROUP BY event_type),
     lagged AS (
-      SELECT h.event_type, h.x, s.n, s.sx,
+      SELECT h.event_type, h.x, s.n,
              s.sx * 1.0 / s.n AS xbar,
-             lag(h.x, 1) OVER w AS x1,
-             lag(h.x, 24) OVER w AS x24
-      FROM hourly h JOIN stats s ON s.event_type = h.event_type
-      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.h)),
+             l1.x AS x1, l24.x AS x24
+      FROM hourly h
+      JOIN stats s ON s.event_type = h.event_type
+      LEFT JOIN hourly l1 ON l1.event_type = h.event_type
+                         AND l1.h = h.h - INTERVAL 1 HOUR
+      LEFT JOIN hourly l24 ON l24.event_type = h.event_type
+                          AND l24.h = h.h - INTERVAL 24 HOUR),
     terms AS (
       SELECT event_type, n,
-             CAST(round(1000000 * (x - xbar) * (x - xbar)) AS BIGINT)
+             CAST(round(1000000 * ((x - xbar) * (x - xbar))) AS BIGINT)
                AS den_micro,
              CASE WHEN x1 IS NOT NULL THEN
-               CAST(round(1000000 * (x - xbar) * (x1 - xbar)) AS BIGINT)
+               CAST(round(1000000 * ((x - xbar) * (x1 - xbar))) AS BIGINT)
              ELSE 0 END AS num1_micro,
              CASE WHEN x24 IS NOT NULL THEN
-               CAST(round(1000000 * (x - xbar) * (x24 - xbar)) AS BIGINT)
+               CAST(round(1000000 * ((x - xbar) * (x24 - xbar))) AS BIGINT)
              ELSE 0 END AS num24_micro
       FROM lagged)
     SELECT event_type, max(n) AS n_hours,
@@ -80,14 +82,21 @@ from dso_import_spark.queries_pkg.util import tables
     "and 24 per event type — the seasonality detector run before "
     "fitting any (day-of-week, hour) baseline: r_24 >> 0 says daily "
     "seasonality is real, r_1 measures short-range burstiness. "
-    "r_k = Σ(x_t-x̄)(x_{t-k}-x̄)/Σ(x_t-x̄)² over the hourly counts: "
-    "x̄ comes from exact BIGINT (count, sum) so both engines build the "
-    "identical double, every cross-term is micro-quantized to BIGINT "
-    "BEFORE the cross-row sum (engine sum order differs, exact "
-    "integer sums do not), and a zero denominator (constant series) "
-    "emits the explicit 0.0 sentinel. Window input is |hours| per "
-    "series (the drift_ks posture), never |events|; both lags ride "
-    "ONE window pass.",
+    "r_k = Σ(x_t-x̄)(x_{t-k}-x̄)/Σ(x_t-x̄)² over the hourly counts. "
+    "Lag alignment is CALENDAR-correct: x_{t-k} comes from a self-"
+    "join on h - INTERVAL k HOUR, not a lag() over observed-row "
+    "order — on a gappy series a row-lag silently pairs an hour with "
+    "the 24th OBSERVED hour back (26+ calendar hours across a quiet "
+    "night), measuring the wrong lag while both engines agree "
+    "(round-8 code review); missing partner hours drop out of the "
+    "numerator exactly as a NULL lag would. x̄ comes from exact "
+    "BIGINT (count, sum) so both engines build the identical double, "
+    "every cross-term is micro-quantized to BIGINT with the IDENTICAL "
+    "association 1e6·((a)·(b)) BEFORE the cross-row sum (engine sum "
+    "order differs, exact integer sums do not), and a zero "
+    "denominator (constant series) emits the explicit 0.0 sentinel. "
+    "Join input is |hours| per series (the drift_ks posture), never "
+    "|events|.",
 )
 def autocorrelation_lags(spark, sf_dir):
     (events,) = tables(spark, sf_dir, "events")
@@ -95,31 +104,54 @@ def autocorrelation_lags(spark, sf_dir):
         events.where(F.col("event_type").isNotNull())
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # three consumers (base + two calendar-offset sides): the
+        # |hours|-bounded relation computes once
+        .localCheckpoint(eager=True)
     )
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    xbar = F.col("sx") * 1.0 / F.col("n")
-    lagged = hourly.join(F.broadcast(stats), "event_type").select(
-        "event_type",
-        "n",
-        (F.col("x") - xbar).alias("d0"),
-        (F.lag("x", 1).over(w) - xbar).alias("d1"),
-        (F.lag("x", 24).over(w) - xbar).alias("d24"),
+    l1 = hourly.select(
+        F.col("event_type").alias("et1"),
+        F.col("h").alias("h1"),
+        F.col("x").alias("x1"),
     )
-    def q(col):
-        return F.round(F.lit(1000000) * col).cast("long")
+    l24 = hourly.select(
+        F.col("event_type").alias("et24"),
+        F.col("h").alias("h24"),
+        F.col("x").alias("x24"),
+    )
+    base = hourly.join(F.broadcast(stats), "event_type")
+    lagged = (
+        base.join(
+            l1,
+            (F.col("et1") == F.col("event_type"))
+            & (F.col("h1") == F.col("h") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .join(
+            l24,
+            (F.col("et24") == F.col("event_type"))
+            & (F.col("h24") == F.col("h") - F.expr("INTERVAL 24 HOUR")),
+            "left",
+        )
+    )
+    xbar = F.col("sx") * 1.0 / F.col("n")
 
+    def q(a, b):
+        # identical association to the oracle: 1e6 * ((a) * (b))
+        return F.round(F.lit(1000000) * ((a) * (b))).cast("long")
+
+    d0 = F.col("x") - xbar
     terms = lagged.select(
         "event_type",
         "n",
-        q(F.col("d0") * F.col("d0")).alias("den_micro"),
-        F.when(F.col("d1").isNotNull(), q(F.col("d0") * F.col("d1")))
+        q(d0, d0).alias("den_micro"),
+        F.when(F.col("x1").isNotNull(), q(d0, F.col("x1") - xbar))
         .otherwise(F.lit(0))
         .alias("num1_micro"),
-        F.when(F.col("d24").isNotNull(), q(F.col("d0") * F.col("d24")))
+        F.when(F.col("x24").isNotNull(), q(d0, F.col("x24") - xbar))
         .otherwise(F.lit(0))
         .alias("num24_micro"),
     )
@@ -149,10 +181,12 @@ def autocorrelation_lags(spark, sf_dir):
                             * (1 + l_tax)) AS BIGINT))::BIGINT AS detail_cc
       FROM lineitem GROUP BY l_orderkey),
     joined AS (
-      SELECT o.o_orderpriority AS priority,
+      SELECT coalesce(o.o_orderpriority, '_orphan_detail') AS priority,
              coalesce(d.detail_cc, 0)
-               - CAST(round(10000 * o.o_totalprice) AS BIGINT) AS diff_cc
-      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey)
+               - coalesce(CAST(round(10000 * o.o_totalprice) AS BIGINT), 0)
+               AS diff_cc
+      FROM orders o FULL OUTER JOIN detail d
+        ON d.l_orderkey = o.o_orderkey)
     SELECT priority, count(*)::BIGINT AS n_orders,
            sum((abs(diff_cc) > 100)::INT)::BIGINT AS n_mismatched,
            max(abs(diff_cc))::BIGINT AS max_abs_diff_cc
@@ -168,8 +202,12 @@ def autocorrelation_lags(spark, sf_dir):
     "audit per-table quality gates (SURVEY §2.6) structurally cannot "
     "express, and the first thing a migration validates after loading "
     "a header/detail pair. Headerless details and detail-less headers "
-    "both surface (LEFT JOIN + coalesce). One shuffle per side on the "
-    "order key; AQE broadcasts the collapsed detail relation.",
+    "BOTH surface: FULL OUTER join — orphan lineitems (the exact "
+    "integrity breach a reconciliation exists to catch; a LEFT join "
+    "from orders would silently drop them, round-8 code review) land "
+    "in an explicit '_orphan_detail' bucket, detail-less orders "
+    "mismatch against a zero recomputation. One shuffle per side on "
+    "the order key.",
 )
 def order_lineitem_reconcile(spark, sf_dir):
     orders, li = tables(spark, sf_dir, "orders", "lineitem")
@@ -183,12 +221,17 @@ def order_lineitem_reconcile(spark, sf_dir):
         F.sum(line_cc).cast("long").alias("detail_cc")
     )
     joined = orders.join(
-        detail, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+        detail, F.col("l_orderkey") == F.col("o_orderkey"), "full_outer"
     ).select(
-        F.col("o_orderpriority").alias("priority"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("_orphan_detail")).alias(
+            "priority"
+        ),
         (
             F.coalesce(F.col("detail_cc"), F.lit(0))
-            - F.round(F.lit(10000) * F.col("o_totalprice")).cast("long")
+            - F.coalesce(
+                F.round(F.lit(10000) * F.col("o_totalprice")).cast("long"),
+                F.lit(0),
+            )
         ).alias("diff_cc"),
     )
     return joined.groupBy("priority").agg(
@@ -284,7 +327,11 @@ def khop_reachability(spark, sf_dir):
             .withColumn("hop", F.lit(h))
         )
         reached = reached.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
+        # read the next frontier BACK from the checkpointed visited
+        # relation — `nxt.select("node")` would keep the pre-checkpoint
+        # lineage and re-execute every prior hop's join inside the next
+        # hop's plan, O(depth²) join work (round-8 code review)
+        frontier = reached.where(F.col("hop") == h).select("node")
     return reached.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached")
     )

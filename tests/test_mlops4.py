@@ -135,3 +135,52 @@ def test_khop_hops_are_contiguous_and_monotone_from_seeds(spark, sf_dir):
     hops = sorted(by_hop)
     assert hops == list(range(len(hops)))
     assert all(n > 0 for n in by_hop.values())
+
+
+def test_bh_pvalues_are_in_lockstep_with_drift_ks(spark, sf_dir):
+    # bh_fdr_correction embeds the drift_ks_statistic KS-D pipeline
+    # (same split constant, NULL guard, 6dp rounding). Factoring a
+    # shared helper would edit driver-green advanced.py (re-staling
+    # its 38 queries), so this parity test pins the two copies in
+    # lockstep instead: recompute p from drift_ks's published D and
+    # the split counts, and require bit-equality with bh's p_micro.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.mlops4 import _BH_SPLIT
+    from dso_import_spark.queries_pkg.util import tables
+
+    ks = {
+        r["event_type"]: r["ks_d"]
+        for r in REGISTRY["drift_ks_statistic"].spark(spark, sf_dir).collect()
+    }
+    bh = {
+        r["event_type"]: r["p_micro"]
+        for r in REGISTRY["bh_fdr_correction"].spark(spark, sf_dir).collect()
+    }
+    (events,) = tables(spark, sf_dir, "events")
+    counts = {
+        r["event_type"]: (r["n_ref"], r["n_cur"])
+        for r in events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("ts") < F.lit(_BH_SPLIT).cast("timestamp_ntz")).cast(
+                    "int"
+                )
+            ).alias("n_ref"),
+            F.sum(
+                (F.col("ts") >= F.lit(_BH_SPLIT).cast("timestamp_ntz")).cast(
+                    "int"
+                )
+            ).alias("n_cur"),
+        )
+        .collect()
+    }
+    assert set(ks) == set(bh)
+    for et, d in ks.items():
+        n_ref, n_cur = counts[et]
+        en = n_ref * n_cur / (n_ref + n_cur)
+        p = min(1.0, 2.0 * math.exp(-2.0 * en * d * d))
+        assert bh[et] == round(p * 1000000), (et, d, bh[et], p)
