@@ -184,3 +184,31 @@ def test_bh_pvalues_are_in_lockstep_with_drift_ks(spark, sf_dir):
         en = n_ref * n_cur / (n_ref + n_cur)
         p = min(1.0, 2.0 * math.exp(-2.0 * en * d * d))
         assert bh[et] == round(p * 1000000), (et, d, bh[et], p)
+
+
+def test_water_filling_saturates_under_engineered_skew(spark, tmp_path):
+    # synthetic corpus forcing real saturation: lang 'aa' has tiny
+    # capacity-per-weight (50 one-token docs), lang 'bb' huge (2 docs
+    # x 1000 tokens). budget = floor(2050/2) = 1025 > aa's 50-token
+    # cap, so aa MUST saturate and bb takes lambda*w = (1025-50)/2
+    # per doc. Pins the threshold algebra end-to-end on data where
+    # the fixture never saturates.
+    rows = [(i, "tok", "aa", "s", 3) for i in range(50)] + [
+        (100 + j, " ".join(f"w{j}x{i}" for i in range(1000)), "bb", "s", 5000)
+        for j in range(2)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["lang"]: r
+        for r in REGISTRY["budget_water_filling"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["aa"]["saturated"] and out["aa"]["alloc_tokens"] == 50.0
+    assert not out["bb"]["saturated"]
+    assert abs(out["bb"]["alloc_tokens"] - 975.0) < 1e-6
+    total = sum(r["alloc_tokens"] for r in out.values())
+    assert abs(total - 1025) < 1e-6
