@@ -150,16 +150,23 @@ def main() -> None:
         extra[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # key order matters operationally: the driver records a bounded
+    # TAIL of stdout, and BENCH_r07's capture clipped the leading
+    # '{"metric"... "value"' off the front. The big per-query dicts
+    # therefore come FIRST and the scalar summary (value/unit/sf)
+    # LAST, so however deep the clip cuts, the headline number always
+    # survives in the tail. JSON key order is semantically irrelevant
+    # to any parser.
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
                 "extra_total_sec": round(sum(extra.values()), 3),
                 "sf": _sf_from_dir(SF_DIR),
+                "unit": "sec",
+                "value": total,
             }
         )
     )
