@@ -102,7 +102,22 @@ class Warehouse:
         try:
             return spark.read.parquet(self.path(name))
         except AnalysisException:
-            # empty table (created by create_tables, no parquet footers yet)
+            # only a genuinely EMPTY table directory (created by
+            # create_tables, no data files yet) may read as empty. A
+            # directory that HAS data files but still fails analysis is
+            # damaged (lost footers, partial copy) — reading it as
+            # empty would bypass the Q4 never-delete gate (zero
+            # existing rows → nothing can be 'deleted') and the next
+            # write() would replace what remains of the real history
+            # with a fresh load (round-8 review). Fail loudly instead.
+            p = self.path(name)
+            data_files = [
+                fn
+                for fn in (os.listdir(p) if os.path.isdir(p) else [])
+                if not fn.startswith(("_", "."))
+            ]
+            if data_files:
+                raise
             return spark.createDataFrame([], self.schemas[name])
 
     def read_or_empty(self, spark: SparkSession, name: str) -> DataFrame:
@@ -510,7 +525,17 @@ def main() -> None:
         get_spark("bagh_import"), args.data_dir, args.warehouse,
         schema_doc=args.schema_doc,
     )
-    tables = args.tables.split(",") if args.tables else None
+    tables = None
+    if args.tables:
+        # strip whitespace and validate like --start does: a typo or
+        # an 'a, b'-style list must fail loudly, not silently skip a
+        # table and exit 0 (round-8 review)
+        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+        unknown = [t for t in tables if t not in TABLE_ORDER]
+        if unknown:
+            raise ValueError(
+                f"unknown --tables entries {unknown}; valid: {TABLE_ORDER}"
+            )
     for r in job.run(start=args.start, create=args.create, tables=tables):
         print(r)
 

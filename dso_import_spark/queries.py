@@ -151,6 +151,12 @@ FORCE_REVERIFY: list[str] = [
     # oldest driver evidence in the registry (r1 rows) — refreshed
     # now that the never+stale pool no longer fills the budget
     "pii_redaction_stats", "repetition_quality_flags",
+    # round-8 review fixes touched sources/wkt_source.py (shared
+    # register_once helper) and sources/tail_source.py (truncation
+    # generations) — the registered callables live in queries_pkg
+    # modules stale_green can't see through, so mark explicitly
+    # (wkt_file_scan and stream_tail_ingest are already staged/front)
+    "wkt_write_roundtrip",
 ]
 
 # ROUND 9 QUEUE (pre-staged): never-verified first (the round-8
@@ -193,8 +199,8 @@ ROUND9_QUEUE = [
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",
     "fk_validation", "delete_detection", "merge_counts_scale",
     "explode_bridge",
-    # (4) r3 rows
-    "stream_interval_left_outer", "wkt_file_scan",
+    # (4) r3/r4 rows + the review-touched WKT write path
+    "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",
 ]

@@ -23,6 +23,17 @@ def read_gob_csv(
 
     ``max_rows`` mirrors process_csv's row limit (batch/csv.py:79-81).
     The utf-8-sig BOM, if present, is stripped from the first header.
+
+    Malformed lines are DROPPED, never null-padded (round-8 review):
+    plain PERMISSIVE mode silently pads a ragged line with NULLs, and
+    a truncated row that still carries the leading key columns would
+    sail through the null-key gate and merge fabricated all-NULL
+    attributes into history — the reference's row loop raises on such
+    rows (batch/csv.py:46-61, the logged-offending-row wrapper), and
+    this repo's formats.py readers route them to a rejected channel.
+    DROPMALFORMED matches the never-commit-garbage posture while
+    keeping the load running; a caller needing the reference's strict
+    abort can diff input line count against df.count().
     """
     df = (
         spark.read.option("sep", ";")
@@ -30,7 +41,7 @@ def read_gob_csv(
         .option("quote", '"')
         .option("encoding", "UTF-8")
         .option("nullValue", "")
-        .option("mode", "PERMISSIVE")
+        .option("mode", "DROPMALFORMED")
         .csv(path)
     )
     first = df.columns[0]

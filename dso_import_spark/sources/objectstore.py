@@ -23,14 +23,30 @@ import urllib.request
 DEFAULT_MAX_AGE_HOURS = 24.0
 
 
+def _stamp_path(path: str) -> str:
+    return path + ".__fetched"
+
+
 def is_fresh(path: str, max_age_hours: float = DEFAULT_MAX_AGE_HOURS) -> bool:
-    """True if a local copy exists and is younger than the TTL
-    (objectstore.py:57-62)."""
-    try:
-        age_s = time.time() - os.path.getmtime(path)
-    except OSError:
+    """True if a local copy exists and was DOWNLOADED within the TTL
+    (objectstore.py:57-62).
+
+    Freshness reads the sidecar download stamp, not the file mtime:
+    ``restore_mtime=True`` sets the file mtime to the REMOTE object's
+    Last-Modified, so a static extract last modified months ago would
+    look permanently stale by its own mtime and re-download on every
+    run (round-8 review). Falls back to the file mtime for caches
+    landed before the stamp existed."""
+    if not os.path.exists(path):
         return False
-    return age_s < max_age_hours * 3600
+    try:
+        fetched_at = os.path.getmtime(_stamp_path(path))
+    except OSError:
+        try:
+            fetched_at = os.path.getmtime(path)
+        except OSError:
+            return False
+    return time.time() - fetched_at < max_age_hours * 3600
 
 
 def fetch(
@@ -59,6 +75,10 @@ def fetch(
         shutil.copyfileobj(resp, out)
         mtime = _source_mtime(resp, url)
     os.replace(tmp, local)
+    # download-time stamp: the freshness TTL measures time since FETCH,
+    # independent of the (possibly ancient) remote mtime restored below
+    with open(_stamp_path(local), "w"):
+        pass
     if restore_mtime and mtime is not None:
         os.utime(local, (mtime, mtime))
     return local

@@ -154,8 +154,16 @@ def read_shapefile(
                 from urllib.parse import unquote
 
                 if path.startswith(("file:", "/")):
-                    # binaryFile URL-encodes paths (space -> %20)
-                    local = unquote(path.removeprefix("file:"))
+                    # binaryFile URL-encodes file: URLs (space -> %20);
+                    # a BARE /path is NOT encoded — unquoting it would
+                    # corrupt filenames containing literal %XX (round-8
+                    # review: '/data/100%20off.shp' must not become
+                    # '/data/100 off.shp', whose missing .dbf silently
+                    # drops every attribute)
+                    if path.startswith("file:"):
+                        local = unquote(path.removeprefix("file:"))
+                    else:
+                        local = path
                     dbf_path = os.path.splitext(local)[0] + ".dbf"
                     if os.path.exists(dbf_path):
                         # existing-but-unreadable must RAISE, not be

@@ -17,6 +17,16 @@ Exactly-once: offsets live in the query checkpoint, so a restarted
 query resumes from the committed byte position — appended lines are
 read once, never re-read, with no state outside the checkpoint.
 
+Truncation (logrotate ``copytruncate``) is generation-tracked
+(round-8 review): an offset is ``[generation, position]`` per file;
+when ``latestOffset`` observes the file smaller than it last was, the
+generation bumps and the next batch replays the NEW content from byte
+0 instead of resuming mid-file at the stale position (which would
+silently lose the new head and emit a torn fragment). The residual
+blind spot — truncate-and-regrow PAST the old size entirely between
+two polls — is the classic tailer limit (inode tracking would close
+it) and is documented here rather than hidden.
+
 Appends must be line-atomic (each write ends in ``\\n``) — true of
 O_APPEND log writers; a torn final line without a newline is left for
 the next batch rather than half-parsed.
@@ -77,11 +87,24 @@ def _complete_size(path: str) -> int:
         return 0
 
 
+def _gen_pos(v) -> tuple[int, int]:
+    """Offset value → (generation, position); accepts the legacy bare
+    int form so an old checkpoint still resumes."""
+    if isinstance(v, (list, tuple)):
+        return int(v[0]), int(v[1])
+    return 0, int(v)
+
+
 class TailStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("eventtail source requires .load('<dir>')")
+        # per-instance truncation tracker: last size seen per file and
+        # the current generation. Lives only for the run; a restarted
+        # query re-learns generations from the committed offsets.
+        self._last_size: dict[str, int] = {}
+        self._gen: dict[str, int] = {}
 
     def _files(self) -> list[str]:
         if os.path.isfile(self.path):
@@ -95,17 +118,32 @@ class TailStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # start of every currently-present file: replay from byte 0
-        return {p: 0 for p in self._files()}
+        return {p: [0, 0] for p in self._files()}
 
     def latestOffset(self) -> dict:
-        return {p: _complete_size(p) for p in self._files()}
+        out = {}
+        for p in self._files():
+            size = _complete_size(p)
+            if size < self._last_size.get(p, 0):
+                # in-place truncation (copytruncate): new generation —
+                # the next batch replays the new content from byte 0
+                self._gen[p] = self._gen.get(p, 0) + 1
+            self._last_size[p] = size
+            out[p] = [self._gen.get(p, 0), size]
+        return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[_Tail]:
-        parts = [
-            _Tail(p, int(start.get(p, 0)), int(e))
-            for p, e in end.items()
-            if int(e) > int(start.get(p, 0))
-        ]
+        parts = []
+        for p, e in end.items():
+            e_gen, e_pos = _gen_pos(e)
+            s_gen, s_pos = _gen_pos(start.get(p, [0, 0]))
+            if e_gen > s_gen or e_pos < s_pos:
+                # truncated since the committed offset (generation bump,
+                # or a shrink the tracker itself hasn't seen — a fresh
+                # reader instance after restart): replay from 0
+                s_pos = 0
+            if e_pos > s_pos:
+                parts.append(_Tail(p, s_pos, e_pos))
         # a batch with no growth still needs one (empty) partition —
         # Spark requires a non-empty plan
         return parts or [_Tail(next(iter(end), ""), 0, 0)]
@@ -115,8 +153,13 @@ class TailStreamReader(DataSourceStreamReader):
             return
         try:
             f = open(partition.path, "rb")
-        except OSError:
+        except FileNotFoundError:
             return  # rotated away after the offset was planned
+        # any OTHER open failure (permissions, a file that only exists
+        # on the driver host, I/O error) must FAIL the batch so the
+        # offset is not committed past unread data — swallowing it
+        # silently skips the planned byte range forever (round-8
+        # review); Spark retries the task / fails the query visibly
         with f:
             f.seek(partition.start)
             while f.tell() < partition.end:
@@ -157,21 +200,9 @@ class TailDataSource(DataSource):
         return TailStreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_tail_source(spark) -> None:
-    """Idempotently register the format with this session."""
-    key = id(spark.sparkContext)
-    if key not in _REGISTERED:
-        # the DataSource class is cloudpickled to Python worker
-        # processes that may not have this package on sys.path (the
-        # planner-side data source runner does not see addPyFile) —
-        # serialize this module by VALUE so no remote import happens
-        import sys
+    """Idempotently register the format with this session (shared
+    helper: by-value pickling + applicationId-keyed idempotence)."""
+    from dso_import_spark.sources._register import register_once
 
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        spark.dataSource.register(TailDataSource)
-        _REGISTERED.add(key)
+    register_once(spark, TailDataSource, __name__)

@@ -226,21 +226,9 @@ class WktDataSource(DataSource):
         return WktDataSourceWriter(self.options, overwrite)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_wkt_source(spark) -> None:
-    """Idempotently register the format with this session."""
-    key = id(spark.sparkContext)
-    if key not in _REGISTERED:
-        # the DataSource class is cloudpickled to Python worker
-        # processes that may not have this package on sys.path (the
-        # planner-side data source runner does not see addPyFile) —
-        # serialize this module by VALUE so no remote import happens
-        import sys
+    """Idempotently register the format with this session (shared
+    helper: by-value pickling + applicationId-keyed idempotence)."""
+    from dso_import_spark.sources._register import register_once
 
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        spark.dataSource.register(WktDataSource)
-        _REGISTERED.add(key)
+    register_once(spark, WktDataSource, __name__)

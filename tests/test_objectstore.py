@@ -39,12 +39,28 @@ def test_stale_copy_refetches(tmp_path):
     src = _make_src(tmp_path)
     dest = tmp_path / "data"
     local = fetch(src.as_uri(), str(dest), restore_mtime=False)
+    # staleness = time since DOWNLOAD: age the sidecar fetch stamp
+    # (the file mtime no longer drives freshness — see below)
     old = time.time() - 90000
-    os.utime(local, (old, old))
+    os.utime(local + ".__fetched", (old, old))
     src.write_bytes(b"CHANGED")
     assert not is_fresh(local)
     fetch(src.as_uri(), str(dest), restore_mtime=False)
     assert open(local, "rb").read() == b"CHANGED"
+
+
+def test_old_remote_mtime_does_not_defeat_the_cache(tmp_path):
+    # round-8 review: restore_mtime=True sets the local file mtime to
+    # the REMOTE object's age — a months-old static extract must still
+    # count as fresh right after downloading, or every run re-downloads
+    # it forever
+    src = _make_src(tmp_path)
+    old = time.time() - 90 * 86400
+    os.utime(src, (old, old))  # remote object "modified" 90 days ago
+    dest = tmp_path / "data"
+    local = fetch(src.as_uri(), str(dest), restore_mtime=True)
+    assert os.path.getmtime(local) < time.time() - 80 * 86400
+    assert is_fresh(local)  # fetched seconds ago → fresh
 
 
 def test_is_fresh_missing_file(tmp_path):

@@ -205,3 +205,18 @@ def test_plan_merge_modes_agree_on_updates(spark):
     auto = plan_merge(existing, staged, key="id")
     plan_str = auto.updated._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan_str
+
+
+def test_read_gob_csv_drops_malformed_lines(spark, tmp_path):
+    # round-8 review: PERMISSIVE null-padding would let a truncated
+    # row that still carries the key columns merge fabricated all-NULL
+    # attributes into history; DROPMALFORMED drops ragged lines (short
+    # AND long) and keeps well-formed ones
+    from dso_import_spark.sources.csv import read_gob_csv
+
+    p = tmp_path / "ragged.csv"
+    p.write_text(
+        "identificatie;volgnummer;naam\nA1;1;x\nA2;2\nA3;3;z;extra\nA4;4;w\n"
+    )
+    rows = sorted(tuple(r) for r in read_gob_csv(spark, str(p)).collect())
+    assert rows == [("A1", "1", "x"), ("A4", "4", "w")]

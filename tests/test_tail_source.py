@@ -83,3 +83,29 @@ def test_tail_source_sees_new_files_too(spark, tmp_path):
     _append(str(src / "b.log"), ["2|2|click|2.0"])
     _, new = _drain(spark, str(src), ckpt, out_dir)
     assert [r.event_id for r in new] == [2]
+
+
+def test_tail_source_replays_after_copytruncate(spark, tmp_path):
+    # logrotate copytruncate: the file shrinks in place and regrows
+    # with NEW content. The committed offset points past the new
+    # file's end; resuming there would lose the new head (and emit a
+    # torn fragment once it regrows past the old offset — round-8
+    # review). The reader must replay the new generation from byte 0.
+    register_tail_source(spark)
+    src = tmp_path / "logs3"
+    src.mkdir()
+    log = str(src / "app.log")
+    ckpt = str(tmp_path / "ckpt3")
+    out_dir = str(tmp_path / "out3")
+    _append(log, ["1|1|view|1.0", "2|2|click|2.0"])
+    _drain(spark, str(src), ckpt, out_dir)
+    # copytruncate: truncate to zero, write new (shorter) content
+    with open(log, "w") as f:
+        f.write("3|3|purchase|9.0\n")
+    _, new = _drain(spark, str(src), ckpt, out_dir)
+    assert sorted(r.event_id for r in new) == [3]
+    # and appends after the truncation keep streaming normally
+    _append(log, ["4|4|view|1.5"])
+    all3, new3 = _drain(spark, str(src), ckpt, out_dir)
+    assert sorted(r.event_id for r in new3) == [4]
+    assert sorted(r.event_id for r in all3.collect()) == [1, 2, 3, 4]
