@@ -148,8 +148,10 @@ def coerce_wkt(col: Column | str, geotype: str) -> Column:
 def wkt_geometry_type(col: Column | str) -> Column:
     """Uppercased WKT type prefix (ST_GeometryType analog), NULL if invalid."""
     c = F.col(col) if isinstance(col, str) else col
-    # regexp_extract returns '' on no match — map that to NULL so the
-    # function honors its own "NULL if invalid" contract
-    return F.nullif(
-        F.upper(F.regexp_extract(F.trim(c), r"^([A-Za-z]+)", 1)), F.lit("")
-    )
+    # regexp_extract returns '' on no match — map that to NULL, and
+    # restrict to the actual WKT geometry types: a bare alpha prefix
+    # ('FOO (1 2)', 'POINTZ ...') is NOT a type, and returning it let
+    # a "type IS NOT NULL" validity gate pass garbage rows that
+    # coerce_wkt would reject (round-8 review)
+    prefix = F.upper(F.regexp_extract(F.trim(c), r"^([A-Za-z]+)", 1))
+    return F.when(prefix.isin(*sorted(GEOMETRY_TYPES)), prefix)

@@ -43,9 +43,16 @@ def create_id(identificatie: Column | str, volgnummer: Column | str) -> Column:
     zero-padded to width 3.
     """
     ident, volg = _col(identificatie), _col(volgnummer)
+    # try_cast to BIGINT, not a raw cast('int'): under default-ANSI
+    # Spark a non-numeric volgnummer ('2a') or an int32 overflow would
+    # ABORT the whole import with CAST_INVALID_INPUT, where the
+    # reference's Python int() succeeds on the 10+-digit case and the
+    # module's own discipline is "NULL, never crash" (round-8 review).
+    # Non-numeric → NULL key → caught by the NULL-key staging gate.
+    vnum = volg.try_cast("bigint")
     return F.when(
-        ident.isNotNull() & (ident != "") & volg.isNotNull(),
-        F.format_string("%s_%03d", ident, volg.cast("int")),
+        ident.isNotNull() & (ident != "") & vnum.isNotNull(),
+        F.format_string("%s_%03d", ident, vnum),
     )
 
 
@@ -61,14 +68,16 @@ def create_ids(id_list: Column | str, volg_list: Column | str, sep: str = r"\|")
     ids = F.split(_col(id_list), sep)
     volgs = F.split(_col(volg_list), sep)
     zipped = F.arrays_zip(ids.alias("i"), volgs.alias("v"))
+    # try_cast for the same reason as create_id: one corrupt token in
+    # one pipe list must yield a NULL element (compacted out), never
+    # abort the job with an ANSI cast error
     mapped = F.transform(
         zipped,
         lambda p: F.when(
             p["i"].isNotNull()
             & (p["i"] != "")
-            & p["v"].isNotNull()
-            & (p["v"] != ""),
-            F.format_string("%s_%03d", p["i"], p["v"].cast("int")),
+            & p["v"].try_cast("bigint").isNotNull(),
+            F.format_string("%s_%03d", p["i"], p["v"].try_cast("bigint")),
         ),
     )
     return F.filter(mapped, lambda x: x.isNotNull())

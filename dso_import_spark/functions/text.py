@@ -15,7 +15,16 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string>."""
+    """Whitespace tokenization → array<string>.
+
+    Definition note (round-8 review): ``split`` retains the empty
+    token produced by LEADING whitespace (and yields ``['']`` for the
+    empty string), so token counts include it. This is a deliberate,
+    CROSS-ENGINE-PINNED definition — every DuckDB oracle replays the
+    identical ``string_split_regex(text, '\\s+')`` quirk, so changing
+    it here would silently diverge ~30 differentials. Callers needing
+    linguistic word counts filter empties explicitly (as
+    bpe_regex_token_count does with its ``w != ''`` filter)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(c, r"\s+")
 
@@ -69,6 +78,14 @@ def bow_fingerprint(col: Column | str) -> Column:
     Normalization-invariant document identity — the scalable "exact-ish"
     dedup key (same idea as the reference's surrogate ids: deterministic,
     computable in a single narrow projection).
+
+    NULL semantics (round-8 review, by design): ``concat_ws`` never
+    returns NULL, so a NULL document fingerprints identically to the
+    empty document — all no-content rows share one key and a dedup
+    groupBy collapses them to a single keeper. For a training-data
+    dedup that is the desired outcome (empty docs ARE duplicates of
+    each other); a caller that must preserve NULL-text rows filters
+    them out before keying.
     """
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
@@ -80,7 +97,16 @@ def simhash32(col: Column | str) -> Column:
     sign gives bit j of the fingerprint. Pure Column expressions:
     explode-free — transforms over a literal 0..31 sequence and the
     token array, O(32·n_tokens) per row, no shuffle.
+
+    NULL text yields a NULL fingerprint (round-8 review): the naive
+    fold quietly produced 0 for NULL input, so on a corpus with m
+    missing-text rows all m collided in every band at hamming
+    distance 0 — m(m-1)/2 spurious "near-duplicate" pairs AND a
+    quadratic bucket blowup. NULL band keys never match in the
+    candidate equi-join, so NULL-text rows now simply drop out of
+    simhash pairing.
     """
+    c = F.col(col) if isinstance(col, str) else col
     toks = F.array_distinct(tokens(col))
     hashes = F.transform(toks, word_hash32)
 
@@ -97,7 +123,7 @@ def simhash32(col: Column | str) -> Column:
         out = out + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return out
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(out)
 
 
 def hamming32(a: Column, b: Column) -> Column:

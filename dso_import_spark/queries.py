@@ -157,6 +157,11 @@ FORCE_REVERIFY: list[str] = [
     # modules stale_green can't see through, so mark explicitly
     # (wkt_file_scan and stream_tail_ingest are already staged/front)
     "wkt_write_roundtrip",
+    # functions/text.py simhash32 NULL-propagation and
+    # functions/parsers.py try_cast hardening (round-8 review): no
+    # fixture-visible output change (differentials green), but the
+    # defining functions module is stale-invisible — re-verify
+    "dedup_simhash_fingerprints", "surrogate_key", "multi_id_zip",
 ]
 
 # ROUND 9 QUEUE (pre-staged): never-verified first (the round-8
@@ -199,8 +204,9 @@ ROUND9_QUEUE = [
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",
     "fk_validation", "delete_detection", "merge_counts_scale",
     "explode_bridge",
-    # (4) r3/r4 rows + the review-touched WKT write path
+    # (4) r3/r4 rows + the review-touched WKT write and simhash paths
     "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
+    "dedup_simhash_fingerprints",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",
 ]

@@ -77,8 +77,17 @@ def _as_stream_dir(path: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"dso-stream-{digest}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(path), link)
+    # lexists, not exists: a DANGLING symlink (fixture regenerated at a
+    # new inode, old target deleted) reads as absent to exists() and
+    # the re-symlink would crash with FileExistsError forever after —
+    # replace it; and tolerate a concurrent creator (round-8 review)
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(os.path.abspath(path), link)
+        except FileExistsError:
+            pass  # raced by a parallel worker creating the same link
     return d
 
 
@@ -95,10 +104,21 @@ def read_events_stream(
     # footer probe (no scan): under nanosAsLong a TIMESTAMP(NANOS) ts
     # reads as bigint; otherwise as TIMESTAMP_NTZ — declare the stream
     # schema to match and convert accordingly (batch parity:
-    # sources/registry.py load_table)
+    # sources/registry.py load_table). The legacy conf is restored when
+    # the file is NOT nanos (the common case) so it cannot leak into
+    # unrelated parquet reads (the registry.py round-8 fix, applied to
+    # the streaming path too); in the nanos case it must STAY set —
+    # the streaming source re-reads footers at every micro-batch, so
+    # scoping it tighter would break the running query.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
     nanos = probed.get("ts") == "bigint"
+    if not nanos:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     reader = spark.readStream.schema(
         _events_schema(LongType() if nanos else TimestampNTZType())
     )
@@ -528,7 +548,14 @@ def stream_upsert_latest(
             shutil.rmtree(tmp)  # incomplete write from a dead run
         staged = latest_per_user(batch_df)
         spark = batch_df.sparkSession
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        # gate on DATA FILES, not the _SUCCESS marker (the round-8
+        # Warehouse.read fix, applied here too): a populated target
+        # restored without its marker would read as empty and the swap
+        # below would permanently discard every earlier user's state
+        has_data = os.path.isdir(target_dir) and any(
+            not fn.startswith(("_", ".")) for fn in os.listdir(target_dir)
+        )
+        if has_data:
             existing = spark.read.parquet(target_dir)
             staged = latest_per_user(existing.unionByName(staged))
         staged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap

@@ -220,3 +220,56 @@ def test_read_gob_csv_drops_malformed_lines(spark, tmp_path):
     )
     rows = sorted(tuple(r) for r in read_gob_csv(spark, str(p)).collect())
     assert rows == [("A1", "1", "x"), ("A4", "4", "w")]
+
+
+def test_create_id_survives_nonnumeric_and_huge_volgnummer(spark):
+    # round-8 review: raw cast('int') aborted the job under ANSI on a
+    # corrupt token and overflowed on 10+ digits where the reference's
+    # Python int() succeeds — NULL-never-crash, and big volgnummers key
+    from dso_import_spark.functions.parsers import create_id, create_ids
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A", "7"), ("B", "2a"), ("C", "12345678901")],
+        "ident string, volg string",
+    )
+    got = {
+        r["ident"]: r["k"]
+        for r in df.select(
+            "ident", create_id("ident", "volg").alias("k")
+        ).collect()
+    }
+    assert got == {"A": "A_007", "B": None, "C": "C_12345678901"}
+    (row,) = (
+        spark.createDataFrame([("X|Y|Z", "1|oops|12345678901")], "i string, v string")
+        .select(create_ids("i", "v").alias("ks"))
+        .collect()
+    )
+    assert row["ks"] == ["X_001", "Z_12345678901"]
+
+
+def test_simhash_null_text_does_not_collide(spark):
+    # round-8 review: NULL text used to fingerprint as 0, colliding all
+    # missing-text rows into spurious near-dup pairs
+    from dso_import_spark.functions.text import simhash32
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", simhash32("text").alias("s")).collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] is not None
+
+
+def test_wkt_geometry_type_rejects_non_geometry_prefixes(spark):
+    from dso_import_spark.functions.geometry import wkt_geometry_type
+
+    df = spark.createDataFrame(
+        [("POINT (1 2)",), ("FOO (1 2)",), ("POINTZ (1 2 3)",), (" polygon((0 0,1 1,1 0,0 0))",)],
+        "wkt string",
+    )
+    got = [r["t"] for r in df.select(wkt_geometry_type("wkt").alias("t")).collect()]
+    assert got == ["POINT", None, None, "POLYGON"]
