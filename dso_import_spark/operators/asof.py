@@ -77,6 +77,24 @@ def asof_tolerance_join(
             f"asof key type mismatch: left {key} is {lt}, right is {rt}"
             " — cast one side; bucketing hashes would diverge silently"
         )
+    # the Arrow output schema (and the typed empty frames inside merge)
+    # are hardwired to bigint keys/ids and timestamp ts: a string key
+    # would pass the left-vs-right match above and then fail every task
+    # deep in Arrow conversion (round-8 review) — validate loudly here
+    supported_ts = ("timestamp", "timestamp_ntz")
+    for side, df_ in (("left", left), ("right", right)):
+        dts = dict(df_.dtypes)
+        if dts[key] != "bigint" or dts[id_col] != "bigint":
+            raise ValueError(
+                f"asof_tolerance_join supports bigint key/id columns; "
+                f"{side} has {key}={dts[key]}, {id_col}={dts[id_col]} — "
+                "cast first (the Arrow output schema is fixed)"
+            )
+        if dts[ts_col] not in supported_ts:
+            raise ValueError(
+                f"asof_tolerance_join needs a timestamp {ts_col}; "
+                f"{side} has {dts[ts_col]}"
+            )
     bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     lhs = left.select(
         F.col(id_col).alias("left_id"), F.col(key).alias("user_id"),

@@ -94,7 +94,14 @@ def simhash_pairs(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.shiftright(F.col("simhash"), b * band_bits)
+                    # call_function, not F.shiftright: the PySpark
+                    # wrapper only accepts a LITERAL int bit count and
+                    # raises at plan build for a Column (round-8
+                    # review — this operator was dead code until then;
+                    # same workaround as bloom.py and the verify notes)
+                    F.call_function(
+                        "shiftright", F.col("simhash"), b * band_bits
+                    )
                     .bitwiseAND(F.lit((1 << band_bits) - 1))
                     .alias("value"),
                 ),

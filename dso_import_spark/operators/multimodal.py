@@ -207,8 +207,21 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "mean_byte": [],
     }
     for payload in pdf["payload"]:
+        # NULL payload (e.g. synthesized from a NULL-text doc — concat
+        # propagates NULL) must yield the unknown-media row, never a
+        # TypeError that kills the batch (round-8 review; same guard
+        # byte_histogram already carries)
+        if payload is None:
+            out["media_type"].append(None)
+            out["width"].append(None)
+            out["height"].append(None)
+            out["payload_bytes"].append(0)
+            out["mean_byte"].append(None)
+            continue
         b = bytes(payload)
-        if b[:4] != MAGIC:
+        # a truncated payload of exactly the 4 magic bytes passes the
+        # prefix check but has no type byte — unknown, not IndexError
+        if b[:4] != MAGIC or len(b) < 5:
             # real-codec path: genuine image files decode for real —
             # netpbm always (pure-Python spec parser above), other
             # formats via PIL when installed
@@ -452,6 +465,11 @@ def wav_stats(audio: DataFrame) -> DataFrame:
             for doc_id, source, payload in zip(
                 pdf["doc_id"], pdf["source"], pdf["payload"]
             ):
+                # NULL payload = failed synthesis (NULL-text doc):
+                # dropped like any RIFF-parse failure, never a
+                # TypeError that kills the batch (round-8 review)
+                if payload is None:
+                    continue
                 dec = decode_wav(bytes(payload))
                 if dec is None:
                     continue

@@ -386,18 +386,11 @@ def lsh_topk(
         lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     if broadcast_queries is None:
-        # optimizer size estimate: no job, just plan statistics
-        try:
-            sz = int(
-                queries._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-                .toString()
-            )
-        except Exception:
-            sz = None
-        broadcast_queries = sz is not None and sz <= broadcast_bytes_hint
+        # optimizer size estimate: no job, just plan statistics — the
+        # shared _est_bytes helper (its unavailable-sentinel is huge,
+        # so estimate-unavailable still resolves to no-broadcast, the
+        # same decision the old inline copy made via sz=None)
+        broadcast_queries = _est_bytes(queries) <= broadcast_bytes_hint
     pairs = (F.broadcast(q) if broadcast_queries else q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -854,12 +847,28 @@ def semantic_dedup(
     # normalize ONCE per vector, not once per pair: the pair stage then
     # costs a single sequential dot-product fold instead of dot + two
     # norms — the oracle mirrors the exact same unit-vector arithmetic
-    # (element division, then sequential fold) so parity stays exact
+    # (element division, then sequential fold) so parity stays exact.
+    # The norm is projected to a BOUND column first: embedding norm(v)
+    # inside the transform lambda re-evaluates the O(dims) fold once
+    # per ELEMENT — O(dims²) per row (round-8 review; the
+    # shingle_array_from_tokens codegen-re-evaluation hazard). Same
+    # value, same per-element expression, so oracle parity is
+    # untouched.
     v = as_double(F.col(vec_col))
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(v, lambda x: x / norm(v)).alias("u"),
-    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("__v"),
+            norm(v).alias("__nv"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("__v"), lambda x: x / F.col("__nv")
+            ).alias("u"),
+        )
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+    )
     # three consumers (both pair-join sides + the final left join)
     # would each replay the normalize + k-means-assignment join, so
     # materialize the |corpus|-row (id, unit vec, cluster) relation
@@ -1002,6 +1011,11 @@ def pca_project(
     v = df.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("ve")
     )
+    # derive the id type from the input (round-8 review): hardcoding
+    # 'vec_id long' crashed any non-bigint id at Arrow conversion even
+    # though id_col is a parameter — _assign_kernel derives its schema
+    # the same way
+    id_type = dict(v.dtypes)["vec_id"]
     mean, cov, _n = covariance_partials(v, "ve")
     w_all, u = np.linalg.eigh(cov)  # ascending eigenvalues
     order = np.argsort(w_all)[::-1]
@@ -1025,5 +1039,5 @@ def pca_project(
                 }
             )
 
-    out = v.mapInPandas(project, "vec_id long, proj array<double>")
+    out = v.mapInPandas(project, f"vec_id {id_type}, proj array<double>")
     return out, evr[:k]

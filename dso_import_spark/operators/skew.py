@@ -97,9 +97,7 @@ def salted_join(
             "small side would emit each unmatched small row n_salts "
             "times — use inner/left-family joins, or salt the other way"
         )
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), n_salts)
-    )
+    salted_big = with_salt(big, n_salts)
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("bigint"))

@@ -162,6 +162,14 @@ FORCE_REVERIFY: list[str] = [
     # fixture-visible output change (differentials green), but the
     # defining functions module is stale-invisible — re-verify
     "dedup_simhash_fingerprints", "surrogate_key", "multi_id_zip",
+    # operators/{multimodal,asof,similarity,skew}.py review fixes
+    # (NULL-payload guards, loud type guards, bound-column normalize,
+    # helper reuse) — same stale-invisible posture; differentials green
+    "multimodal_metadata", "multimodal_decode_stats",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_wav_decode", "asof_tolerance_cogroup",
+    "salted_heavy_hitters", "salted_join_revenue", "ann_lsh_topk",
+    "semdedup_autok_kernel",
 ]
 
 # ROUND 9 QUEUE (pre-staged): never-verified first (the round-8
@@ -209,6 +217,13 @@ ROUND9_QUEUE = [
     "dedup_simhash_fingerprints",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",
+    # (5) operator-module review-fix re-verification (FORCE_REVERIFY
+    # entries not already staged above)
+    "asof_tolerance_cogroup", "salted_heavy_hitters",
+    "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
+    "multimodal_metadata", "multimodal_decode_stats",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_wav_decode",
 ]
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import Column
 from pyspark.sql import types as T
 
 
-def _temporal_core(id_len: int = 20) -> list[T.StructField]:
+def _temporal_core() -> list[T.StructField]:
     """The shared SCD2 temporal core (bagh_create.sql:17-27 pattern)."""
     return [
         T.StructField("id", T.StringType(), False),

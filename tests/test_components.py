@@ -273,3 +273,63 @@ def test_prefix_length_covers_the_rounding_boundary(spark):
         " AS BIGINT) + 1"
     ).fetchone()
     assert dplen == row["plen"]
+
+
+def test_simhash_pairs_actually_executes(spark):
+    # round-8 review: F.shiftright with a Column bit count raised at
+    # plan build, making the operator dead code (the only prior test
+    # covered the ValueError guard). Two near-identical docs must pair
+    # within hamming 3; an unrelated doc must not.
+    from dso_import_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_hamming=3, n_bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_multimodal_decode_survives_null_and_truncated_payloads(spark):
+    # round-8 review: bytes(None) and b[4] on a 4-byte payload killed
+    # the whole batch; both must yield unknown rows instead
+    from dso_import_spark.operators.multimodal import MAGIC, decode_media
+
+    media = spark.createDataFrame(
+        [(1, "s", None), (2, "s", MAGIC), (3, "s", b"garbage")],
+        "doc_id long, source string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(media, allow_fake=True).collect()}
+    assert rows[1]["media_type"] is None and rows[1]["payload_bytes"] == 0
+    assert rows[2]["media_type"] is None and rows[2]["payload_bytes"] == 4
+    assert rows[3]["media_type"] is None
+
+
+def test_wav_stats_drops_null_payload_rows(spark):
+    from dso_import_spark.operators.multimodal import wav_stats
+
+    audio = spark.createDataFrame(
+        [(1, "s", None)], "doc_id long, source string, payload binary"
+    )
+    assert wav_stats(audio).count() == 0
+
+
+def test_asof_join_rejects_unsupported_key_types_loudly(spark):
+    import pytest
+
+    from dso_import_spark.operators.asof import asof_tolerance_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 1)],
+        "user_id string, ts string, event_id long",
+    ).withColumn("ts", __import__("pyspark").sql.functions.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="bigint key"):
+        asof_tolerance_join(left, left)
