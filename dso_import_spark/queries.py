@@ -88,99 +88,15 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     tsops,
 )
 
-# ROUND 8 FRONT BLOCK (applied): for the first time the entire backlog
-# fits one front-50 — the 13 never-verified mlops3 queries (the r4
-# never-verified-first rule), then ALL 33 remaining stale greens in
-# registry order, then 4 deliberate refresh picks: the prefix
-# containment composition (its operators/dedup.py verify stage gets the
-# hashed-set re-shape this round — FORCE_REVERIFY) and the three oldest
-# greens in the registry (r1/r2 evidence). A 50/50 round leaves the
-# registry 258/258 ever-green with stale ≈ new-edits-only.
-ROUND8_FRONT = [
-    # (1) never-verified: the round-7 mlops3 batch, staged at the old
-    # ROUND8_QUEUE head (ranking/agreement/independence/split/
-    # normalization/outliers/governance/trend/readability/bootstrap)
-    "mrr_at_k", "cohens_kappa", "chi_square_independence",
-    "decision_stump_split", "quantile_normalize_sources",
-    "robust_outlier_mad",
-    "t_closeness_audit", "brier_decomposition", "f1_threshold_sweep",
-    "stratified_ate",
-    "mann_kendall_trend", "flesch_readability", "bootstrap_mean_ci",
-    # (2) the ENTIRE stale backlog, registry order (33)
-    "spatial_bbox_join",
-    "stream_tail_ingest", "scd2_point_in_time", "scd2_change_feed",
-    "partitioned_events_scan", "stratified_sample_lang", "seq_packing_bins",
-    "decontam_ngram_overlap", "corpus_pipeline_stats", "bloom_join_prune",
-    "basket_pair_affinity", "record_linkage_fuzzy", "pagerank_shipments",
-    "incremental_agg_refresh", "feature_scale_normalize",
-    "notin_null_semantics", "ewma_fixed_lags", "drift_psi_periods",
-    "benford_first_digit", "triangle_count_parts",
-    "dedup_prefix_filter_pairs", "capped_running_balance",
-    "incremental_distinct_sketch", "attribution_first_last_touch",
-    "exact_quota_sample", "twap_time_weighted", "ohlc_hourly_bars",
-    "table_content_checksum", "event_path_trigrams", "ab_test_welch_t",
-    "revenue_gini", "drift_ks_statistic", "cuped_variance_reduction",
-    # (3) refresh picks filling to 50: the round-8 prefix verify
-    # re-shape (semantics live in operators/dedup.py, invisible to
-    # stale_green — FORCE_REVERIFY), the two oldest greens (r1), and
-    # lang_id_heuristic, whose plan changed this round (the round-8
-    # compute-amplification spread gate; pii_redaction_stats, the
-    # other gated query, is already above)
-    "shingle_containment_prefix",
-    "pii_redaction_stats", "repetition_quality_flags",  # r1 evidence
-    "lang_id_heuristic",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded
-# (unless stale or FORCE_REVERIFY). Bump when rotating
-# (tests/test_rotation.py checks the choice against exactly these
-# rounds, so a *new* round's results landing mid-cycle doesn't
-# retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 7
-
-# Green queries whose SEMANTICS changed in a module stale_green can't
-# see (operators/*, not the defining queries_pkg module), plus
-# deliberate evidence-freshness picks. Spending a front slot on these
-# is deliberate re-verification, not waste.
-FORCE_REVERIFY: list[str] = [
-    # round-8 hashed-set verify re-shape in operators/dedup.py (the
-    # registered callable lives in compositions.py, so stale_green
-    # can't see the change)
-    "shingle_containment_prefix",
-    # oldest driver evidence in the registry (r1 rows) — refreshed
-    # now that the never+stale pool no longer fills the budget
-    "pii_redaction_stats", "repetition_quality_flags",
-    # round-8 review fixes touched sources/wkt_source.py (shared
-    # register_once helper) and sources/tail_source.py (truncation
-    # generations) — the registered callables live in queries_pkg
-    # modules stale_green can't see through, so mark explicitly
-    # (wkt_file_scan and stream_tail_ingest are already staged/front)
-    "wkt_write_roundtrip",
-    # functions/text.py simhash32 NULL-propagation and
-    # functions/parsers.py try_cast hardening (round-8 review): no
-    # fixture-visible output change (differentials green), but the
-    # defining functions module is stale-invisible — re-verify
-    "dedup_simhash_fingerprints", "surrogate_key", "multi_id_zip",
-    # operators/{multimodal,asof,similarity,skew}.py review fixes
-    # (NULL-payload guards, loud type guards, bound-column normalize,
-    # helper reuse) — same stale-invisible posture; differentials green
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_wav_decode", "asof_tolerance_cogroup",
-    "salted_heavy_hitters", "salted_join_revenue", "ann_lsh_topk",
-    "semdedup_autok_kernel",
-]
-
-# ROUND 9 QUEUE (pre-staged): never-verified first (the round-8
-# mlops4 batch, landed after the r8 front froze), then the greens
-# RE-STALED by this round's module edits (text.py/extras.py got the
-# compute-amplification gates; compositions.py the hashed-universe
-# prefix oracle — module-granularity staleness, most rows untouched
-# but re-verification is cheap and honest), then the next-oldest
-# evidence (r2/r3 rows). New queries added mid-round go at the HEAD.
-# Recompute with `python -m dso_import_spark.rotation` when rotating.
-ROUND9_QUEUE = [
+# ROUND 9 FRONT BLOCK (applied): the 11 never-verified round-8 queries
+# first (mlops4 ×8 + tsops ×3 — the only registry rows with zero driver
+# evidence; a green front makes the registry 269/269 ever-green), then
+# the ENTIRE 37-row stale backlog in registry order (round-8 review
+# passes touched text/extras/similarity/multimodal/streaming modules
+# after their verifying artifacts landed), then 2 refresh picks: the
+# two oldest FORCE_REVERIFY rows (r2 evidence; functions/parsers.py
+# try_cast hardening is stale-invisible at module granularity).
+ROUND9_FRONT = [
     # (1) never-verified: the round-8 mlops4 batch (FDR, shrinkage,
     # MI, ratio CI, water-filling, local-DP, pinball loss, JSONL
     # rescue)
@@ -190,8 +106,7 @@ ROUND9_QUEUE = [
     # (1b) never-verified: round-8 batch 2 (time-series ACF,
     # header/detail reconciliation, k-hop BFS)
     "autocorrelation_lags", "order_lineitem_reconcile", "khop_reachability",
-    # (2) re-staled by round-8 module edits, registry order
-    # (lang_id_heuristic took a front slot — its plan changed)
+    # (2) the ENTIRE stale backlog, registry order (37)
     "text_token_stats", "text_quality_scores", "doc_fingerprints",
     "text_tfidf_top_terms", "doc_chunking",
     "wkt_coerce_geometries", "date_parse_variants",
@@ -206,18 +121,66 @@ ROUND9_QUEUE = [
     "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
     "value_outliers_mad", "stream_session_dynamic_gap",
     "shingle_containment_banded", "banding_estimator_cert",
-    # (3) next-oldest driver evidence (r2 rows not already covered),
-    # registry order
-    "surrogate_key", "multi_id_zip", "safe_int_cast", "tri_state_boolean",
+    # (3) refresh picks filling to 50: the two oldest FORCE_REVERIFY
+    # rows (r2 evidence; round-8 functions/parsers.py try_cast
+    # hardening is invisible to stale_green's module granularity)
+    "surrogate_key", "multi_id_zip",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 8
+
+# Green queries whose SEMANTICS changed in a module stale_green can't
+# see (operators/*, not the defining queries_pkg module), plus
+# deliberate evidence-freshness picks. Spending a front slot on these
+# is deliberate re-verification, not waste.
+FORCE_REVERIFY: list[str] = [
+    # round-8 review fixes touched sources/wkt_source.py (shared
+    # register_once helper) and sources/tail_source.py (truncation
+    # generations) — the registered callables live in queries_pkg
+    # modules stale_green can't see through, so mark explicitly
+    "wkt_file_scan", "wkt_write_roundtrip",
+    # functions/text.py simhash32 NULL-propagation and
+    # functions/parsers.py try_cast hardening (round-8 review): no
+    # fixture-visible output change (differentials green), but the
+    # defining functions module is stale-invisible — re-verify
+    # (surrogate_key and multi_id_zip took r9 front slots)
+    "dedup_simhash_fingerprints", "surrogate_key", "multi_id_zip",
+    # operators/{multimodal,asof,similarity,skew}.py review fixes
+    # (NULL-payload guards, loud type guards, bound-column normalize,
+    # helper reuse) — same stale-invisible posture; differentials green
+    "multimodal_metadata", "multimodal_decode_stats",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_wav_decode", "asof_tolerance_cogroup",
+    "salted_heavy_hitters", "salted_join_revenue", "ann_lsh_topk",
+    "semdedup_autok_kernel",
+]
+
+# ROUND 10 QUEUE (pre-staged): the residual stale tail the round-9
+# front could not fit — next-oldest driver evidence first (r2 rows
+# whose functions/ dependencies were hardened in r8), then r3/r4 rows
+# plus the review-touched WKT write and simhash paths, then the
+# operator-module FORCE_REVERIFY entries (multimodal/asof/skew/
+# similarity review fixes). New queries added mid-round go at the
+# HEAD. Recompute with `python -m dso_import_spark.rotation` when
+# rotating.
+ROUND10_QUEUE = [
+    # (1) next-oldest driver evidence (r2 rows), registry order
+    "safe_int_cast", "tri_state_boolean",
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",
     "fk_validation", "delete_detection", "merge_counts_scale",
     "explode_bridge",
-    # (4) r3/r4 rows + the review-touched WKT write and simhash paths
+    # (2) r3/r4 rows + the review-touched WKT write and simhash paths
     "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
     "dedup_simhash_fingerprints",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",
-    # (5) operator-module review-fix re-verification (FORCE_REVERIFY
+    # (3) operator-module review-fix re-verification (FORCE_REVERIFY
     # entries not already staged above)
     "asof_tolerance_cogroup", "salted_heavy_hitters",
     "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
@@ -243,4 +206,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND8_FRONT, ROUND9_QUEUE)
+_apply_front_block(ROUND9_FRONT, ROUND10_QUEUE)

@@ -13,7 +13,7 @@ from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-8 rotation (ROUND8_FRONT: the 13 never-verified mlops3 queries first, then the ENTIRE 33-query stale backlog in registry order, then 4 refresh picks — the re-shaped prefix composition, the two oldest r1 greens, and spread-gated lang_id_heuristic), positions 51+ the pre-staged ROUND9_QUEUE (the round-8 mlops4 batch first — never-verified — then the greens re-staled by round-8 module edits, then the oldest r2/r3 evidence).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-9 rotation (ROUND9_FRONT: the 11 never-verified round-8 mlops4/tsops queries first, then the ENTIRE 37-query stale backlog in registry order, then 2 refresh picks — the oldest r2 FORCE_REVERIFY rows surrogate_key and multi_id_zip), positions 51+ the pre-staged ROUND10_QUEUE (the residual stale tail: oldest r2/r3 evidence, then the operator-module review-fix re-verifications).
 
 Total: {n} queries, all with SQL oracles.
 
