@@ -472,10 +472,13 @@ class BagHJob:
     def _raw(self, cfg: TableConfig) -> DataFrame | None:
         if cfg.name == "gemeente":
             return None
-        from dso_import_spark.sources.csv import read_gob_csv
+        from dso_import_spark.sources.csv import read_gob_csv_audited
 
         path = os.path.join(self.data_dir, cfg.filename)
-        return read_gob_csv(self.spark, path)
+        # strict dropped-row accounting (ADVICE r8): the reference's
+        # row loop raises on the first ragged line (batch/csv.py:46-61)
+        # — a silently shrunken feed must abort the task, not merge
+        return read_gob_csv_audited(self.spark, path)
 
     def run(
         self,

@@ -99,7 +99,8 @@ _BH_Q_MICRO = 200000  # q = 0.20 in micros
              CAST(round(1000000 * least(1.0,
                  2 * exp(-2 * (t.n_ref * t.n_cur / (t.n_ref + t.n_cur))
                          * k.d * k.d))) AS BIGINT) AS p_micro
-      FROM ks k JOIN tot t ON t.event_type = k.event_type),
+      FROM ks k JOIN tot t ON t.event_type = k.event_type
+      WHERE t.n_ref > 0 AND t.n_cur > 0),
     ranked AS (
       SELECT event_type, p_micro,
              row_number() OVER (ORDER BY p_micro, event_type) AS rnk,
@@ -162,8 +163,15 @@ def bh_fdr_correction(spark, sf_dir):
     ks = ecdf.groupBy("event_type").agg(
         F.round(F.max(F.abs(F.col("f_ref") - F.col("f_cur"))), 6).alias("d")
     )
+    # a series with an empty reference or current side has no testable
+    # drift (its try_divide ECDF is all-NULL → NULL D → NULL p, and
+    # NULL rank order differs between engines): drop it identically on
+    # both sides BEFORE ranking (ADVICE r8) — the oracle carries the
+    # same WHERE n_ref > 0 AND n_cur > 0
     en = F.col("n_ref") * F.col("n_cur") / (F.col("n_ref") + F.col("n_cur"))
-    pvals = ks.join(broadcast(tot), "event_type").select(
+    pvals = ks.join(broadcast(tot), "event_type").where(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    ).select(
         "event_type",
         F.round(
             F.lit(1000000)
@@ -425,17 +433,24 @@ def mutual_information_cols(spark, sf_dir):
     oracle="""
     WITH per_user AS (
       SELECT user_id % 2 AS arm,
-             round(sum(value), 6) AS x,
+             CAST(round(sum(value) * 1000000) AS BIGINT) AS x_mu,
              count(*)::BIGINT AS y
       FROM events
       WHERE user_id IS NOT NULL AND value IS NOT NULL
       GROUP BY user_id),
-    mom AS (
+    momi AS (
       SELECT arm, count(*)::BIGINT AS n,
-             sum(x) AS sx, sum(y)::BIGINT AS sy,
-             sum(x * x) AS sxx, sum(y * y)::BIGINT AS syy,
-             sum(x * y) AS sxy
-      FROM per_user GROUP BY arm)
+             sum(x_mu)::BIGINT AS sx_mu, sum(y)::BIGINT AS sy,
+             sum(x_mu::HUGEINT * x_mu) AS sxx_m2,
+             sum(y * y)::BIGINT AS syy,
+             sum(x_mu::HUGEINT * y) AS sxy_mu
+      FROM per_user GROUP BY arm),
+    mom AS (
+      SELECT arm, n, sy, syy,
+             CAST(sx_mu AS DOUBLE) / 1000000.0 AS sx,
+             CAST(sxx_m2 AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(sxy_mu AS DOUBLE) / 1000000.0 AS sxy
+      FROM momi)
     SELECT arm, n,
            round(sx / sy, 6) AS ratio,
            round(sx / sy - 1.96 * sqrt(greatest(0.0,
@@ -459,8 +474,12 @@ def mutual_information_cols(spark, sf_dir):
     "(x, y) relation — the naive per-event t-interval is invalid "
     "because events within a user correlate (the cluster-robust "
     "folk theorem every experimentation platform relearns). Per-user "
-    "x is rounded 6dp before the moments (the cuped convention) and "
-    "the CI bounds 6dp after the lone sqrt; var is floored at 0 so "
+    "x is micro-quantized to BIGINT before the moments (ADVICE r8: "
+    "raw-double cross-row sums are partition-order-sensitive), so "
+    "every cross-row sum — sx, sxx, sxy in micro/micro² units, held "
+    "in DECIMAL(38,0)/HUGEINT — is exact-integer and converted to "
+    "double exactly once, identically on both engines; CI bounds "
+    "rounded 6dp after the lone sqrt; var is floored at 0 so "
     "degenerate single-user arms can't produce NaN. Two shuffles "
     "(user, then 2-row arm moments).",
 )
@@ -470,18 +489,32 @@ def ratio_metric_delta_ci(spark, sf_dir):
         events.where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 6).alias("x"),
+            F.round(F.sum("value") * F.lit(1000000.0)).cast("long")
+            .alias("x_mu"),
             F.count(F.lit(1)).cast("long").alias("y"),
         )
-        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+        .select((F.col("user_id") % 2).alias("arm"), "x_mu", "y")
     )
+    # x_mu² reaches ~3e19 on the sf0.1 fixture — past BIGINT — so the
+    # squared/cross moment sums ride DECIMAL(38,0) (Spark) / HUGEINT
+    # (DuckDB oracle); both convert the same exact integer to double
+    x_dec = F.col("x_mu").cast("decimal(19,0)")
     mom = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
+        F.sum("x_mu").cast("long").alias("sx_mu"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(x_dec * x_dec).alias("sxx_m2"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(x_dec * F.col("y").cast("decimal(19,0)")).alias("sxy_mu"),
+    ).select(
+        "arm",
+        "n",
+        "sy",
+        "syy",
+        (F.col("sx_mu").cast("double") / F.lit(1000000.0)).alias("sx"),
+        (F.col("sxx_m2").cast("double") / F.lit(1000000000000.0))
+        .alias("sxx"),
+        (F.col("sxy_mu").cast("double") / F.lit(1000000.0)).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     ratio = sx / sy

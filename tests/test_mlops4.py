@@ -186,6 +186,53 @@ def test_bh_pvalues_are_in_lockstep_with_drift_ks(spark, sf_dir):
         assert bh[et] == round(p * 1000000), (et, d, bh[et], p)
 
 
+def test_bh_drops_series_with_an_empty_side_identically(spark, tmp_path):
+    # ADVICE r8: a series with zero ref (or zero cur) rows has an
+    # all-NULL try_divide ECDF -> NULL p_micro, and Spark's row_number
+    # orders NULLS FIRST while DuckDB's NULLS LAST — so both sides now
+    # filter n_ref > 0 AND n_cur > 0 BEFORE ranking. Engineer one
+    # current-only series and differential-check Spark vs the oracle.
+    import duckdb
+    from datetime import datetime
+
+    ref_ts = datetime(2024, 1, 10)
+    cur_ts = datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for et in ("aa", "bb"):  # healthy series spanning the split
+        for i in range(20):
+            rows.append((eid, ref_ts, i, et, float(i % 7)))
+            eid += 1
+            rows.append((eid, cur_ts, i, et, float((i * 3) % 11)))
+            eid += 1
+    for i in range(15):  # 'newtype' exists ONLY after the split
+        rows.append((eid, cur_ts, i, "newtype", float(i)))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    ).withColumn("props", __import__("pyspark").sql.functions.lit(None).cast("string"))
+    events.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    spec = REGISTRY["bh_fdr_correction"]
+    got = sorted(
+        tuple(str(x) for x in r) for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+    types = {r[0] for r in got}
+    assert "newtype" not in types and types == {"aa", "bb"}
+    # ranks stay contiguous 1..m over the surviving series
+    assert sorted(int(r[2]) for r in got) == [1, 2]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = sorted(tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall())
+    assert got == want
+
+
 def test_water_filling_saturates_under_engineered_skew(spark, tmp_path):
     # synthetic corpus forcing real saturation: lang 'aa' has tiny
     # capacity-per-weight (50 one-token docs), lang 'bb' huge (2 docs

@@ -222,6 +222,41 @@ def test_read_gob_csv_drops_malformed_lines(spark, tmp_path):
     assert rows == [("A1", "1", "x"), ("A4", "4", "w")]
 
 
+def test_read_gob_csv_audited_accounts_for_drops(spark, tmp_path):
+    # ADVICE r8: DROPMALFORMED alone discards ragged rows with no
+    # count — the audited variant counts them and (a) aborts above
+    # the threshold (default 0: the reference's strict posture,
+    # batch/csv.py:46-61), (b) tolerates-and-logs below it, and
+    # (c) stays silent on a clean file (incl. trailing blank lines,
+    # which the line counter must not mistake for dropped rows)
+    import pytest
+
+    from dso_import_spark.sources.csv import read_gob_csv_audited
+
+    clean = tmp_path / "clean.csv"
+    clean.write_text("identificatie;volgnummer;naam\nA1;1;x\nA2;2;y\n\n")
+    rows = sorted(
+        tuple(r) for r in read_gob_csv_audited(spark, str(clean)).collect()
+    )
+    assert rows == [("A1", "1", "x"), ("A2", "2", "y")]
+
+    ragged = tmp_path / "ragged.csv"
+    ragged.write_text(
+        "identificatie;volgnummer;naam\nA1;1;x\nA2;2\nA3;3;z;extra\nA4;4;w\n"
+    )
+    with pytest.raises(ValueError, match="2/4 malformed"):
+        read_gob_csv_audited(spark, str(ragged))
+    # 2 of 4 dropped = 50% — under a generous threshold it loads,
+    # with the survivors intact
+    rows = sorted(
+        tuple(r)
+        for r in read_gob_csv_audited(
+            spark, str(ragged), max_dropped_fraction=0.5
+        ).collect()
+    )
+    assert rows == [("A1", "1", "x"), ("A4", "4", "w")]
+
+
 def test_create_id_survives_nonnumeric_and_huge_volgnummer(spark):
     # round-8 review: raw cast('int') aborted the job under ANSI on a
     # corrupt token and overflowed on 10+ digits where the reference's
