@@ -49,9 +49,19 @@ def exact_dedup(
 def normalized_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup on the bag-of-words md5 fingerprint (case/order-proof)."""
+    """Exact dedup on the bag-of-words md5 fingerprint (case/order-proof).
+
+    Lowercases before fingerprinting: ``bow_fingerprint`` itself is
+    case-SENSITIVE (tokens() is a pinned cross-engine definition shared
+    with ~30 oracles), so the case-insensitivity this operator promises
+    is applied here, on the way in. Execution-tested in
+    tests/test_export_coverage.py (the simhash_pairs lesson: this
+    operator previously shipped with a docstring promising case-proof
+    dedup while delivering case-sensitive dedup, caught only when the
+    export audit forced an executing test).
+    """
     return exact_dedup(
-        df.withColumn("fingerprint", bow_fingerprint(text_col)),
+        df.withColumn("fingerprint", bow_fingerprint(F.lower(F.col(text_col)))),
         ["fingerprint"],
         id_col,
     )

@@ -251,6 +251,66 @@ _KHOP_SEEDS = 10
 _KHOP_DEPTH = 3
 
 
+def khop_reach_counts(
+    li, n_seeds: int = _KHOP_SEEDS, depth: int = _KHOP_DEPTH
+):
+    """Min-hop BFS reach counts from the `n_seeds` smallest part keys
+    over the co-purchase graph, depth-bounded at `depth` — the
+    reusable operator (VERDICT r8 item #5: depth was a baked module
+    constant; now an argument, with the registry query below pinning
+    the differential fixture at depth=3). Returns (hop, n_reached).
+
+    Scale shape: iterative frontier joins; each hop joins the frontier
+    to the (basket-bounded, localCheckpoint-ed) adjacency list,
+    anti-joins the visited set, and re-checkpoints visited so the plan
+    stays flat across iterations. The frontier is re-read FROM the
+    checkpointed visited relation — keeping `nxt`'s own lineage would
+    re-execute every prior hop's join inside the next hop's plan,
+    O(depth²) join work (round-8 code review / SCALING.md A/B: the
+    no-checkpoint arm DNFs at ×100).
+    """
+    if depth < 0:
+        raise ValueError(f"khop_reach_counts: depth must be >= 0, got {depth}")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        li.select("l_partkey")
+        .distinct()
+        .orderBy("l_partkey")
+        .limit(n_seeds)
+        .select(F.col("l_partkey").alias("node"))
+    )
+    reached = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = reached.select("node")
+    for h in range(1, depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        reached = reached.union(nxt).localCheckpoint(eager=True)
+        frontier = reached.where(F.col("hop") == h).select("node")
+    return reached.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached")
+    )
+
+
 @query(
     "khop_reachability",
     oracle=f"""
@@ -293,45 +353,6 @@ _KHOP_DEPTH = 3
 )
 def khop_reachability(spark, sf_dir):
     (li,) = tables(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    adj = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
-    seeds = (
-        li.select("l_partkey")
-        .distinct()
-        .orderBy("l_partkey")
-        .limit(_KHOP_SEEDS)
-        .select(F.col("l_partkey").alias("node"))
-    )
-    reached = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
-    frontier = reached.select("node")
-    for h in range(1, _KHOP_DEPTH + 1):
-        nxt = (
-            frontier.join(adj, frontier["node"] == adj["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(reached.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(h))
-        )
-        reached = reached.union(nxt).localCheckpoint(eager=True)
-        # read the next frontier BACK from the checkpointed visited
-        # relation — `nxt.select("node")` would keep the pre-checkpoint
-        # lineage and re-execute every prior hop's join inside the next
-        # hop's plan, O(depth²) join work (round-8 code review)
-        frontier = reached.where(F.col("hop") == h).select("node")
-    return reached.groupBy("hop").agg(
-        F.count(F.lit(1)).cast("long").alias("n_reached")
-    )
+    # differential fixture pins (n_seeds=10, depth=3) to match the
+    # oracle literal above; the operator itself takes depth as an arg
+    return khop_reach_counts(li, n_seeds=_KHOP_SEEDS, depth=_KHOP_DEPTH)

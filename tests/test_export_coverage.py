@@ -1,0 +1,185 @@
+"""Exported-operator execution-coverage audit (VERDICT r8 item #4).
+
+The ``simhash_pairs`` lesson: an operator exported from ``operators/``
+or ``functions/`` but reachable from no registry query can ship dead —
+its only coverage was a guard-path test, and the happy path crashed at
+plan build for multiple rounds. Two defenses here:
+
+1. A static audit (``test_every_export_has_a_call_site``) that fails
+   when any public top-level function/class in
+   ``dso_import_spark/{operators,functions}`` has NO call-site — a
+   ``name(`` occurrence outside its own ``def``/``class`` line — in
+   either the package source (registry/job reachability) or ``tests/``.
+   A bare import does not count; the name must be *called*.
+2. Executing tests (below the audit) for every export whose only
+   call-sites are in this file, so rule 1 is never satisfied by a
+   reference that doesn't actually run the operator.
+
+Static call-site presence is a proxy for execution, so the convention
+this file pins is: when the audit flags a new export, add a test HERE
+that executes it against a real SparkSession, not just imports it.
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime as dt
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+PKG = REPO / "dso_import_spark"
+
+
+def _public_exports() -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for sub in ("operators", "functions"):
+        for f in sorted((PKG / sub).glob("*.py")):
+            if f.name == "__init__.py":
+                continue
+            tree = ast.parse(f.read_text())
+            names = [
+                node.name
+                for node in tree.body
+                if isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                )
+                and not node.name.startswith("_")
+            ]
+            out[f"{sub}/{f.name}"] = names
+    return out
+
+
+def _call_site_corpus() -> str:
+    parts = []
+    for f in PKG.rglob("*.py"):
+        parts.append(f.read_text())
+    for f in (REPO / "tests").glob("*.py"):
+        parts.append(f.read_text())
+    parts.append((REPO / "__spark_entry__.py").read_text())
+    return "\n".join(parts)
+
+
+def test_every_export_has_a_call_site():
+    corpus = _call_site_corpus()
+    missing = []
+    for mod, names in _public_exports().items():
+        for name in names:
+            # call-sites: `name(` not preceded by def/class on the line
+            calls = [
+                m
+                for m in re.finditer(
+                    r"^.*\b" + re.escape(name) + r"\(", corpus, re.M
+                )
+                if not re.search(
+                    r"\b(def|class)\s+" + re.escape(name) + r"\(", m.group(0)
+                )
+            ]
+            if not calls:
+                missing.append(f"{mod}:{name}")
+    assert not missing, (
+        "exported operators with no call-site anywhere (dead-code risk — "
+        "add an executing test in tests/test_export_coverage.py): "
+        f"{missing}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Executing tests for exports whose only call-sites live here. Each runs
+# the operator end-to-end on a real session and checks values, not just
+# that the plan builds.
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_dedup_executes(spark):
+    from dso_import_spark.operators.dedup import normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox"),
+            ("b", "Fox quick THE brown"),  # same bag of words, case/order
+            ("c", "an entirely different document"),
+        ],
+        "doc_id string, text string",
+    )
+    kept = normalized_dedup(df)
+    # one (keeper_id, n_dups) row per bag-of-words fingerprint group;
+    # min-id tie-break keeps "a" for the case/order-variant pair
+    groups = {(r.keeper_id, r.n_dups) for r in kept.collect()}
+    assert groups == {("a", 2), ("c", 1)}
+
+
+def test_shingle_array_executes(spark):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.dedup import shingle_array
+
+    row = (
+        spark.createDataFrame([("w x y z",)], "text string")
+        .select(shingle_array("text", 3).alias("sh"))
+        .head()
+    )
+    assert sorted(row.sh) == ["w x y", "x y z"]
+
+
+def test_replace_table_executes(spark):
+    from dso_import_spark.operators.merge import replace_table
+
+    staged = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = replace_table(staged)
+    # S10 truncate-replace: operator is the identity over the staged
+    # relation (the atomicity lives in the caller's overwrite write)
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_run_gates_executes(spark):
+    from dso_import_spark.operators.quality import run_gates
+
+    d = dt.date
+    staged = spark.createDataFrame(
+        [
+            # id, identificatie, volgnummer, begin, eind
+            ("k1_1", "k1", 1, d(2020, 1, 1), d(2021, 1, 1)),
+            ("k1_2", "k1", 2, d(2020, 6, 1), None),  # overlaps v1
+            ("k2_1", "k2", 1, d(2020, 1, 1), None),
+            ("k2_1", "k2", 1, d(2020, 1, 1), None),  # duplicate id
+            ("k3_1", "k3", 1, d(2022, 1, 1), d(2021, 1, 1)),  # bad range
+            ("k2_9", "k2", 9, d(2021, 1, 1), None),  # 2nd open for k2
+        ],
+        "id string, identificatie string, volgnummer int, "
+        "begin_geldigheid date, eind_geldigheid date",
+    )
+    res = run_gates(staged)
+    assert res.rejected_bad_range.count() == 1
+    assert res.passed.count() == 5
+    dup_ids = {r.id for r in res.duplicate_ids.collect()}
+    assert dup_ids == {"k2_1"}
+    dup_open = {r.identificatie for r in res.duplicate_open.collect()}
+    assert "k2" in dup_open
+    overl = {r.identificatie for r in res.overlaps.collect()}
+    assert "k1" in overl
+
+
+def test_avg_word_len_executes(spark):
+    from dso_import_spark.functions.text import avg_word_len
+
+    row = (
+        spark.createDataFrame([("ab cdef g",)], "s string")
+        .select(avg_word_len("s").alias("awl"))
+        .head()
+    )
+    # token lengths 2, 4, 1 → mean 7/3
+    assert abs(row.awl - 7 / 3) < 1e-9
+
+
+def test_char_shingles_executes(spark):
+    from dso_import_spark.functions.text import char_shingles
+
+    rows = (
+        spark.createDataFrame([("abcdef",), ("ab",)], "s string")
+        .select(char_shingles("s", 5).alias("sh"))
+        .collect()
+    )
+    assert sorted(rows[0].sh) == ["abcde", "bcdef"]
+    # shorter-than-k strings yield the single truncated shingle
+    assert rows[1].sh == ["ab"]

@@ -259,3 +259,23 @@ def test_water_filling_saturates_under_engineered_skew(spark, tmp_path):
     assert abs(out["bb"]["alloc_tokens"] - 975.0) < 1e-6
     total = sum(r["alloc_tokens"] for r in out.values())
     assert abs(total - 1025) < 1e-6
+
+
+def test_khop_depth_is_a_real_parameter(spark):
+    # VERDICT r8 item #5: depth used to be a baked module constant.
+    # Path graph 1-2-3-4-5 via shared "orders": seeds = 1 smallest
+    # part key; depth d reaches exactly nodes 1..d+1.
+    from dso_import_spark.queries_pkg.tsops import khop_reach_counts
+
+    li = spark.createDataFrame(
+        [(o, p) for o, pair in enumerate([(1, 2), (2, 3), (3, 4), (4, 5)])
+         for p in pair],
+        "l_orderkey long, l_partkey long",
+    )
+    for depth in (0, 1, 2, 4):
+        rows = {r.hop: r.n_reached
+                for r in khop_reach_counts(li, n_seeds=1, depth=depth).collect()}
+        assert rows == {h: 1 for h in range(min(depth, 4) + 1)}, depth
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        khop_reach_counts(li, depth=-1)
