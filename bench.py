@@ -87,28 +87,26 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 8: the six mlops3 rows the r7 extra slot didn't reach
-    # (driver wall times exist for the other seven since BENCH_r07)
-    "mrr_at_k",
-    "cohens_kappa",
-    "chi_square_independence",
-    "decision_stump_split",
-    "quantile_normalize_sources",
-    "robust_outlier_mad",
-    # re-measured after this round's hashed-set verify re-shape
-    "shingle_containment_prefix",
-    # the round-8 mlops4 batch + batch 2 (first driver wall times)
+    # round 9: the mlops4/tsops batch keeps its slot one more round
+    # (BENCH_r08 recorded their first wall times mid-rotation; one
+    # more driver datapoint pins the trend)...
     "bh_fdr_correction",
-    "eb_shrunken_rates",
-    "mutual_information_cols",
     "ratio_metric_delta_ci",
-    "budget_water_filling",
-    "randomized_response_debias",
-    "pinball_loss_eval",
     "jsonl_rescue_scan",
     "autocorrelation_lags",
     "order_lineitem_reconcile",
     "khop_reachability",
+    # ...and the round-9 mlops5/graph batch gets its first driver
+    # wall times
+    "kaplan_meier_interarrival",
+    "spearman_rank_correlation",
+    "permutation_test_signflip",
+    "unigram_perplexity_heldout",
+    "jl_projection_distortion_cert",
+    "ab_minimum_detectable_effect",
+    "mcnemar_paired_test",
+    "vocab_chao1_richness",
+    "copurchase_degree_histogram",
 ]
 
 

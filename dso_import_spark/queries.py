@@ -86,6 +86,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops3,
     mlops4,
     tsops,
+    mlops5,
 )
 
 # ROUND 9 FRONT BLOCK (applied): the 11 never-verified round-8 queries
@@ -170,6 +171,13 @@ FORCE_REVERIFY: list[str] = [
 # HEAD. Recompute with `python -m dso_import_spark.rotation` when
 # rotating.
 ROUND10_QUEUE = [
+    # (0) queries born in round 9 (mlops5 stats/eval batch + the graph
+    # degree diagnostic) — never driver-verified, so they go first
+    "kaplan_meier_interarrival", "spearman_rank_correlation",
+    "permutation_test_signflip", "unigram_perplexity_heldout",
+    "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
+    "mcnemar_paired_test", "vocab_chao1_richness",
+    "copurchase_degree_histogram",
     # (1) next-oldest driver evidence (r2 rows), registry order
     "safe_int_cast", "tri_state_boolean",
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",

@@ -251,6 +251,63 @@ _KHOP_SEEDS = 10
 _KHOP_DEPTH = 3
 
 
+def copurchase_adj(li):
+    """Symmetric co-purchase adjacency (u, v): parts sharing an order,
+    both directions, deduped. Basket-bounded (the basket_pair_affinity
+    bound) — never |parts|². Shared by khop_reach_counts and
+    copurchase_degree_histogram; callers checkpoint if they iterate."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+@query(
+    "copurchase_degree_histogram",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u, count(*)::BIGINT AS degree FROM adj GROUP BY u)
+    SELECT degree, count(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the co-purchase graph (distinct "
+    "neighbors per part): the first diagnostic run before ANY graph "
+    "algorithm — a heavy-tailed degree histogram predicts skewed "
+    "frontier joins (khop), hub-dominated PageRank mass, and triangle "
+    "blowup, and says whether hub-salting is needed. Reuses the "
+    "khop adjacency builder (copurchase_adj). Integer counts only. "
+    "Shape: basket-bounded edge build, two map-side-combinable "
+    "count shuffles; output bounded by max degree.",
+)
+def copurchase_degree_histogram(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    deg = (
+        copurchase_adj(li)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
 def khop_reach_counts(
     li, n_seeds: int = _KHOP_SEEDS, depth: int = _KHOP_DEPTH
 ):
@@ -271,22 +328,7 @@ def khop_reach_counts(
     """
     if depth < 0:
         raise ValueError(f"khop_reach_counts: depth must be >= 0, got {depth}")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    adj = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    adj = copurchase_adj(li).localCheckpoint(eager=True)
     seeds = (
         li.select("l_partkey")
         .distinct()

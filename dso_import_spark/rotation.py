@@ -90,10 +90,16 @@ def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
     from dso_import_spark.queries import REGISTRY
 
     greens = green_rounds(repo, max_round)
-    artifact_mtime: dict[int, float] = {
-        int(_ROUND_RE.search(f.name).group(1)): f.stat().st_mtime
-        for f in _round_files(repo, max_round)
-    }
+    # artifact age = its last GIT COMMIT time, not st_mtime: a fresh
+    # machine checkout (every round starts on one) resets every file's
+    # mtime to checkout time, which made every artifact look newer
+    # than every module commit and silently emptied the stale set
+    # (round-9 lesson). st_mtime only for not-yet-committed artifacts.
+    artifact_mtime: dict[int, float] = {}
+    for f in _round_files(repo, max_round):
+        rnd = int(_ROUND_RE.search(f.name).group(1))
+        ts = _module_last_commit_ts(f, repo)
+        artifact_mtime[rnd] = float(ts) if ts is not None else f.stat().st_mtime
     mod_ts: dict[str, int | None] = {}
     stale: list[str] = []
     for name, rnd in greens.items():

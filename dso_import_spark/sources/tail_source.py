@@ -18,14 +18,21 @@ query resumes from the committed byte position — appended lines are
 read once, never re-read, with no state outside the checkpoint.
 
 Truncation (logrotate ``copytruncate``) is generation-tracked
-(round-8 review): an offset is ``[generation, position]`` per file;
-when ``latestOffset`` observes the file smaller than it last was, the
-generation bumps and the next batch replays the NEW content from byte
-0 instead of resuming mid-file at the stale position (which would
-silently lose the new head and emit a torn fragment). The residual
-blind spot — truncate-and-regrow PAST the old size entirely between
-two polls — is the classic tailer limit (inode tracking would close
-it) and is documented here rather than hidden.
+(round-8 review): an offset is ``[generation, position, fp_len,
+fp_md5]`` per file; when ``latestOffset`` observes the file smaller
+than it last was, the generation bumps and the next batch replays the
+NEW content from byte 0 instead of resuming mid-file at the stale
+position (which would silently lose the new head and emit a torn
+fragment). The in-memory generation tracker dies with the reader, so
+the committed offset ALSO carries a head fingerprint — the md5 of the
+file's first ``min(size, 64)`` bytes (round-9, ADVICE r8): at plan
+time ``partitions`` re-hashes the same prefix length and a mismatch
+means the file was truncated and regrown past the committed position
+while no live tracker was watching (query restart between polls) —
+replay from byte 0. Residual blind spot: a regrown file whose first
+``fp_len`` bytes are byte-identical to the old generation's resumes
+mid-file; only inode tracking (not portable through this API's
+JSON offsets on all filesystems) would close that.
 
 Appends must be line-atomic (each write ends in ``\\n``) — true of
 O_APPEND log writers; a torn final line without a newline is left for
@@ -41,6 +48,7 @@ Usage::
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Iterator, Sequence
 
@@ -87,12 +95,34 @@ def _complete_size(path: str) -> int:
         return 0
 
 
-def _gen_pos(v) -> tuple[int, int]:
-    """Offset value → (generation, position); accepts the legacy bare
-    int form so an old checkpoint still resumes."""
+_FP_BYTES = 64
+
+
+def _head_fp(path: str, length: int) -> str:
+    """md5 hex of the file's first ``length`` bytes ('' if unreadable
+    or shorter than ``length`` — a shrink is truncation by itself)."""
+    if length <= 0:
+        return ""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(length)
+    except OSError:
+        return ""
+    if len(head) < length:
+        return ""
+    return hashlib.md5(head).hexdigest()
+
+
+def _gen_pos(v) -> tuple[int, int, int, str]:
+    """Offset value → (generation, position, fp_len, fp_md5); accepts
+    the legacy bare-int and [gen, pos] forms so old checkpoints still
+    resume (with no fingerprint → no restart-proof truncation check,
+    exactly the pre-round-9 behavior)."""
     if isinstance(v, (list, tuple)):
-        return int(v[0]), int(v[1])
-    return 0, int(v)
+        if len(v) >= 4:
+            return int(v[0]), int(v[1]), int(v[2]), str(v[3])
+        return int(v[0]), int(v[1]), 0, ""
+    return 0, int(v), 0, ""
 
 
 class TailStreamReader(DataSourceStreamReader):
@@ -118,7 +148,7 @@ class TailStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # start of every currently-present file: replay from byte 0
-        return {p: [0, 0] for p in self._files()}
+        return {p: [0, 0, 0, ""] for p in self._files()}
 
     def latestOffset(self) -> dict:
         out = {}
@@ -129,18 +159,25 @@ class TailStreamReader(DataSourceStreamReader):
                 # the next batch replays the new content from byte 0
                 self._gen[p] = self._gen.get(p, 0) + 1
             self._last_size[p] = size
-            out[p] = [self._gen.get(p, 0), size]
+            fp_len = min(size, _FP_BYTES)
+            out[p] = [self._gen.get(p, 0), size, fp_len, _head_fp(p, fp_len)]
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[_Tail]:
         parts = []
         for p, e in end.items():
-            e_gen, e_pos = _gen_pos(e)
-            s_gen, s_pos = _gen_pos(start.get(p, [0, 0]))
+            e_gen, e_pos, _e_fplen, _e_fp = _gen_pos(e)
+            s_gen, s_pos, s_fplen, s_fp = _gen_pos(start.get(p, [0, 0, 0, ""]))
             if e_gen > s_gen or e_pos < s_pos:
                 # truncated since the committed offset (generation bump,
                 # or a shrink the tracker itself hasn't seen — a fresh
                 # reader instance after restart): replay from 0
+                s_pos = 0
+            elif s_fplen > 0 and s_pos > 0 and _head_fp(p, s_fplen) != s_fp:
+                # head fingerprint mismatch vs the committed offset:
+                # truncated AND regrown past the committed position with
+                # no live generation tracker watching (restart between
+                # polls) — the in-memory gen can't see it, the bytes can
                 s_pos = 0
             if e_pos > s_pos:
                 parts.append(_Tail(p, s_pos, e_pos))

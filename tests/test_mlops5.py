@@ -1,0 +1,194 @@
+"""Invariant tests for the round-9 mlops5 stats/eval batch (the
+cross-engine value agreement itself is pinned by the DuckDB
+differentials in test_queries_vs_duckdb.py — these tests check the
+STATISTICS are right, not just engine-consistent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dso_import_spark.queries import REGISTRY
+
+
+def test_kaplan_meier_is_a_survival_curve(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["kaplan_meier_interarrival"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.gap_hours,
+    )
+    assert rows, "no observed inter-event gaps in fixture?"
+    surv = [r.survival for r in rows]
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True), "survival must be monotone"
+    risk = [r.at_risk for r in rows]
+    assert risk == sorted(risk, reverse=True), "at-risk must shrink over time"
+
+
+def test_spearman_perfect_monotone_is_exactly_one(spark, tmp_path):
+    # engineered perfect monotone relation: order k has totalprice 100k
+    # and exactly k lineitems -> every (x, y) pair is concordant, all
+    # ranks tie-free: rho must be exactly 1.0 (the exact-integer rank
+    # algebra leaves no room for 0.999999)
+    orders = spark.createDataFrame(
+        [(k, 100.0 * k) for k in range(1, 40)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(k, i) for k in range(1, 40) for i in range(k)],
+        "l_orderkey long, l_linenumber long",
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    row = (
+        REGISTRY["spearman_rank_correlation"]
+        .spark(spark, str(tmp_path))
+        .head()
+    )
+    assert row.n_orders == 39
+    assert row.rho_spearman == 1.0
+
+
+def test_spearman_fixture_range(spark, sf_dir):
+    row = REGISTRY["spearman_rank_correlation"].spark(spark, sf_dir).head()
+    # the synthetic fixture draws o_totalprice independently of the
+    # lineitems, so only the mathematical range is pinned here (the
+    # engineered-monotone test above pins the rank algebra)
+    assert -1.0 <= row.rho_spearman <= 1.0
+
+
+def test_permutation_p_value_bounds(spark, sf_dir):
+    row = REGISTRY["permutation_test_signflip"].spark(spark, sf_dir).head()
+    # p in (0, 1]: the +1 numerator term makes p=0 impossible
+    assert 1.0 / 129 <= row.p_value <= 1.0
+
+
+def test_unigram_perplexity_sane(spark, sf_dir):
+    rows = (
+        REGISTRY["unigram_perplexity_heldout"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        # geometric-mean inverse probability: >= 1 by construction, and
+        # far below vocab-size-uniform for any real text distribution
+        assert r.perplexity >= 1.0
+        assert r.n_docs > 0 and r.n_tokens > 0
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    row = (
+        REGISTRY["jl_projection_distortion_cert"].spark(spark, sf_dir).head()
+    )
+    assert row.n_pairs > 0
+    # E[ratio] = 1 exactly for a +-1 sign matrix; m=16 keeps the
+    # projection cheap, so concentration is loose (sd ~ sqrt(2/m) =
+    # 0.35) — the cert exists to MEASURE it, the test pins only the
+    # physically sensible band
+    assert 0.6 < row.mean_ratio < 1.4
+    assert row.min_ratio > 0.0
+    assert row.frac_within_20pct >= 0.1
+
+
+def test_mde_positive_and_symmetric_arms(spark, sf_dir):
+    rows = (
+        REGISTRY["ab_minimum_detectable_effect"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.mde_abs > 0.0
+        assert r.n0 > 1 and r.n1 > 1
+
+
+def test_mcnemar_chi2_nonnegative(spark, sf_dir):
+    row = REGISTRY["mcnemar_paired_test"].spark(spark, sf_dir).head()
+    assert row.mcnemar_chi2 >= 0.0
+    assert row.b_only_a + row.c_only_b <= row.n_docs
+
+
+def test_chao1_at_least_observed_vocab(spark, sf_dir):
+    rows = REGISTRY["vocab_chao1_richness"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the estimator only ADDS unseen mass to the observed count
+        assert r.chao1_est >= r.vocab_size
+        assert r.f1 + r.f2 <= r.vocab_size
+
+
+def test_degree_histogram_accounts_every_node(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.tsops import copurchase_adj
+    from dso_import_spark.queries_pkg.util import tables
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    hist = REGISTRY["copurchase_degree_histogram"].spark(spark, sf_dir)
+    n_hist = hist.agg(F.sum(F.col("n_nodes"))).head()[0]
+    n_nodes = copurchase_adj(li).select("u").distinct().count()
+    assert n_hist == n_nodes
+    assert all(r.degree > 0 for r in hist.collect())
+
+
+def test_jl_sign_is_not_a_checkerboard(spark):
+    # regression guard on the sign hash: bit 0 of (i*odd + j*odd) is
+    # parity(i+j) — a rank-1 checkerboard that collapses the projection;
+    # the middle-bit mix must produce signs that differ somewhere on
+    # the same diagonal
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.mlops5 import _jl_sign
+
+    df = spark.range(1).select(
+        *[
+            _jl_sign(F.lit(i), j).alias(f"s_{i}_{j}")
+            for i in range(1, 9)
+            for j in range(1, 9)
+        ]
+    )
+    row = df.head()
+    diag = [row[f"s_{i}_{(i % 8) + 1}"] for i in range(1, 9)]
+    anti = [row[f"s_{i}_{8 - (i % 8)}"] for i in range(1, 9)]
+    assert len(set(diag)) == 2 or len(set(anti)) == 2, (
+        "JL signs look checkerboard-degenerate"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kaplan_meier_interarrival",
+        "spearman_rank_correlation",
+        "permutation_test_signflip",
+        "unigram_perplexity_heldout",
+        "jl_projection_distortion_cert",
+        "ab_minimum_detectable_effect",
+        "mcnemar_paired_test",
+        "vocab_chao1_richness",
+        "copurchase_degree_histogram",
+    ],
+)
+def test_mlops5_idempotent_second_call(spark, sf_dir, name):
+    # same callable twice in one session must not mutate shared state
+    a = REGISTRY[name].spark(spark, sf_dir).collect()
+    b = REGISTRY[name].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_jl_sign_matrix_matches_column_hash(spark):
+    # the numpy matrix (the shipped matmul path) and the Column hash
+    # (the documented definition) must stay in lockstep bit for bit
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.mlops5 import _jl_sign, _jl_sign_matrix
+
+    d, m = 12, 16
+    mat = _jl_sign_matrix(d, m)
+    cols = spark.range(1).select(
+        *[
+            _jl_sign(F.lit(i), j).alias(f"s_{i}_{j}")
+            for i in range(1, d + 1)
+            for j in range(1, m + 1)
+        ]
+    ).head()
+    col_mat = np.array(
+        [[cols[f"s_{i}_{j}"] for j in range(1, m + 1)] for i in range(1, d + 1)]
+    )
+    assert (mat == col_mat).all()

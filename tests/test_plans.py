@@ -420,6 +420,25 @@ _SCALAR_RESULT_QUERIES = {
     # ONE 1-row integer confusion aggregate; the whole query is the
     # scalar combine — the cohens_kappa class
     "randomized_response_debias",
+    # all KM windows (at-risk desc-cumsum, survival asc-cumsum) run
+    # over the |distinct durations| relation — calendar-bounded
+    # state; the per-user lifetime agg is partitioned
+    "kaplan_meier_interarrival",
+    # the ONLY single-partition consumers are the |buckets| offset
+    # window and the |distinct basket sizes| y-rank window — the
+    # whole point of the bucket-offset design is that the O(n)
+    # distinct-value rank windows are PARTITIONed by bucket
+    "spearman_rank_correlation",
+    # 128-row permutation-diff relation + 1-row observed scalar —
+    # B-bounded resampling state, never data (bootstrap_mean_ci class)
+    "permutation_test_signflip",
+    # 1-row (N, V) vocab-total scalar broadcast back onto the vocab
+    # relation; the token join itself is shuffle-partitioned
+    "unigram_perplexity_heldout",
+    # 1-row distortion certificate — scalar result, never data
+    "jl_projection_distortion_cert",
+    # ONE 1-row integer disagreement aggregate — the cohens_kappa class
+    "mcnemar_paired_test",
 }
 
 

@@ -109,3 +109,32 @@ def test_tail_source_replays_after_copytruncate(spark, tmp_path):
     all3, new3 = _drain(spark, str(src), ckpt, out_dir)
     assert sorted(r.event_id for r in new3) == [4]
     assert sorted(r.event_id for r in all3.collect()) == [1, 2, 3, 4]
+
+
+def test_tail_source_replays_truncate_regrow_past_offset(spark, tmp_path):
+    # The pre-round-9 blind spot (ADVICE r8): each _drain is a fresh
+    # query start, so the reader's in-memory generation tracker is
+    # empty; if the file is truncated AND regrown PAST the committed
+    # byte position between drains, neither the gen bump nor the
+    # e_pos < s_pos shrink check can see it — only the head
+    # fingerprint in the committed offset does. Without it the reader
+    # resumes mid-file in the new generation and emits a torn
+    # fragment of event 4.
+    register_tail_source(spark)
+    src = tmp_path / "logs4"
+    src.mkdir()
+    log = str(src / "app.log")
+    ckpt = str(tmp_path / "ckpt4")
+    out_dir = str(tmp_path / "out4")
+    _append(log, ["1|1|view|1.0"])  # 13 bytes committed
+    _drain(spark, str(src), ckpt, out_dir)
+    # truncate, then regrow LONGER than the committed offset
+    with open(log, "w") as f:
+        f.write("3|3|purchase|9.0\n4|4|click|2.5\n5|5|view|1.0\n")
+    _, new = _drain(spark, str(src), ckpt, out_dir)
+    assert sorted(r.event_id for r in new) == [3, 4, 5]
+    # appends keep streaming exactly-once afterwards
+    _append(log, ["6|6|view|7.0"])
+    all3, new3 = _drain(spark, str(src), ckpt, out_dir)
+    assert sorted(r.event_id for r in new3) == [6]
+    assert sorted(r.event_id for r in all3.collect()) == [1, 3, 4, 5, 6]

@@ -1,0 +1,76 @@
+"""Regenerate the key-shifted scaled replica fixtures used by the
+SCALING.md at-birth measurements (each round starts on a fresh machine,
+so the /tmp fixtures from prior rounds are gone — this pins the exact
+methodology instead of a snippet buried in git history).
+
+Key-shifted replication of /root/testdata/sf0.1: every replica r gets
+ids shifted by r * (max_id + 1), so keys stay unique, join fan-outs
+stay realistic, and distributions per replica are identical to the
+base fixture. Graph/part keys are deliberately NOT shifted (the
+co-purchase graph gets denser with scale, as a real catalog would).
+Dimension tables are symlinked unscaled.
+
+Usage: python tools/gen_scaled_fixtures.py [factor] [out_dir]
+       (defaults: 100 /tmp/sfx100)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+SCALED = {
+    # table -> columns shifted by r * (max+1); all other columns pass through
+    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],  # l_partkey/l_suppkey unshifted: denser graph
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfx{factor}"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for table, shift_cols in SCALED.items():
+        src = f"{SRC}/{table}.parquet"
+        shifts = {
+            c: con.sql(
+                f"SELECT max({c}) + 1 FROM read_parquet('{src}')"
+            ).fetchone()[0]
+            for c in shift_cols
+        }
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"({c} + r * {shifts[c]})::BIGINT AS {c}" if c in shifts else c
+            for c in cols
+        )
+        dst = f"{out}/{table}.parquet"
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{src}') "
+            f"CROSS JOIN range({factor}) t(r)) TO '{dst}' (FORMAT parquet)"
+        )
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{table}: x{factor} -> {n} rows")
+    for d in DIMS:
+        link = f"{out}/{d}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{d}.parquet", link)
+    print(f"fixtures ready in {out}")
+
+
+if __name__ == "__main__":
+    main()
