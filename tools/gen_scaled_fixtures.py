@@ -10,8 +10,12 @@ base fixture. Graph/part keys are deliberately NOT shifted (the
 co-purchase graph gets denser with scale, as a real catalog would).
 Dimension tables are symlinked unscaled.
 
-Usage: python tools/gen_scaled_fixtures.py [factor] [out_dir]
-       (defaults: 100 /tmp/sfx100)
+Usage: python tools/gen_scaled_fixtures.py [factor] [out_dir] [tables]
+       (defaults: 100 /tmp/sfx100 events,orders,lineitem,documents,embeddings)
+
+The round-over-round ×100 HEADLINE comparison uses facts-only scaling
+(the round-3 convention — events/documents/embeddings unscaled):
+    python tools/gen_scaled_fixtures.py 100 /tmp/sfx100bench orders,lineitem
 """
 
 from __future__ import annotations
@@ -37,10 +41,21 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfx{factor}"
+    scaled = dict(SCALED)
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        unknown = keep - set(SCALED)
+        if unknown:
+            raise SystemExit(f"unknown scalable tables: {sorted(unknown)}")
+        scaled = {t: c for t, c in SCALED.items() if t in keep}
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
-    for table, shift_cols in SCALED.items():
+    for t in set(SCALED) - set(scaled):  # unscaled non-dim tables
+        link = f"{out}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    for table, shift_cols in scaled.items():
         src = f"{SRC}/{table}.parquet"
         shifts = {
             c: con.sql(
