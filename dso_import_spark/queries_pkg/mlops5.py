@@ -558,13 +558,33 @@ def _jl_project_udf():
         import numpy as np
         import pandas as p
 
+        def sign_matrix(d):
+            i = np.arange(1, d + 1, dtype=np.int64)[:, None]
+            j = np.arange(1, m + 1, dtype=np.int64)[None, :]
+            return 1 - 2 * (((i * 1103515245 + j * 12345 + 98765) >> 7) & 1)
+
         if em.empty:
             return p.Series([], dtype=object)
-        arr = np.stack(em.to_numpy()).astype(np.int64)
-        i = np.arange(1, arr.shape[1] + 1, dtype=np.int64)[:, None]
-        j = np.arange(1, m + 1, dtype=np.int64)[None, :]
-        sign = 1 - 2 * (((i * 1103515245 + j * 12345 + 98765) >> 7) & 1)
-        return p.Series(list(arr @ sign))
+        vals = em.to_numpy()
+        has_null = any(v is None for v in vals)
+        lens = {len(v) for v in vals if v is not None}
+        if not has_null and len(lens) == 1:
+            arr = np.stack(vals).astype(np.int64)
+            return p.Series(list(arr @ sign_matrix(arr.shape[1])))
+        # slow path for schema-legal edges a batched stack would crash
+        # on (NULL embedding -> np.stack object array; ragged lengths
+        # -> ValueError): NULL rows project to NULL (the oracle's
+        # NULL-propagation — the pair then drops at the do2 > 0
+        # filter), other rows get a per-length matmul (round-9 review)
+        mats = {d: sign_matrix(d) for d in lens}
+        return p.Series(
+            [
+                None
+                if v is None
+                else list(np.asarray(v, dtype=np.int64) @ mats[len(v)])
+                for v in vals
+            ]
+        )
 
     return pandas_udf(project, "array<long>")
 
@@ -572,9 +592,14 @@ def _jl_project_udf():
 @query(
     "jl_projection_distortion_cert",
     oracle=f"""
+    -- x::DOUBLE before the micro-quantization is load-bearing:
+    -- FLOAT * INTEGER stays FLOAT32 in DuckDB while Spark casts to
+    -- double, and 565/128000 fixture elements round differently in
+    -- float32 (round-9 review, verified empirically — the 1-row cert
+    -- matched only by 6-dp rounding luck)
     WITH e AS (
       SELECT vec_id,
-             [round(x * 1000000)::BIGINT FOR x IN embedding] AS em
+             [round(x::DOUBLE * 1000000)::BIGINT FOR x IN embedding] AS em
       FROM embeddings),
     proj AS (
       SELECT vec_id, em,

@@ -251,14 +251,13 @@ _KHOP_SEEDS = 10
 _KHOP_DEPTH = 3
 
 
-def copurchase_adj(li):
-    """Symmetric co-purchase adjacency (u, v): parts sharing an order,
-    both directions, deduped. Basket-bounded (the basket_pair_affinity
-    bound) — never |parts|². Shared by khop_reach_counts and
-    copurchase_degree_histogram; callers checkpoint if they iterate."""
+def copurchase_edges(li):
+    """One-directional distinct co-purchase edges (u < v): parts
+    sharing an order. Basket-bounded (the basket_pair_affinity bound)
+    — never |parts|²."""
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -269,6 +268,15 @@ def copurchase_adj(li):
         )
         .distinct()
     )
+
+
+def copurchase_adj(li):
+    """Symmetric adjacency: both directions of copurchase_edges.
+    NOTE: a union of the edge subtree with its swap — consumers that
+    execute it more than once (or even once, uncached: both union
+    branches re-run the self-join) should localCheckpoint, as
+    khop_reach_counts does."""
+    edges = copurchase_edges(li)
     return edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -298,9 +306,16 @@ def copurchase_adj(li):
 )
 def copurchase_degree_histogram(spark, sf_dir):
     (li,) = tables(spark, sf_dir, "lineitem")
+    # degree from the ONE-directional distinct edge relation by
+    # exploding both endpoints: consuming copurchase_adj (a union of
+    # the edge subtree with its swap) would execute the expensive
+    # basket self-join + distinct twice, once per union branch
+    # (round-9 review; khop avoids the same by checkpointing). Edges
+    # are distinct (u < v), so each neighbor contributes exactly once.
     deg = (
-        copurchase_adj(li)
-        .groupBy("u")
+        copurchase_edges(li)
+        .select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return deg.groupBy("degree").agg(

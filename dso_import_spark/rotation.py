@@ -82,6 +82,24 @@ def _module_last_commit_ts(path: Path, repo: Path) -> int | None:
         return None
 
 
+def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
+    """Unix ts of the commit that ADDED `path` (diff-filter=A), or None.
+
+    The creating commit, not the last one: a later reformat/sweep
+    commit touching an old CORRECTNESS artifact would fast-forward its
+    apparent age and silently shrink the stale set (round-9 review) —
+    the artifact's evidentiary age is when the driver produced it."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "-1", "--format=%ct",
+             "--", str(path)],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        )
+        return int(out.stdout.strip()) if out.stdout.strip() else None
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+
+
 def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
     """Green queries whose defining module was committed AFTER the
     CORRECTNESS artifact that last verified them: the driver evidence
@@ -90,15 +108,17 @@ def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
     from dso_import_spark.queries import REGISTRY
 
     greens = green_rounds(repo, max_round)
-    # artifact age = its last GIT COMMIT time, not st_mtime: a fresh
-    # machine checkout (every round starts on one) resets every file's
-    # mtime to checkout time, which made every artifact look newer
-    # than every module commit and silently emptied the stale set
-    # (round-9 lesson). st_mtime only for not-yet-committed artifacts.
+    # artifact age = its CREATING commit time, not st_mtime and not the
+    # last commit: a fresh machine checkout (every round starts on one)
+    # resets every file's mtime to checkout time, which made every
+    # artifact look newer than every module commit and silently emptied
+    # the stale set (round-9 lesson); and a later sweep commit touching
+    # an old artifact would do the same through git (round-9 review).
+    # st_mtime only for not-yet-committed artifacts.
     artifact_mtime: dict[int, float] = {}
     for f in _round_files(repo, max_round):
         rnd = int(_ROUND_RE.search(f.name).group(1))
-        ts = _module_last_commit_ts(f, repo)
+        ts = _file_created_commit_ts(f, repo)
         artifact_mtime[rnd] = float(ts) if ts is not None else f.stat().st_mtime
     mod_ts: dict[str, int | None] = {}
     stale: list[str] = []
@@ -131,8 +151,10 @@ def rotation_report(
     # round) or a FORCE_REVERIFY name (semantics changed below module
     # granularity) is deliberate re-verification, not waste — once the
     # never-verified pool is smaller than the budget, those are exactly
-    # what the remaining slots are for
-    stale = set(stale_green(repo, max_round)) | set(FORCE_REVERIFY)
+    # what the remaining slots are for. stale_green is a ~30-subprocess
+    # git sweep: run it ONCE and reuse below.
+    stale_list = stale_green(repo, max_round)
+    stale = set(stale_list) | set(FORCE_REVERIFY)
     wasted = [n for n in front if n in green and n not in stale]
 
     by_module: dict[str, list[str]] = {}
@@ -147,7 +169,7 @@ def rotation_report(
         "never_by_module": by_module,
         "front_budget": budget,
         "front_wasted_on_green": wasted,
-        "stale_green": stale_green(repo, max_round),
+        "stale_green": stale_list,
     }
 
 

@@ -66,18 +66,25 @@ class _Tail(InputPartition):
         self.end = end
 
 
-def _complete_size(path: str) -> int:
+def _complete_size(path: str) -> int | None:
     """Bytes of the file covered by whole (newline-terminated) lines —
     a torn trailing line stays unread until its newline lands.
-    A file rotated away between listing and stat reads as 0 bytes
-    (it simply stops advancing) instead of crashing the stream."""
+    Returns None when the file cannot be statted or read (rotated
+    away, transient I/O error): UNKNOWN, which the caller must treat
+    as "no new information" — returning 0 here would look like a
+    shrink, bump the truncation generation, and replay
+    already-committed bytes as duplicates (round-9 review)."""
     try:
         size = os.path.getsize(path)
     except OSError:
-        return 0
+        return None
     if size == 0:
         return 0
-    with open(path, "rb") as f:
+    try:
+        f = open(path, "rb")
+    except OSError:
+        return None
+    with f:
         f.seek(size - 1)
         if f.read(1) == b"\n":
             return size
@@ -98,16 +105,20 @@ def _complete_size(path: str) -> int:
 _FP_BYTES = 64
 
 
-def _head_fp(path: str, length: int) -> str:
-    """md5 hex of the file's first ``length`` bytes ('' if unreadable
-    or shorter than ``length`` — a shrink is truncation by itself)."""
+def _head_fp(path: str, length: int) -> str | None:
+    """md5 hex of the file's first ``length`` bytes. Returns '' when
+    the file is READABLE but shorter than ``length`` (a shrink — that
+    IS truncation evidence), and None when the read itself failed (a
+    transient open error says nothing about truncation: treating
+    unknown as truncated would replay already-committed bytes as
+    duplicates — round-9 review)."""
     if length <= 0:
         return ""
     try:
         with open(path, "rb") as f:
             head = f.read(length)
     except OSError:
-        return ""
+        return None
     if len(head) < length:
         return ""
     return hashlib.md5(head).hexdigest()
@@ -154,13 +165,26 @@ class TailStreamReader(DataSourceStreamReader):
         out = {}
         for p in self._files():
             size = _complete_size(p)
+            if size is None:
+                # unknown (transient stat/read failure): hold the
+                # stream where it was — no gen bump, no fingerprint,
+                # no forward progress; retry next poll. A fresh file
+                # we know nothing about is simply skipped this poll.
+                if p in self._last_size:
+                    out[p] = [self._gen.get(p, 0), self._last_size[p], 0, ""]
+                continue
             if size < self._last_size.get(p, 0):
                 # in-place truncation (copytruncate): new generation —
                 # the next batch replays the new content from byte 0
                 self._gen[p] = self._gen.get(p, 0) + 1
             self._last_size[p] = size
             fp_len = min(size, _FP_BYTES)
-            out[p] = [self._gen.get(p, 0), size, fp_len, _head_fp(p, fp_len)]
+            fp = _head_fp(p, fp_len)
+            if fp is None:
+                # transient read failure: commit no fingerprint rather
+                # than a wrong one (fp_len 0 = no check at plan time)
+                fp_len, fp = 0, ""
+            out[p] = [self._gen.get(p, 0), size, fp_len, fp]
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[_Tail]:
@@ -173,12 +197,17 @@ class TailStreamReader(DataSourceStreamReader):
                 # or a shrink the tracker itself hasn't seen — a fresh
                 # reader instance after restart): replay from 0
                 s_pos = 0
-            elif s_fplen > 0 and s_pos > 0 and _head_fp(p, s_fplen) != s_fp:
-                # head fingerprint mismatch vs the committed offset:
-                # truncated AND regrown past the committed position with
-                # no live generation tracker watching (restart between
-                # polls) — the in-memory gen can't see it, the bytes can
-                s_pos = 0
+            elif s_fplen > 0 and s_pos > 0:
+                cur_fp = _head_fp(p, s_fplen)
+                if cur_fp is not None and cur_fp != s_fp:
+                    # head fingerprint mismatch vs the committed offset:
+                    # truncated AND regrown past the committed position
+                    # with no live generation tracker watching (restart
+                    # between polls) — the in-memory gen can't see it,
+                    # the bytes can. A None (transient read failure) is
+                    # UNKNOWN, not truncation: resume normally rather
+                    # than replay committed bytes as duplicates
+                    s_pos = 0
             if e_pos > s_pos:
                 parts.append(_Tail(p, s_pos, e_pos))
         # a batch with no growth still needs one (empty) partition —

@@ -192,3 +192,26 @@ def test_jl_sign_matrix_matches_column_hash(spark):
         [[cols[f"s_{i}_{j}"] for j in range(1, m + 1)] for i in range(1, d + 1)]
     )
     assert (mat == col_mat).all()
+
+
+def test_jl_cert_survives_null_and_ragged_embeddings(spark, tmp_path):
+    # schema-legal edges the batched matmul would crash on: a NULL
+    # embedding and a ragged (different-length) one. NULL projects to
+    # NULL and its pair drops at the do2 > 0 filter — same as the
+    # oracle's NULL propagation; the ragged row gets its own sign
+    # matrix. (round-9 review: np.stack crashed the executor on both)
+    rows = [(i, [float(i % 7) / 7, 0.25, -0.5, 1.0]) for i in range(10)]
+    rows[3] = (3, None)
+    rows[6] = (6, [0.1, 0.2])  # ragged
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    row = (
+        REGISTRY["jl_projection_distortion_cert"]
+        .spark(spark, str(tmp_path))
+        .head()
+    )
+    # pairs (2,3) and (6,7) drop: NULL projection / NULL ragged dist;
+    # pair (4,5) may drop only on do2=0 — identical vectors do have
+    # do2=0 here since embedding depends on i%7: (0,1),(4,5),(8,9) stay
+    assert row.n_pairs >= 2
+    assert row.min_ratio > 0.0

@@ -138,3 +138,41 @@ def test_tail_source_replays_truncate_regrow_past_offset(spark, tmp_path):
     all3, new3 = _drain(spark, str(src), ckpt, out_dir)
     assert sorted(r.event_id for r in new3) == [6]
     assert sorted(r.event_id for r in all3.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_transient_read_failure_is_unknown_not_truncation(tmp_path, monkeypatch):
+    # a plan-time open() failure must RESUME from the committed
+    # offset, never replay it (round-9 review: '' on OSError was
+    # indistinguishable from truncation and duplicated committed rows)
+    from dso_import_spark.sources import tail_source as ts
+
+    log = tmp_path / "app.log"
+    log.write_text("1|1|view|1.0\n2|2|click|2.0\n")
+    reader = ts.TailStreamReader({"path": str(tmp_path)})
+    start = reader.latestOffset()
+    key = str(log)
+    gen, pos, fplen, fp = start[key]
+    assert fplen > 0 and fp  # healthy fingerprint committed
+    log.write_text("1|1|view|1.0\n2|2|click|2.0\n3|3|view|3.0\n")
+    end = reader.latestOffset()
+
+    real_open = open
+
+    def flaky_open(path, *a, **kw):
+        if str(path) == key:
+            raise OSError("transient EIO")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", flaky_open)
+    parts = reader.partitions(start, end)
+    monkeypatch.undo()
+    assert len(parts) == 1
+    # resumes at the committed byte position — no replay-from-zero
+    assert parts[0].start == pos
+    assert parts[0].end == end[key][1]
+
+    # and a latestOffset under the same failure commits NO fingerprint
+    monkeypatch.setattr("builtins.open", flaky_open)
+    off = reader.latestOffset()
+    monkeypatch.undo()
+    assert off[key][2] == 0 and off[key][3] == ""

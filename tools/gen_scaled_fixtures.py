@@ -4,11 +4,19 @@ so the /tmp fixtures from prior rounds are gone — this pins the exact
 methodology instead of a snippet buried in git history).
 
 Key-shifted replication of /root/testdata/sf0.1: every replica r gets
-ids shifted by r * (max_id + 1), so keys stay unique, join fan-outs
-stay realistic, and distributions per replica are identical to the
-base fixture. Graph/part keys are deliberately NOT shifted (the
-co-purchase graph gets denser with scale, as a real catalog would).
-Dimension tables are symlinked unscaled.
+ids shifted by r * (domain_max + 1), so keys stay unique, join
+fan-outs stay realistic, and distributions per replica are identical
+to the base fixture. Two deliberate NON-shifts (round-9 review — both
+were bugs when shifted):
+
+- keys of SYMLINKED-unscaled dimensions (o_custkey, l_partkey,
+  l_suppkey) stay put, so dim joins keep matching — each customer
+  gets factor× orders and the co-purchase graph gets denser, the way
+  a real workload grows. Shifting o_custkey orphaned every replica
+  order and quietly measured ×1 join work on a "×100" run.
+- a key that spans TWO tables (orderkey in orders and lineitem) gets
+  ONE shift computed over the domain max of both — per-table maxes
+  only align if the global max order happens to have lineitems.
 
 Usage: python tools/gen_scaled_fixtures.py [factor] [out_dir] [tables]
        (defaults: 100 /tmp/sfx100 events,orders,lineitem,documents,embeddings)
@@ -28,12 +36,18 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 SCALED = {
-    # table -> columns shifted by r * (max+1); all other columns pass through
+    # table -> columns shifted by r * (domain max + 1); all other
+    # columns (incl. unscaled-dimension FKs) pass through
     "events": ["event_id", "user_id"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],  # l_partkey/l_suppkey unshifted: denser graph
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+}
+# columns sharing one key domain get one shift over the max of all
+DOMAINS = {
+    "o_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "l_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -55,14 +69,18 @@ def main() -> None:
         link = f"{out}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
+    def domain_shift(table: str, col: str) -> int:
+        members = DOMAINS.get(col, [(table, col)])
+        return 1 + max(
+            con.sql(
+                f"SELECT max({c}) FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchone()[0]
+            for t, c in members
+        )
+
     for table, shift_cols in scaled.items():
         src = f"{SRC}/{table}.parquet"
-        shifts = {
-            c: con.sql(
-                f"SELECT max({c}) + 1 FROM read_parquet('{src}')"
-            ).fetchone()[0]
-            for c in shift_cols
-        }
+        shifts = {c: domain_shift(table, c) for c in shift_cols}
         cols = [
             r[0]
             for r in con.sql(
