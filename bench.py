@@ -107,6 +107,10 @@ BENCH_EXTRA = [
     "mcnemar_paired_test",
     "vocab_chao1_richness",
     "copurchase_degree_histogram",
+    "logrank_two_arm",
+    "rrf_rank_fusion",
+    "weighted_median_groups",
+    "mase_seasonal_naive",
 ]
 
 

@@ -171,13 +171,15 @@ FORCE_REVERIFY: list[str] = [
 # HEAD. Recompute with `python -m dso_import_spark.rotation` when
 # rotating.
 ROUND10_QUEUE = [
-    # (0) queries born in round 9 (mlops5 stats/eval batch + the graph
-    # degree diagnostic) — never driver-verified, so they go first
+    # (0) queries born in round 9 (mlops5 stats/eval batches + the
+    # graph/ts additions) — never driver-verified, so they go first
     "kaplan_meier_interarrival", "spearman_rank_correlation",
     "permutation_test_signflip", "unigram_perplexity_heldout",
     "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
     "mcnemar_paired_test", "vocab_chao1_richness",
     "copurchase_degree_histogram",
+    "logrank_two_arm", "rrf_rank_fusion", "weighted_median_groups",
+    "mase_seasonal_naive",
     # (1) next-oldest driver evidence (r2 rows), registry order
     "safe_int_cast", "tri_state_boolean",
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",

@@ -42,6 +42,15 @@ engine-replayable arithmetic:
   vocabulary per language from singleton/doubleton counts — estimates
   how much of the long tail the crawl hasn't seen yet.
 
+Batch 2 (same round):
+
+- ``logrank_two_arm``: log-rank test between two arms' survival
+  curves — the inferential companion to kaplan_meier_interarrival.
+- ``rrf_rank_fusion``: reciprocal-rank fusion of two top-N rankings —
+  the zero-tuning combiner for heterogeneous retrieval signals.
+- ``weighted_median_groups``: distributed weighted median per group
+  via the bucket-offset cumulative-weight shape.
+
 Determinism (house rules): all cross-row sums are exact (BIGINT or
 DECIMAL(38,0)/HUGEINT over pre-quantized integers); libm results (ln,
 exp, sqrt) are micro-quantized before any cross-row use; divisions of
@@ -931,4 +940,371 @@ def vocab_chao1_richness(spark, sf_dir):
             + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
             2,
         ).alias("chao1_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: KM survival compared between two arms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_two_arm",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, user_id % 2 AS arm, epoch_us(ts) AS tu FROM events),
+    h AS (SELECT max(tu) AS hu FROM e),
+    gaps AS (
+      SELECT arm,
+             CASE WHEN nxt IS NULL
+                  THEN ((SELECT hu FROM h) - tu) // 3600000000
+                  ELSE (nxt - tu) // 3600000000 END AS gap_hours,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+      FROM (SELECT arm, tu,
+                   lead(tu) OVER (PARTITION BY user_id ORDER BY tu) AS nxt
+            FROM e)),
+    tot AS (
+      SELECT arm, count(*)::BIGINT AS n_arm FROM gaps GROUP BY arm),
+    pooled AS (SELECT DISTINCT gap_hours FROM gaps),
+    cnt AS (
+      SELECT p.gap_hours, a.arm,
+             coalesce(sum(g.observed), 0)::BIGINT AS d,
+             coalesce(count(g.observed), 0)::BIGINT AS c
+      FROM pooled p CROSS JOIN (SELECT DISTINCT arm FROM gaps) a
+      LEFT JOIN gaps g ON g.gap_hours = p.gap_hours AND g.arm = a.arm
+      GROUP BY p.gap_hours, a.arm),
+    risk AS (
+      SELECT gap_hours, arm, d,
+             (SELECT n_arm FROM tot WHERE tot.arm = cnt.arm)
+               - coalesce(sum(c) OVER (PARTITION BY arm ORDER BY gap_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at
+      FROM cnt),
+    times AS (
+      SELECT gap_hours,
+             max(CASE WHEN arm = 0 THEN d END) AS d0,
+             max(CASE WHEN arm = 1 THEN d END) AS d1,
+             max(CASE WHEN arm = 0 THEN n_at END) AS n0,
+             max(CASE WHEN arm = 1 THEN n_at END) AS n1
+      FROM risk GROUP BY gap_hours),
+    terms AS (
+      SELECT d0, d0 + d1 AS dt, n0 + n1 AS nt, n0,
+             round((d0 + d1) * n0 / (n0 + n1)::DOUBLE * 1000000)::BIGINT
+               AS e0_micro,
+             round((d0 + d1) * (n0 / (n0 + n1)::DOUBLE)
+                   * (1 - n0 / (n0 + n1)::DOUBLE)
+                   * (n0 + n1 - d0 - d1) / (n0 + n1 - 1)::DOUBLE
+                   * 1000000)::BIGINT AS v_micro
+      FROM times
+      WHERE d0 + d1 > 0 AND n0 + n1 > d0 + d1 AND n0 + n1 > 1
+        AND n0 > 0 AND n1 > 0)
+    SELECT sum(d0)::BIGINT AS events_arm0,
+           round(sum(e0_micro) / 1000000.0, 4) AS expected_arm0,
+           round(((sum(d0) - sum(e0_micro) / 1000000.0)
+                  * (sum(d0) - sum(e0_micro) / 1000000.0))
+                 / (sum(v_micro) / 1000000.0), 6) AS logrank_chi2
+    FROM terms
+    """,
+    doc="Log-rank test comparing the time-to-next-event survival "
+    "curves of two user arms (the inferential companion to "
+    "kaplan_meier_interarrival — 'is arm 1's inter-arrival behavior "
+    "actually different?'): at each pooled event time, observed arm-0 "
+    "events vs the hypergeometric expectation d_t*n0/n_t and variance, "
+    "chi2 = (O-E)^2/V. Per-time E and V are micro-quantized BIGINTs "
+    "before the cross-row sums (the libm/division house rule), so "
+    "both engines sum identical integers. Times where either arm has "
+    "an empty risk set, or all at-risk units fail, drop identically "
+    "on both sides. Shape: per-user lead window, per-(time,arm) "
+    "counts; everything after runs on the pooled |distinct gap "
+    "values| x 2 relation — horizon-bounded state, never data.",
+)
+def logrank_two_arm(spark, sf_dir):
+    (ev,) = tables(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+    )
+    h = e.agg(F.max("tu").alias("hu"))
+    w_user = Window.partitionBy("user_id").orderBy("tu")
+    gaps = (
+        e.withColumn("nxt", F.lead("tu").over(w_user))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "arm",
+            F.when(
+                F.col("nxt").isNull(),
+                F.floor((F.col("hu") - F.col("tu")) / 3_600_000_000),
+            )
+            .otherwise(F.floor((F.col("nxt") - F.col("tu")) / 3_600_000_000))
+            .alias("gap_hours"),
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
+        )
+    )
+    tot = gaps.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_arm"))
+    cnt = gaps.groupBy("gap_hours", "arm").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    pooled = cnt.select("gap_hours").distinct()
+    arms = cnt.select("arm").distinct()
+    dense = (
+        pooled.crossJoin(F.broadcast(arms))
+        .join(cnt, ["gap_hours", "arm"], "left")
+        .select(
+            "gap_hours",
+            "arm",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w_arm = (
+        Window.partitionBy("arm")
+        .orderBy("gap_hours")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = dense.join(F.broadcast(tot), "arm").select(
+        "gap_hours",
+        "arm",
+        "d",
+        (
+            F.col("n_arm") - F.coalesce(F.sum("c").over(w_arm), F.lit(0))
+        ).alias("n_at"),
+    )
+    times = risk.groupBy("gap_hours").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("d"))).alias("d0"),
+        F.max(F.when(F.col("arm") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_at"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_at"))).alias("n1"),
+    )
+    nt = (F.col("n0") + F.col("n1")).cast("double")
+    dt = F.col("d0") + F.col("d1")
+    p0 = F.col("n0") / nt
+    terms = times.filter(
+        (dt > 0)
+        & (F.col("n0") + F.col("n1") > dt)
+        & (F.col("n0") + F.col("n1") > 1)
+        & (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+    ).select(
+        "d0",
+        F.round(dt * p0 * 1e6).cast("long").alias("e0_micro"),
+        F.round(
+            dt
+            * p0
+            * (1 - p0)
+            * (F.col("n0") + F.col("n1") - dt)
+            / (nt - 1)
+            * 1e6
+        )
+        .cast("long")
+        .alias("v_micro"),
+    )
+    o_minus_e = F.sum("d0") - F.sum("e0_micro") / 1e6
+    return terms.agg(
+        F.sum("d0").cast("long").alias("events_arm0"),
+        F.round(F.sum("e0_micro") / 1e6, 4).alias("expected_arm0"),
+        F.round(
+            (o_minus_e * o_minus_e) / (F.sum("v_micro") / 1e6), 6
+        ).alias("logrank_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two part rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 100
+_RRF_OUT = 20
+
+
+@query(
+    "rrf_rank_fusion",
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_partkey,
+             round(sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)))::BIGINT
+               AS rev_c,
+             sum(round(l_quantity)::BIGINT)::BIGINT AS qty
+      FROM lineitem GROUP BY l_partkey),
+    r1 AS (
+      SELECT l_partkey, row_number() OVER (ORDER BY rev_c DESC, l_partkey)
+               AS rnk
+      FROM agg ORDER BY rev_c DESC, l_partkey LIMIT {_RRF_TOPN}),
+    r2 AS (
+      SELECT l_partkey, row_number() OVER (ORDER BY qty DESC, l_partkey)
+               AS rnk
+      FROM agg ORDER BY qty DESC, l_partkey LIMIT {_RRF_TOPN}),
+    fused AS (
+      SELECT coalesce(r1.l_partkey, r2.l_partkey) AS l_partkey,
+             r1.rnk AS rank_rev, r2.rnk AS rank_qty,
+             coalesce(1.0 / ({_RRF_K} + r1.rnk), 0)
+               + coalesce(1.0 / ({_RRF_K} + r2.rnk), 0) AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r1.l_partkey = r2.l_partkey)
+    SELECT l_partkey, rank_rev, rank_qty, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, l_partkey LIMIT {_RRF_OUT}
+    """,
+    doc="Reciprocal-rank fusion of two part rankings (by revenue and "
+    "by quantity): rrf = sum over lists of 1/(60+rank), the standard "
+    "zero-tuning way to combine heterogeneous retrieval signals "
+    "(BM25 + dense ANN lists fuse exactly like this). Ranks come from "
+    "TakeOrdered top-100 lists — never a global row_number over the "
+    "full part relation — and the per-row score is a sum of at most "
+    "two exact-integer-derived doubles (no cross-row float sums). "
+    "Ties broken by part key in both rank and output order on both "
+    "engines. Cents/centi-percent quantization keeps the revenue "
+    "ordering metric integer-exact. Shape: one part agg (map-side "
+    "combinable), two bounded top-N lists, a 100-row full outer join, "
+    "bounded output.",
+)
+def rrf_rank_fusion(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+        .cast("long")
+        .alias("rev_c"),
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("qty"),
+    )
+
+    def topn(metric):
+        w = Window.orderBy(F.col(metric).desc(), "l_partkey")
+        return (
+            agg.orderBy(F.col(metric).desc(), "l_partkey")
+            .limit(_RRF_TOPN)
+            .withColumn("rnk", F.row_number().over(w))
+            .select("l_partkey", "rnk")
+        )
+
+    r1 = topn("rev_c").withColumnRenamed("rnk", "rank_rev")
+    r2 = topn("qty").withColumnRenamed("rnk", "rank_qty")
+    fused = r1.join(r2, "l_partkey", "full_outer").select(
+        "l_partkey",
+        "rank_rev",
+        "rank_qty",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_rev")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_qty")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "l_partkey")
+        .limit(_RRF_OUT)
+        .select(
+            "l_partkey",
+            "rank_rev",
+            "rank_qty",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed weighted median per group (bucket-offset, spearman's trick)
+# ---------------------------------------------------------------------------
+
+_WMED_BUCKET_CENTS = 1_000_000  # $10k price buckets
+
+
+@query(
+    "weighted_median_groups",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             round(l_extendedprice * 100)::BIGINT AS cents,
+             sum(round(l_quantity)::BIGINT)::BIGINT AS wt
+      FROM lineitem GROUP BY l_returnflag, round(l_extendedprice * 100)),
+    tot AS (SELECT flag, sum(wt)::BIGINT AS total FROM w GROUP BY flag),
+    b AS (SELECT flag, cents, wt, cents // {_WMED_BUCKET_CENTS} AS bkt FROM w),
+    boff AS (
+      SELECT flag, bkt,
+             coalesce(sum(btot) OVER (PARTITION BY flag ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS off
+      FROM (SELECT flag, bkt, sum(wt)::BIGINT AS btot FROM b
+            GROUP BY flag, bkt)),
+    cum AS (
+      SELECT b.flag, b.cents,
+             boff.off + coalesce(sum(b.wt) OVER (PARTITION BY b.flag, b.bkt
+               ORDER BY b.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS cw
+      FROM b JOIN boff ON boff.flag = b.flag AND boff.bkt = b.bkt)
+    SELECT cum.flag,
+           (min(cents) FILTER (WHERE cw * 2 >= total) / 100.0)
+             AS weighted_median_price,
+           max(total)::BIGINT AS total_weight
+    FROM cum JOIN tot ON tot.flag = cum.flag
+    GROUP BY cum.flag
+    """,
+    doc="Quantity-weighted median price per return flag (lower "
+    "weighted median: smallest price whose cumulative weight reaches "
+    "half the total) — the robust 'typical traded price' a plain "
+    "median (every row equal) and a mean (tail-dominated) both get "
+    "wrong. The scale shape is the spearman bucket-offset trick "
+    "applied to weighted quantiles: cumulative weights come from "
+    "bounded per-($10k-bucket) totals plus PARTITIONed within-bucket "
+    "running sums — never a per-group global sort-window over all "
+    "distinct prices (data-scale within a 3-value group key). "
+    "Weights and prices are integer-quantized, cumulative sums exact "
+    "BIGINT, the median pick an integer comparison (cw*2 >= total — "
+    "no halving division). Shape: one (flag, cents) weight agg "
+    "(map-side combinable), bounded bucket relation, bounded output.",
+)
+def weighted_median_groups(spark, sf_dir):
+    (li,) = tables(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("wt")
+    )
+    tot = w.groupBy("flag").agg(F.sum("wt").cast("long").alias("total"))
+    b = w.withColumn("bkt", (F.col("cents") / _WMED_BUCKET_CENTS).cast("long"))
+    w_bkt = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        b.groupBy("flag", "bkt")
+        .agg(F.sum("wt").alias("btot"))
+        .select(
+            "flag",
+            "bkt",
+            F.coalesce(F.sum("btot").over(w_bkt), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("flag", "bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(F.broadcast(boff), ["flag", "bkt"]).select(
+        "flag",
+        "cents",
+        (F.col("off") + F.sum("wt").over(w_in)).alias("cw"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(
+            (
+                F.min(
+                    F.when(F.col("cw") * 2 >= F.col("total"), F.col("cents"))
+                )
+                / 100.0
+            ).alias("weighted_median_price"),
+            F.max("total").cast("long").alias("total_weight"),
+        )
     )

@@ -413,3 +413,88 @@ def khop_reachability(spark, sf_dir):
     # differential fixture pins (n_seeds=10, depth=3) to match the
     # oracle literal above; the operator itself takes depth as an arg
     return khop_reach_counts(li, n_seeds=_KHOP_SEEDS, depth=_KHOP_DEPTH)
+
+
+# ---------------------------------------------------------------------------
+# MASE: seasonal-naive forecast error scaled by the naive baseline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mase_seasonal_naive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000),
+    j AS (
+      SELECT c.event_type,
+             abs(c.y - s.y)::BIGINT AS e_seasonal,
+             abs(c.y - n.y)::BIGINT AS e_naive
+      FROM hourly c
+      JOIN hourly s ON s.event_type = c.event_type AND s.h = c.h - 24
+      JOIN hourly n ON n.event_type = c.event_type AND n.h = c.h - 1)
+    SELECT event_type, count(*)::BIGINT AS n_hours,
+           round(sum(e_seasonal) / count(*)::DOUBLE, 4) AS mae_seasonal,
+           round(sum(e_naive) / count(*)::DOUBLE, 4) AS mae_naive,
+           CASE WHEN sum(e_naive) = 0 THEN 0.0
+                ELSE round(sum(e_seasonal) / sum(e_naive)::DOUBLE, 6) END
+             AS mase
+    FROM j GROUP BY event_type
+    """,
+    doc="MASE readout of the seasonal-naive forecaster (predict this "
+    "hour = same hour yesterday) against the naive baseline (= last "
+    "hour) on the hourly count series per event type: MASE < 1 means "
+    "daily seasonality carries real signal beyond short-term "
+    "persistence — the go/no-go check run before building any "
+    "fancier forecaster, and the scale-free error unit forecast "
+    "evaluations standardize on. Hours are epoch-hour integers, so "
+    "the lag joins are exact equi-joins (no window over a dense "
+    "spine needed; hours missing either lag drop identically on both "
+    "engines). Integer counts, exact BIGINT error sums, one final "
+    "guarded division (all-zero naive error hits the 0.0 sentinel). "
+    "Shape: one hourly count agg (map-side combinable), two "
+    "self-equi-joins on the |types|x|hours|-bounded series relation, "
+    "|types|-bounded combine.",
+)
+def mase_seasonal_naive(spark, sf_dir):
+    (ev,) = tables(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    c, s, n = hourly.alias("c"), hourly.alias("s"), hourly.alias("n")
+    j = (
+        c.join(
+            s,
+            (F.col("s.event_type") == F.col("c.event_type"))
+            & (F.col("s.h") == F.col("c.h") - 24),
+        )
+        .join(
+            n,
+            (F.col("n.event_type") == F.col("c.event_type"))
+            & (F.col("n.h") == F.col("c.h") - 1),
+        )
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.abs(F.col("c.y") - F.col("s.y")).cast("long").alias("e_seasonal"),
+            F.abs(F.col("c.y") - F.col("n.y")).cast("long").alias("e_naive"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return j.groupBy("event_type").agg(
+        cnt.cast("long").alias("n_hours"),
+        F.round(F.sum("e_seasonal") / cnt.cast("double"), 4).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.sum("e_naive") / cnt.cast("double"), 4).alias("mae_naive"),
+        F.when(F.sum("e_naive") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.sum("e_seasonal") / F.sum("e_naive").cast("double"), 6
+            )
+        )
+        .alias("mase"),
+    )

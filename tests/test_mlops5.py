@@ -215,3 +215,100 @@ def test_jl_cert_survives_null_and_ragged_embeddings(spark, tmp_path):
     # do2=0 here since embedding depends on i%7: (0,1),(4,5),(8,9) stay
     assert row.n_pairs >= 2
     assert row.min_ratio > 0.0
+
+
+def test_logrank_identical_arms_is_small(spark, tmp_path):
+    # both arms drawn from the SAME deterministic gap process -> the
+    # statistic must be tiny (exactly 0 when arms mirror perfectly)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):  # consecutive (even, odd) pairs share a gap
+        for k in range(30):  # pattern, so the two arms are exact mirrors
+            rows.append(
+                (eid, base + dt.timedelta(hours=k * (1 + (u // 2) % 3)), u,
+                 "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = REGISTRY["logrank_two_arm"].spark(spark, str(tmp_path)).head()
+    # observed equals expected at every pooled time point
+    assert row.logrank_chi2 < 0.01
+    assert abs(row.events_arm0 - row.expected_arm0) < 0.01
+
+
+def test_rrf_fusion_ranks_and_bounds(spark, sf_dir):
+    rows = REGISTRY["rrf_rank_fusion"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.rank_rev is not None or r.rank_qty is not None
+        # max possible score: rank 1 in both lists
+        assert 0 < r.rrf_score <= 2 / 61
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_weighted_median_between_min_and_max(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.util import tables
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    bounds = {
+        r.flag: (r.lo, r.hi)
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in REGISTRY["weighted_median_groups"].spark(spark, sf_dir).collect():
+        lo, hi = bounds[r.flag]
+        assert lo <= r.weighted_median_price <= hi
+        assert r.total_weight > 0
+
+
+def test_weighted_median_exact_on_engineered_weights(spark, tmp_path):
+    # weights concentrate mass on one price: the weighted median must
+    # be that price even though it is the largest value (an unweighted
+    # median would pick 2.0)
+    li = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    row = REGISTRY["weighted_median_groups"].spark(spark, str(tmp_path)).head()
+    assert row.weighted_median_price == 3.0
+    assert row.total_weight == 12
+
+
+def test_mase_seasonal_on_perfectly_seasonal_series(spark, tmp_path):
+    # y(h) depends only on h % 24 -> seasonal-naive error is exactly 0
+    # while the naive lag-1 error is not: mase must be exactly 0.0
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24 * 5):
+        for _ in range(1 + (h % 24) % 5):  # count pattern with period 24
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = REGISTRY["mase_seasonal_naive"].spark(spark, str(tmp_path)).head()
+    assert row.mase == 0.0
+    assert row.mae_seasonal == 0.0
+    assert row.mae_naive > 0

@@ -439,6 +439,11 @@ _SCALAR_RESULT_QUERIES = {
     "jl_projection_distortion_cert",
     # ONE 1-row integer disagreement aggregate — the cohens_kappa class
     "mcnemar_paired_test",
+    # the pooled-times dense grid and the 1-row (O-E)²/V combine run
+    # over the |distinct gap values| x 2 relation — horizon-bounded
+    # survival state, never data; the per-user lead window and the
+    # per-(time,arm) counts are partitioned
+    "logrank_two_arm",
 }
 
 
