@@ -1041,11 +1041,20 @@ def logrank_two_arm(spark, sf_dir):
             F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
         )
     )
-    tot = gaps.groupBy("arm").agg(F.count(F.lit(1)).cast("long").alias("n_arm"))
-    cnt = gaps.groupBy("gap_hours", "arm").agg(
-        F.sum("observed").cast("long").alias("d"),
-        F.count(F.lit(1)).cast("long").alias("c"),
+    # ONE consumer of the events-scan/lead-window subtree: cnt is the
+    # |distinct gaps| x 2 relation, checkpointed, and tot/pooled/arms
+    # all derive from it (four uncached consumers re-executed the
+    # expensive per-user window once each — the copurchase_adj
+    # duplicate-execution class, round-9 review pass 2)
+    cnt = (
+        gaps.groupBy("gap_hours", "arm")
+        .agg(
+            F.sum("observed").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=True)
     )
+    tot = cnt.groupBy("arm").agg(F.sum("c").cast("long").alias("n_arm"))
     pooled = cnt.select("gap_hours").distinct()
     arms = cnt.select("arm").distinct()
     dense = (
@@ -1088,7 +1097,11 @@ def logrank_two_arm(spark, sf_dir):
         & (F.col("n1") > 0)
     ).select(
         "d0",
-        F.round(dt * p0 * 1e6).cast("long").alias("e0_micro"),
+        # association pinned to the oracle's ((d0+d1)*n0) / nt — the
+        # exact BIGINT product divided once; dt*p0 (divide first, then
+        # multiply) differs by 1 ulp on ~30/1M (dt,n0,n1) combos and
+        # can flip the micro rounding (round-9 review pass 2, verified)
+        F.round((dt * F.col("n0")) / nt * 1e6).cast("long").alias("e0_micro"),
         F.round(
             dt
             * p0

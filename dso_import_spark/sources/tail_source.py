@@ -141,10 +141,12 @@ class TailStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("eventtail source requires .load('<dir>')")
-        # per-instance truncation tracker: last size seen per file and
-        # the current generation. Lives only for the run; a restarted
-        # query re-learns generations from the committed offsets.
+        # per-instance truncation tracker: last size, last good head
+        # fingerprint, and the current generation per file. Lives only
+        # for the run; a restarted query re-learns generations from
+        # the committed offsets.
         self._last_size: dict[str, int] = {}
+        self._last_fp: dict[str, tuple[int, str]] = {}
         self._gen: dict[str, int] = {}
 
     def _files(self) -> list[str]:
@@ -166,13 +168,28 @@ class TailStreamReader(DataSourceStreamReader):
         for p in self._files():
             size = _complete_size(p)
             if size is None:
-                # unknown (transient stat/read failure): hold the
-                # stream where it was — no gen bump, no fingerprint,
-                # no forward progress; retry next poll. A fresh file
-                # we know nothing about is simply skipped this poll.
                 if p in self._last_size:
-                    out[p] = [self._gen.get(p, 0), self._last_size[p], 0, ""]
-                continue
+                    # unknown (transient stat/read failure) on a KNOWN
+                    # file: hold the stream exactly where it was — no
+                    # gen bump, no forward progress, and the last GOOD
+                    # fingerprint carried forward (committing 0/'' here
+                    # would erase the restart-proof truncation check
+                    # for the file — round-9 review pass 2)
+                    fp_len, fp = self._last_fp.get(p, (0, ""))
+                    out[p] = [self._gen.get(p, 0), self._last_size[p],
+                              fp_len, fp]
+                    continue
+                # unknown file we have NO in-memory state for: omitting
+                # it silently would later read as "new file, replay
+                # from 0" against a committed offset (duplicate rows) —
+                # fail the poll loudly instead; Spark retries the
+                # trigger, and a genuinely rotated-away file stops
+                # being listed by then
+                raise RuntimeError(
+                    f"eventtail: cannot stat/read {p!r} and no prior "
+                    "state for it this run — failing the poll rather "
+                    "than committing an offset that omits the file"
+                )
             if size < self._last_size.get(p, 0):
                 # in-place truncation (copytruncate): new generation —
                 # the next batch replays the new content from byte 0
@@ -181,9 +198,11 @@ class TailStreamReader(DataSourceStreamReader):
             fp_len = min(size, _FP_BYTES)
             fp = _head_fp(p, fp_len)
             if fp is None:
-                # transient read failure: commit no fingerprint rather
-                # than a wrong one (fp_len 0 = no check at plan time)
-                fp_len, fp = 0, ""
+                # transient read failure on the head: carry the last
+                # good fingerprint forward (no prior one: honest 0/'')
+                fp_len, fp = self._last_fp.get(p, (0, ""))
+            else:
+                self._last_fp[p] = (fp_len, fp)
             out[p] = [self._gen.get(p, 0), size, fp_len, fp]
         return out
 

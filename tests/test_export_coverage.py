@@ -8,11 +8,13 @@ plan build for multiple rounds. Two defenses here:
 1. A static audit (``test_every_export_has_a_call_site``) that fails
    when any public top-level function/class in the engine packages
    (``AUDITED_PACKAGES``: operators, functions, sources, streaming,
-   plans, schemas) has NO call-site — a ``name(`` occurrence, or a
-   passed-as-value use like ``register_once(spark, TailDataSource)``,
-   outside its own ``def``/``class`` line — in either the package
-   source (registry/job reachability) or ``tests/``. A bare import
-   does not count; the name must be *called or handed somewhere*.
+   plans, schemas) is never USED: the corpus is parsed with ast and a
+   use is a Name-in-Load-context or Attribute reference (a call, an
+   argument like ``register_once(spark, TailDataSource)``, a dispatch
+   table). A bare import binds a name but emits neither node, so it
+   does not count — and comments, docstrings, and import continuation
+   lines cannot satisfy the audit (they did under the earlier regex
+   heuristic).
 2. Executing tests (below the audit) for every export whose only
    call-sites are in this file, so rule 1 is never satisfied by a
    reference that doesn't actually run the operator.
@@ -26,7 +28,6 @@ from __future__ import annotations
 
 import ast
 import datetime as dt
-import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -62,43 +63,40 @@ def _public_exports() -> dict[str, list[str]]:
     return out
 
 
-def _call_site_corpus() -> str:
-    parts = []
-    for f in PKG.rglob("*.py"):
-        parts.append(f.read_text())
-    for f in (REPO / "tests").glob("*.py"):
-        parts.append(f.read_text())
-    parts.append((REPO / "__spark_entry__.py").read_text())
-    return "\n".join(parts)
+def _referenced_names() -> set[str]:
+    """Every identifier the corpus actually USES, from the AST: Name
+    nodes in Load context (calls, arguments, comparisons, dispatch
+    tables) and Attribute accesses. Import statements bind names but
+    emit neither, so a bare ``from x import y`` does not count as a
+    use — and comments/docstrings/continuation-line artifacts (the
+    failure modes of the earlier regex heuristic, round-9 review)
+    cannot match at all."""
+    used: set[str] = set()
+    files = [
+        *PKG.rglob("*.py"),
+        *(REPO / "tests").glob("*.py"),
+        REPO / "__spark_entry__.py",
+    ]
+    for f in files:
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
+                used.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                used.add(node.attr)
+    return used
 
 
 def test_every_export_has_a_call_site():
-    corpus = _call_site_corpus()
-    missing = []
-    for mod, names in _public_exports().items():
-        for name in names:
-            esc = re.escape(name)
-            # call-sites: `name(` not preceded by def/class on the line
-            calls = [
-                m
-                for m in re.finditer(r"^.*\b" + esc + r"\(", corpus, re.M)
-                if not re.search(r"\b(def|class)\s+" + esc + r"\(", m.group(0))
-            ]
-            # passed-as-value sites: `name` used as an argument or
-            # assigned (DataSource classes handed to register_once,
-            # callables in dispatch tables) — an import line or the
-            # definition itself does NOT count
-            passed = [
-                m
-                for m in re.finditer(r"^.*\b" + esc + r"\b.*$", corpus, re.M)
-                if not re.search(r"\b(def|class)\s+" + esc + r"\b", m.group(0))
-                and not re.search(r"^\s*(from\s|import\s)", m.group(0))
-                and re.search(r"[(,=]\s*" + esc + r"\b", m.group(0))
-            ]
-            if not calls and not passed:
-                missing.append(f"{mod}:{name}")
+    used = _referenced_names()
+    missing = [
+        f"{mod}:{name}"
+        for mod, names in _public_exports().items()
+        for name in names
+        if name not in used
+    ]
     assert not missing, (
-        "exported operators with no call-site anywhere (dead-code risk — "
+        "exported operators with no use-site anywhere (dead-code risk — "
         "add an executing test in tests/test_export_coverage.py): "
         f"{missing}"
     )

@@ -171,8 +171,21 @@ def test_transient_read_failure_is_unknown_not_truncation(tmp_path, monkeypatch)
     assert parts[0].start == pos
     assert parts[0].end == end[key][1]
 
-    # and a latestOffset under the same failure commits NO fingerprint
+    # and a latestOffset under the same failure holds position and
+    # carries the last GOOD fingerprint forward (committing 0/'' would
+    # erase the restart-proof truncation check for the file)
     monkeypatch.setattr("builtins.open", flaky_open)
     off = reader.latestOffset()
     monkeypatch.undo()
-    assert off[key][2] == 0 and off[key][3] == ""
+    assert off[key][1] == end[key][1]  # no forward progress claimed
+    assert off[key][2] == end[key][2] and off[key][3] == end[key][3]
+
+    # an unknown-unreadable file fails the poll loudly instead of
+    # being silently omitted (an omitted committed file would replay
+    # from byte 0 on the next successful poll)
+    fresh = ts.TailStreamReader({"path": str(tmp_path)})
+    monkeypatch.setattr("builtins.open", flaky_open)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no prior state"):
+        fresh.latestOffset()
+    monkeypatch.undo()

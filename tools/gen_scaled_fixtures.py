@@ -62,6 +62,15 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown scalable tables: {sorted(unknown)}")
         scaled = {t: c for t, c in SCALED.items() if t in keep}
+    if os.path.isdir(out) and os.listdir(out):
+        # refuse to mix table selections in one directory: a leftover
+        # SCALED parquet would shadow the expected unscaled symlink
+        # (and a COPY through a leftover symlink would write INTO the
+        # read-only base fixture) — round-9 review
+        raise SystemExit(
+            f"{out} exists and is not empty — remove it first "
+            "(fixture dirs are single-generation)"
+        )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
