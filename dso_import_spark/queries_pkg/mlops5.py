@@ -228,10 +228,12 @@ _SPEAR_BUCKET_CENTS = 5_000_000  # $50k value buckets for the rank offsets
              sum(w * ry * ry) AS syy
       FROM rk)
     SELECT n::BIGINT AS n_orders,
-           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                   * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+           THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
              / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
                   * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
-             AS rho_spearman
+           END AS rho_spearman
     FROM s
     """,
     doc="Spearman's rho between order value and basket size: Pearson "
@@ -313,12 +315,16 @@ def spearman_rank_correlation(spark, sf_dir):
     )
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # constant x or y: rho undefined -> NULL on BOTH engines (ANSI
+    # Spark throws DIVIDE_BY_ZERO while DuckDB returns IEEE inf — a
+    # cross-engine divergence found by the hypothesis brute-force
+    # property test on an all-identical-rows example)
     return s.select(
         F.col("n").cast("long").alias("n_orders"),
-        F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
+        F.when(
+            den > 0,
+            F.round((n * sxy - sx * sy) / F.sqrt(den), 6),
         ).alias("rho_spearman"),
     )
 
@@ -1000,9 +1006,10 @@ def vocab_chao1_richness(spark, sf_dir):
         AND n0 > 0 AND n1 > 0)
     SELECT sum(d0)::BIGINT AS events_arm0,
            round(sum(e0_micro) / 1000000.0, 4) AS expected_arm0,
-           round(((sum(d0) - sum(e0_micro) / 1000000.0)
+           CASE WHEN sum(v_micro) > 0
+           THEN round(((sum(d0) - sum(e0_micro) / 1000000.0)
                   * (sum(d0) - sum(e0_micro) / 1000000.0))
-                 / (sum(v_micro) / 1000000.0), 6) AS logrank_chi2
+                 / (sum(v_micro) / 1000000.0), 6) END AS logrank_chi2
     FROM terms
     """,
     doc="Log-rank test comparing the time-to-next-event survival "
@@ -1114,11 +1121,16 @@ def logrank_two_arm(spark, sf_dir):
         .alias("v_micro"),
     )
     o_minus_e = F.sum("d0") - F.sum("e0_micro") / 1e6
+    # all-variance-quantized-to-zero (degenerate tiny strata): chi2
+    # undefined -> NULL on both engines (ANSI Spark would throw
+    # DIVIDE_BY_ZERO, DuckDB would return IEEE inf — the spearman
+    # den<=0 class found by the hypothesis property test)
     return terms.agg(
         F.sum("d0").cast("long").alias("events_arm0"),
         F.round(F.sum("e0_micro") / 1e6, 4).alias("expected_arm0"),
-        F.round(
-            (o_minus_e * o_minus_e) / (F.sum("v_micro") / 1e6), 6
+        F.when(
+            F.sum("v_micro") > 0,
+            F.round((o_minus_e * o_minus_e) / (F.sum("v_micro") / 1e6), 6),
         ).alias("logrank_chi2"),
     )
 

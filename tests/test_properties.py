@@ -223,3 +223,103 @@ def test_wav_decode_never_crashes_on_garbage(data):
     """Arbitrary bytes: parse or reject, never raise."""
     decode_wav(data)
     decode_wav(b"RIFF" + data)
+
+
+# ---------------------------------------------------------------------------
+# Distributed-rank algebra vs plain-Python brute force (round-9 shapes)
+# ---------------------------------------------------------------------------
+
+
+def _midrank(values):
+    """Average-rank (midrank) of each value in `values`, 1-based."""
+    s = sorted(values)
+    first = {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i)
+    return [first[v] + 1 + (s.count(v) - 1) / 2 for v in values]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500000),  # price cents/100
+            st.integers(min_value=1, max_value=7),  # basket size
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_spearman_bucket_offset_matches_brute_force_midranks(spark, rows):
+    # the bucket-offset + contingency-weighted moments must equal the
+    # textbook midrank Pearson computed row-by-row in Python
+    from dso_import_spark.queries import REGISTRY
+
+    import math
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders = spark.createDataFrame(
+            [(k, cents / 100.0) for k, (cents, _) in enumerate(rows)],
+            "o_orderkey long, o_totalprice double",
+        )
+        li = spark.createDataFrame(
+            [(k, i) for k, (_, n) in enumerate(rows) for i in range(n)],
+            "l_orderkey long, l_linenumber long",
+        )
+        orders.write.parquet(f"{d}/orders.parquet")
+        li.write.parquet(f"{d}/lineitem.parquet")
+        got = REGISTRY["spearman_rank_correlation"].spark(spark, d).head()
+
+    xs = [cents for cents, _ in rows]
+    ys = [n for _, n in rows]
+    rx, ry = _midrank(xs), _midrank(ys)
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    assert got.n_orders == n
+    if den <= 0:  # constant x or y: rho undefined -> engine emits NULL
+        assert got.rho_spearman is None
+        return
+    want = (n * sxy - sx * sy) / math.sqrt(den)
+    assert abs(got.rho_spearman - want) < 1e-5
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=300000),  # price cents/100
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_median_matches_brute_force(spark, rows):
+    # lower weighted median: smallest value whose cumulative weight
+    # reaches half the total — replayed by expanding each row into
+    # `weight` copies and picking the element at ceil(W/2)
+    from dso_import_spark.queries import REGISTRY
+
+    import math
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li = spark.createDataFrame(
+            [("A", cents / 100.0, float(wt)) for cents, wt in rows],
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        )
+        li.write.parquet(f"{d}/lineitem.parquet")
+        got = REGISTRY["weighted_median_groups"].spark(spark, d).head()
+
+    expanded = sorted(
+        cents for cents, wt in rows for _ in range(wt)
+    )
+    total = len(expanded)
+    want_cents = expanded[math.ceil(total / 2) - 1]
+    assert got.total_weight == total
+    assert abs(got.weighted_median_price - want_cents / 100.0) < 1e-9
