@@ -89,90 +89,20 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops5,
 )
 
-# ROUND 9 FRONT BLOCK (applied): the 11 never-verified round-8 queries
-# first (mlops4 ×8 + tsops ×3 — the only registry rows with zero driver
-# evidence; a green front makes the registry 269/269 ever-green), then
-# the ENTIRE 37-row stale backlog in registry order (round-8 review
-# passes touched text/extras/similarity/multimodal/streaming modules
-# after their verifying artifacts landed), then 2 refresh picks: the
-# two oldest FORCE_REVERIFY rows (r2 evidence; functions/parsers.py
-# try_cast hardening is stale-invisible at module granularity).
-ROUND9_FRONT = [
-    # (1) never-verified: the round-8 mlops4 batch (FDR, shrinkage,
-    # MI, ratio CI, water-filling, local-DP, pinball loss, JSONL
-    # rescue)
-    "bh_fdr_correction", "eb_shrunken_rates", "mutual_information_cols",
-    "ratio_metric_delta_ci", "budget_water_filling",
-    "randomized_response_debias", "pinball_loss_eval", "jsonl_rescue_scan",
-    # (1b) never-verified: round-8 batch 2 (time-series ACF,
-    # header/detail reconciliation, k-hop BFS)
-    "autocorrelation_lags", "order_lineitem_reconcile", "khop_reachability",
-    # (2) the ENTIRE stale backlog, registry order (37)
-    "text_token_stats", "text_quality_scores", "doc_fingerprints",
-    "text_tfidf_top_terms", "doc_chunking",
-    "wkt_coerce_geometries", "date_parse_variants",
-    "hash_split_train_test", "dedup_cluster_components",
-    "dedup_cluster_canonical", "sql_entry_point", "udaf_geometric_mean",
-    "udtf_sentence_split", "unpivot_melt_measures", "table_profile",
-    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
-    "temperature_mix_weights", "ann_pq_topk", "ann_ivf_pq_topk",
-    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
-    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
-    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
-    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
-    "value_outliers_mad", "stream_session_dynamic_gap",
-    "shingle_containment_banded", "banding_estimator_cert",
-    # (3) refresh picks filling to 50: the two oldest FORCE_REVERIFY
-    # rows (r2 evidence; round-8 functions/parsers.py try_cast
-    # hardening is invisible to stale_green's module granularity)
-    "surrogate_key", "multi_id_zip",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded
-# (unless stale or FORCE_REVERIFY). Bump when rotating
-# (tests/test_rotation.py checks the choice against exactly these
-# rounds, so a *new* round's results landing mid-cycle doesn't
-# retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 8
-
-# Green queries whose SEMANTICS changed in a module stale_green can't
-# see (operators/*, not the defining queries_pkg module), plus
-# deliberate evidence-freshness picks. Spending a front slot on these
-# is deliberate re-verification, not waste.
-FORCE_REVERIFY: list[str] = [
-    # round-8 review fixes touched sources/wkt_source.py (shared
-    # register_once helper) and sources/tail_source.py (truncation
-    # generations) — the registered callables live in queries_pkg
-    # modules stale_green can't see through, so mark explicitly
-    "wkt_file_scan", "wkt_write_roundtrip",
-    # functions/text.py simhash32 NULL-propagation and
-    # functions/parsers.py try_cast hardening (round-8 review): no
-    # fixture-visible output change (differentials green), but the
-    # defining functions module is stale-invisible — re-verify
-    # (surrogate_key and multi_id_zip took r9 front slots)
-    "dedup_simhash_fingerprints", "surrogate_key", "multi_id_zip",
-    # operators/{multimodal,asof,similarity,skew}.py review fixes
-    # (NULL-payload guards, loud type guards, bound-column normalize,
-    # helper reuse) — same stale-invisible posture; differentials green
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_wav_decode", "asof_tolerance_cogroup",
-    "salted_heavy_hitters", "salted_join_revenue", "ann_lsh_topk",
-    "semdedup_autok_kernel",
-]
-
-# ROUND 10 QUEUE (pre-staged): the residual stale tail the round-9
-# front could not fit — next-oldest driver evidence first (r2 rows
-# whose functions/ dependencies were hardened in r8), then r3/r4 rows
-# plus the review-touched WKT write and simhash paths, then the
-# operator-module FORCE_REVERIFY entries (multimodal/asof/skew/
-# similarity review fixes). New queries added mid-round go at the
-# HEAD. Recompute with `python -m dso_import_spark.rotation` when
-# rotating.
-ROUND10_QUEUE = [
-    # (0) queries born in round 9 (mlops5 stats/eval batches + the
-    # graph/ts additions) — never driver-verified, so they go first
+# ROUND 10 FRONT BLOCK (applied): the 13 never-verified round-9
+# queries first (mlops5 ×11 + tsops ×2 — the only registry rows with
+# zero driver evidence; a green front makes the registry 282/282
+# ever-green), then `stream_tail_ingest` (its r8 green predates the
+# round-9 sources/tail_source.py durability fixes — the staleness
+# leak the r9 verdict flagged; the dep-aware stale checker now sees
+# it), then the round-9-staged queue in order (r2 rows, r3/r4 rows,
+# operator-module review-fix re-verification), then 10 oldest
+# dep-stale r4 rows. stale_green() is dep-aware since round 10
+# (AST-walks operators/sources/functions imports), so every pick
+# below is either never-verified, dep-stale, or FORCE_REVERIFY.
+ROUND10_FRONT = [
+    # (0) never-verified: the round-9 mlops5 stats/eval batch + the
+    # graph/ts additions
     "kaplan_meier_interarrival", "spearman_rank_correlation",
     "permutation_test_signflip", "unigram_perplexity_heldout",
     "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
@@ -180,6 +110,8 @@ ROUND10_QUEUE = [
     "copurchase_degree_histogram",
     "logrank_two_arm", "rrf_rank_fusion", "weighted_median_groups",
     "mase_seasonal_naive",
+    # (0b) the round-9 staleness leak, re-verified first among greens
+    "stream_tail_ingest",
     # (1) next-oldest driver evidence (r2 rows), registry order
     "safe_int_cast", "tri_state_boolean",
     "interval_validity_filter", "open_interval_gate", "temporal_overlap",
@@ -190,13 +122,83 @@ ROUND10_QUEUE = [
     "dedup_simhash_fingerprints",
     "collated_dedup_groups", "recursive_cte_chain",
     "listagg_order_sequences",
-    # (3) operator-module review-fix re-verification (FORCE_REVERIFY
-    # entries not already staged above)
+    # (3) operator-module review-fix re-verification
     "asof_tolerance_cogroup", "salted_heavy_hitters",
     "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
     "multimodal_metadata", "multimodal_decode_stats",
     "multimodal_frame_sample", "multimodal_features",
     "multimodal_wav_decode",
+    # (4) oldest dep-stale refresh picks filling to 50 (r4 evidence;
+    # their operator/function dependencies were edited in r8/r9)
+    "ann_recall_report", "stream_interval_full_outer",
+    "lm_bigram_quality", "source_overlap_matrix",
+    "quality_classifier_score", "priority_sample_topk",
+    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "did_difference_in_differences", "srm_sample_ratio_check",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 9
+
+# Deliberate evidence-freshness picks that are neither never-verified
+# nor dep-stale: spending a front slot on these is deliberate
+# re-verification, not waste. Most of the round-9 list is gone —
+# stale_green() is dep-aware since round 10 (it AST-walks the
+# defining module's operators/sources/functions imports, including
+# function-local lazy imports), so operator-layer edits now surface
+# as stale automatically instead of needing a manual entry here.
+FORCE_REVERIFY: list[str] = [
+    # r3-evidence rows whose modules and deps are unchanged since —
+    # pure evidence-age refresh (oldest non-stale greens in registry)
+    "collated_dedup_groups", "recursive_cte_chain",
+    "listagg_order_sequences",
+]
+
+# ROUND 11 QUEUE (pre-staged): the dep-stale backlog the round-10
+# front could not fit — oldest driver evidence first (r4 rows, then
+# r5/r6 rows), registry order within a round. The dep-aware stale
+# checker surfaced 115 rows whose operator/source/function-layer
+# dependencies were edited in r8/r9 after their verifying artifacts;
+# the front takes 36 of them, this queue stages the rest so surplus
+# driver budget (or the next rotation) lands on the oldest evidence
+# first. New queries added mid-round go at the HEAD of the FRONT.
+# Recompute with `python -m dso_import_spark.rotation` when rotating.
+ROUND11_QUEUE = [
+    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
+    "event_transition_matrix", "rendezvous_sharding",
+    "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
+    "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
+    "k_anonymity_audit", "join_key_skew_profile", "embedding_covariance",
+    "merge_insert_update", "dedup_minhash_lsh", "hard_negative_mining",
+    "winsorized_variant_means", "weekly_growth_rates", "abc_pareto_classes",
+    "session_duration_stats", "daily_retention_d1_d7", "zorder_layout_stats",
+    "cluster_aware_split", "shingle_containment", "stratified_sample_exact",
+    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
+    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
+    "auc_mann_whitney", "minhash_recall_cert", "theil_sen_capped",
+    "join_cardinality_estimate", "wasserstein_drift",
+    "source_quality_blocklist", "window_topk_per_group", "running_sum",
+    "lag_lead_delta", "sessionize_events", "tumbling_hour_window",
+    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
+    "group_exact_percentiles", "revenue_share_window",
+    "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
+    "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
+    "ridge_regression_normal_eq", "dp_sensitivity_audit",
+    "selectivity_estimate_cert", "approx_distinct_sketch",
+    "approx_quantile_sketch", "grouping_sets_revenue",
+    "stream_tumbling_hour", "stream_session_windows",
+    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
+    "stream_upsert_state", "dedup_exact_stats", "dedup_prefix_groups",
+    "dedup_ngram_jaccard", "dedup_minhash_banded",
+    "incremental_corpus_dedup", "dedup_substring_spans",
+    "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
+    "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
+    "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
 ]
 
 
@@ -216,4 +218,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND9_FRONT, ROUND10_QUEUE)
+_apply_front_block(ROUND10_FRONT, ROUND11_QUEUE)

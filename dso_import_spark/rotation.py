@@ -100,11 +100,48 @@ def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
         return None
 
 
+def _module_dep_files(mod_file: Path, repo: Path) -> list[Path]:
+    """First-level `dso_import_spark.*` modules imported by `mod_file`
+    (AST walk, so function-local lazy imports count — the round-9
+    staleness leak was `stream_tail_ingest`, whose tail-source import
+    sits inside the query body). queries_pkg siblings and the registry
+    plumbing are excluded: they define OTHER queries' staleness, not
+    this one's; operators/sources/functions/streaming/schemas/plans
+    edits are exactly the layer module-granularity checks miss."""
+    import ast
+
+    try:
+        tree = ast.parse(mod_file.read_text())
+    except (OSError, SyntaxError):
+        return []
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            mods.add(node.module)
+            # `from pkg.mod import name` where name is itself a module
+            # doesn't occur in this repo's layout; module path is enough
+        elif isinstance(node, ast.Import):
+            mods.update(a.name for a in node.names)
+    out: list[Path] = []
+    for m in sorted(mods):
+        if not m.startswith("dso_import_spark."):
+            continue
+        tail = m.split(".", 1)[1]
+        if tail == "queries" or tail.startswith("queries_pkg"):
+            continue
+        f = repo / Path(m.replace(".", "/") + ".py")
+        if f.exists():
+            out.append(f)
+    return out
+
+
 def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
-    """Green queries whose defining module was committed AFTER the
-    CORRECTNESS artifact that last verified them: the driver evidence
-    is stale even though the local differential suite still covers
-    them. Re-verify these once never-verified queries run out."""
+    """Green queries whose defining module — or any operators/sources/
+    functions/streaming layer module it imports (first level, AST walk
+    incl. lazy imports) — was committed AFTER the CORRECTNESS artifact
+    that last verified them: the driver evidence is stale even though
+    the local differential suite still covers them. Re-verify these
+    once never-verified queries run out."""
     from dso_import_spark.queries import REGISTRY
 
     greens = green_rounds(repo, max_round)
@@ -129,7 +166,14 @@ def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
         mod = spec.spark.__module__
         if mod not in mod_ts:
             mod_file = repo / Path(mod.replace(".", "/") + ".py")
-            mod_ts[mod] = _module_last_commit_ts(mod_file, repo)
+            # newest commit across the module AND its operator/source/
+            # function-layer imports: an edit one layer down is just as
+            # evidence-invalidating as one in the defining module
+            tss = [_module_last_commit_ts(mod_file, repo)]
+            tss += [_module_last_commit_ts(f, repo)
+                    for f in _module_dep_files(mod_file, repo)]
+            known = [t for t in tss if t is not None]
+            mod_ts[mod] = max(known) if known else None
         ts = mod_ts[mod]
         if ts is not None and ts > artifact_mtime[rnd]:
             stale.append(name)

@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND9_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND10_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,43 +9,48 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND9_FRONT, ROUND10_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND10_FRONT, ROUND11_QUEUE
 
 FRONT_50 = [
-    # never-verified first (the r4 rule): the round-8 mlops4 batch,
-    # then the round-8 tsops batch — the only registry rows with zero
-    # driver evidence; a green front makes the registry 269/269
-    # ever-green
-    "bh_fdr_correction", "eb_shrunken_rates", "mutual_information_cols",
-    "ratio_metric_delta_ci", "budget_water_filling",
-    "randomized_response_debias", "pinball_loss_eval", "jsonl_rescue_scan",
-    "autocorrelation_lags", "order_lineitem_reconcile", "khop_reachability",
-    # the ENTIRE stale backlog, registry order (37): round-8 review
-    # passes edited text/extras/similarity/multimodal/streaming modules
-    # after the artifacts that verified these rows
-    "text_token_stats", "text_quality_scores", "doc_fingerprints",
-    "text_tfidf_top_terms", "doc_chunking",
-    "wkt_coerce_geometries", "date_parse_variants",
-    "hash_split_train_test", "dedup_cluster_components",
-    "dedup_cluster_canonical", "sql_entry_point", "udaf_geometric_mean",
-    "udtf_sentence_split", "unpivot_melt_measures", "table_profile",
-    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
-    "temperature_mix_weights", "ann_pq_topk", "ann_ivf_pq_topk",
-    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
-    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
-    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
-    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
-    "value_outliers_mad", "stream_session_dynamic_gap",
-    "shingle_containment_banded", "banding_estimator_cert",
-    # refresh picks filling to 50: the two oldest FORCE_REVERIFY rows
-    # (r2 evidence; round-8 functions/parsers.py try_cast hardening)
-    "surrogate_key", "multi_id_zip",
+    # never-verified first (the r4 rule): the round-9 mlops5 stats/
+    # eval batch + the graph/ts additions — the only registry rows
+    # with zero driver evidence; a green front makes the registry
+    # 282/282 ever-green
+    "kaplan_meier_interarrival", "spearman_rank_correlation",
+    "permutation_test_signflip", "unigram_perplexity_heldout",
+    "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
+    "mcnemar_paired_test", "vocab_chao1_richness",
+    "copurchase_degree_histogram", "logrank_two_arm", "rrf_rank_fusion",
+    "weighted_median_groups", "mase_seasonal_naive",
+    # the round-9 staleness leak (r8 green predates the r9
+    # tail_source.py durability fixes), then the staged r10 queue:
+    # r2 rows, r3/r4 rows, operator-module review-fix re-verification
+    "stream_tail_ingest",
+    "safe_int_cast", "tri_state_boolean", "interval_validity_filter",
+    "open_interval_gate", "temporal_overlap", "fk_validation",
+    "delete_detection", "merge_counts_scale", "explode_bridge",
+    "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
+    "dedup_simhash_fingerprints", "collated_dedup_groups",
+    "recursive_cte_chain", "listagg_order_sequences",
+    "asof_tolerance_cogroup", "salted_heavy_hitters",
+    "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
+    "multimodal_metadata", "multimodal_decode_stats",
+    "multimodal_frame_sample", "multimodal_features",
+    "multimodal_wav_decode",
+    # oldest dep-stale refresh picks filling to 50 (r4 evidence whose
+    # operator/function dependencies were edited in r8/r9)
+    "ann_recall_report",
+    "stream_interval_full_outer", "lm_bigram_quality",
+    "source_overlap_matrix", "quality_classifier_score",
+    "priority_sample_topk", "dsir_importance_scores",
+    "diversity_distinct_ngrams", "did_difference_in_differences",
+    "srm_sample_ratio_check",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND9_FRONT == FRONT_50
+    assert ROUND10_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -60,21 +65,22 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND10_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND11_QUEUE[: len(beyond)]), beyond
 
 
-def test_round10_queue_is_staged():
+def test_round11_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND10_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND10_QUEUE) & set(FRONT_50)
+    assert set(ROUND11_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND11_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND10_QUEUE)] == ROUND10_QUEUE
-    # front + queue covers the whole stale backlog: together with the
-    # front's never-verified coverage, registry order is fully pinned
+    assert list(REGISTRY)[50:50 + len(ROUND11_QUEUE)] == ROUND11_QUEUE
+    # front + queue covers the whole dep-stale backlog: together with
+    # the front's never-verified coverage, registry order is fully
+    # pinned oldest-evidence-first
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND10_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND11_QUEUE) | set(FRONT_50)
 
 
 def test_registry_names_appear_in_survey():

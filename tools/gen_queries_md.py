@@ -13,7 +13,7 @@ from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-9 rotation (ROUND9_FRONT: the 11 never-verified round-8 mlops4/tsops queries first, then the ENTIRE 37-query stale backlog in registry order, then 2 refresh picks — the oldest r2 FORCE_REVERIFY rows surrogate_key and multi_id_zip), positions 51+ the pre-staged ROUND10_QUEUE (the residual stale tail: oldest r2/r3 evidence, then the operator-module review-fix re-verifications).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-10 rotation (ROUND10_FRONT: the 13 never-verified round-9 mlops5/tsops queries first, then stream_tail_ingest — the round-9 staleness leak — then the staged r2/r3/r4 and operator-module re-verifications, then 10 oldest dep-stale r4 rows), positions 51+ the pre-staged ROUND11_QUEUE (the dep-stale backlog, oldest driver evidence first — stale_green is dep-aware since round 10).
 
 Total: {n} queries, all with SQL oracles.
 
