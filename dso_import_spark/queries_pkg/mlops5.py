@@ -266,7 +266,12 @@ def spearman_rank_correlation(spark, sf_dir):
     )
     xv = cont.groupBy("cents").agg(
         F.sum("cnt").cast("long").alias("cnt")
-    ).withColumn("bkt", (F.col("cents") / _SPEAR_BUCKET_CENTS).cast("long"))
+    ).withColumn(
+        # F.floor to match the oracle's `//` (floor division): a plain
+        # divide-then-cast truncates toward zero, which diverges on
+        # negative cents (round-9 advice; latent on positive fixtures)
+        "bkt", F.floor(F.col("cents") / _SPEAR_BUCKET_CENTS).cast("long")
+    )
     w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     boff = (
         xv.groupBy("bkt")
@@ -343,10 +348,13 @@ _PERM_B = 128
       SELECT user_id, sum(round(value * 1000000)::BIGINT) AS xm
       FROM events WHERE value IS NOT NULL GROUP BY user_id),
     obs AS (
+      -- arm 1 is `% 2 != 0`, NOT `= 1`: the Spark side uses ~(% 2 == 0),
+      -- and a negative odd user_id gives % 2 = -1 on both engines —
+      -- `= 1` would drop it from the oracle's arm 1 only (r9 advice)
       SELECT sum(xm) FILTER (WHERE user_id % 2 = 0)::DOUBLE
                / count(*) FILTER (WHERE user_id % 2 = 0)
-           - sum(xm) FILTER (WHERE user_id % 2 = 1)::DOUBLE
-               / count(*) FILTER (WHERE user_id % 2 = 1) AS d_obs
+           - sum(xm) FILTER (WHERE user_id % 2 != 0)::DOUBLE
+               / count(*) FILTER (WHERE user_id % 2 != 0) AS d_obs
       FROM ux),
     perms AS (
       SELECT b,
@@ -1293,7 +1301,11 @@ def weighted_median_groups(spark, sf_dir):
         .alias("wt")
     )
     tot = w.groupBy("flag").agg(F.sum("wt").cast("long").alias("total"))
-    b = w.withColumn("bkt", (F.col("cents") / _WMED_BUCKET_CENTS).cast("long"))
+    # F.floor matches the oracle's `//` for negative cents (truncation
+    # toward zero would shift bucket ids and break the offset cumsum)
+    b = w.withColumn(
+        "bkt", F.floor(F.col("cents") / _WMED_BUCKET_CENTS).cast("long")
+    )
     w_bkt = (
         Window.partitionBy("flag")
         .orderBy("bkt")

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import time
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -181,15 +182,28 @@ class TailStreamReader(DataSourceStreamReader):
                     continue
                 # unknown file we have NO in-memory state for: omitting
                 # it silently would later read as "new file, replay
-                # from 0" against a committed offset (duplicate rows) —
-                # fail the poll loudly instead; Spark retries the
-                # trigger, and a genuinely rotated-away file stops
-                # being listed by then
-                raise RuntimeError(
-                    f"eventtail: cannot stat/read {p!r} and no prior "
-                    "state for it this run — failing the poll rather "
-                    "than committing an offset that omits the file"
-                )
+                # from 0" against a committed offset (duplicate rows).
+                # Retry in-process a few times (a file being renamed/
+                # rotated away between listing and stat resolves within
+                # ms), then fail loudly. NOTE an exception here
+                # TERMINATES the streaming query — Spark does not retry
+                # a failed offset poll (r9 advice; the old comment
+                # claimed it did). Data safety holds either way: no
+                # offset is committed, so a manual restart resumes
+                # cleanly from the checkpoint.
+                for _ in range(3):
+                    time.sleep(0.05)
+                    size = _complete_size(p)
+                    if size is not None:
+                        break
+                if size is None:
+                    raise RuntimeError(
+                        f"eventtail: cannot stat/read {p!r} and no "
+                        "prior state for it this run — failing the "
+                        "query (restart resumes from the checkpoint) "
+                        "rather than committing an offset that omits "
+                        "the file"
+                    )
             if size < self._last_size.get(p, 0):
                 # in-place truncation (copytruncate): new generation —
                 # the next batch replays the new content from byte 0

@@ -6,6 +6,7 @@ STATISTICS are right, not just engine-consistent)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dso_import_spark.queries import REGISTRY
 
@@ -312,3 +313,58 @@ def test_mase_seasonal_on_perfectly_seasonal_series(spark, tmp_path):
     assert row.mase == 0.0
     assert row.mae_seasonal == 0.0
     assert row.mae_naive > 0
+
+
+def test_negative_domain_cross_engine_agreement(spark, tmp_path):
+    # r9 advice: the bucket ids were (cents / K).cast('long') — trunc
+    # toward zero — while the oracles use `//` floor division, and the
+    # permutation oracle said `% 2 = 1` where Spark says ~(% 2 == 0).
+    # Both divergences are invisible on the all-positive fixtures, so
+    # pin the cross-engine agreement on a hostile NEGATIVE-key/price
+    # mini-fixture (prices straddling -K..K, odd negative user ids).
+    import duckdb
+
+    orders = spark.createDataFrame(
+        [(-5, -123.45), (-4, -60000.00), (-3, -0.01), (-2, -49999.99),
+         (2, 55555.55), (3, -99999.99), (7, 42.0), (11, 120000.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(k, i, float(1 + i), p)
+         for k, p in [(-5, -5.0), (-4, -15000.0), (-3, 2.5), (-2, -25000.0),
+                      (2, 30000.0), (3, -9999.99), (7, 7.0), (11, 11.0)]
+         for i in range((abs(k) % 3) + 1)],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double",
+    ).withColumn("l_returnflag", F.when(F.col("l_orderkey") % 2 == 0,
+                                        "A").otherwise("R"))
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, i % 24), u, "view", v, "{}")
+         for i, (u, v) in enumerate(
+             [(-7, -1.25), (-6, 3.5), (-3, -0.75), (-1, 10.0),
+              (1, -2.0), (2, 0.5), (5, 4.25), (8, -6.5)] * 4)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    for name in ("spearman_rank_correlation", "weighted_median_groups",
+                 "permutation_test_signflip"):
+        spec = REGISTRY[name]
+        srows = sorted(
+            tuple(str(x) for x in r)
+            for r in spec.spark(spark, str(tmp_path)).collect()
+        )
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
+        )
+        assert srows == drows, (name, srows, drows)

@@ -48,8 +48,27 @@ SCALED = {
 DOMAINS = {
     "o_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
     "l_orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    # embeddings.vec_id references documents.doc_id (the retrieval
+    # composition queries join them): one shift over both keeps each
+    # replica's vectors pointing at ITS OWN replica's documents —
+    # independent per-table shifts (5000 vs 2000 at sf0.1) would remap
+    # every replica vector onto replica 0's documents
+    "doc_id": [("documents", "doc_id"), ("embeddings", "vec_id")],
+    "vec_id": [("documents", "doc_id"), ("embeddings", "vec_id")],
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+# FK edges asserted after generation: (child table, child col,
+# parent table, parent col). Covers both scaled-to-scaled domains and
+# scaled-fact-to-symlinked-dim edges — the two orphaning bug classes
+# rounds 8/9 hit. The receipts in SCALING.md cite this output.
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+]
 
 
 def main() -> None:
@@ -61,6 +80,19 @@ def main() -> None:
         unknown = keep - set(SCALED)
         if unknown:
             raise SystemExit(f"unknown scalable tables: {sorted(unknown)}")
+        # tables sharing a key domain scale together or not at all:
+        # scaling lineitem without orders would shift l_orderkey into
+        # a range with no matching order — every replica lineitem
+        # silently orphaned, join work measured at x1 (r9 advice; the
+        # exact bug class the module header documents)
+        for col, members in DOMAINS.items():
+            group = {t for t, _ in members}
+            picked = group & keep
+            if picked and picked != group:
+                raise SystemExit(
+                    f"tables {sorted(group)} share the {col} key domain "
+                    f"— select all of them or none (got {sorted(picked)})"
+                )
         scaled = {t: c for t, c in SCALED.items() if t in keep}
     if os.path.isdir(out) and os.listdir(out):
         # refuse to mix table selections in one directory: a leftover
@@ -111,6 +143,27 @@ def main() -> None:
         link = f"{out}/{d}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{d}.parquet", link)
+    # FK integrity gate (r9 verdict #4): a generator regression that
+    # orphans replica keys devalues every x100 receipt built on the
+    # fixture — assert 0 orphans HERE, in the same run, and print the
+    # line the SCALING.md at-birth tables cite.
+    checked = 0
+    for child, ccol, parent, pcol in FK_EDGES:
+        cp, pp = f"{out}/{child}.parquet", f"{out}/{parent}.parquet"
+        if not (os.path.exists(cp) and os.path.exists(pp)):
+            continue
+        orphans = con.sql(
+            f"SELECT count(*) FROM read_parquet('{cp}') c "
+            f"LEFT JOIN read_parquet('{pp}') p ON c.{ccol} = p.{pcol} "
+            f"WHERE p.{pcol} IS NULL"
+        ).fetchone()[0]
+        if orphans:
+            raise SystemExit(
+                f"FK integrity FAILED: {orphans} orphaned "
+                f"{child}.{ccol} -> {parent}.{pcol} rows in {out}"
+            )
+        checked += 1
+    print(f"FK integrity: 0 orphans across {checked} edges in {out}")
     print(f"fixtures ready in {out}")
 
 
