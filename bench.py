@@ -87,17 +87,14 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 9: the mlops4/tsops batch keeps its slot one more round
-    # (BENCH_r08 recorded their first wall times mid-rotation; one
-    # more driver datapoint pins the trend)...
-    "bh_fdr_correction",
-    "ratio_metric_delta_ci",
-    "jsonl_rescue_scan",
-    "autocorrelation_lags",
-    "order_lineitem_reconcile",
-    "khop_reachability",
-    # ...and the round-9 mlops5/graph batch gets its first driver
-    # wall times
+    # round 10: the new retrieval compositions get their first driver
+    # wall times...
+    "retrieval_hybrid_topk",
+    "rerank_hashed_crossencoder",
+    # ...and the round-9 mlops5/graph batch keeps its slot one more
+    # round (BENCH_r09 recorded their first wall times; one more
+    # driver datapoint pins the trend). The r8 mlops4 batch rotates
+    # out with two datapoints on record.
     "kaplan_meier_interarrival",
     "spearman_rank_correlation",
     "permutation_test_signflip",

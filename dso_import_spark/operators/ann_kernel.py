@@ -1,0 +1,181 @@
+"""Arrow-batched quantized IVF top-k — the ANN rerank scale path.
+
+``operators/similarity.ivf_topk`` expresses the within-cell rerank as
+a label equi-join plus an interpreted higher-order-function cosine.
+That is the right *correctness* formulation, but at x100 fixture scale
+it hit two walls at birth (round 10):
+
+- the rerank join keys on ``label`` (~10 distinct values), so the
+  pair relation funnels through ~10 tasks regardless of cluster size
+  — a few single-task stages did all the work;
+- the cosine fold is interpreted per element: ~100M candidate pairs
+  x 64 dims of non-codegen HOF evaluation.
+
+This module is the 100 TB shape for the same semantics:
+
+- **corpus-partition parallelism**: the routed queries (the retrieval
+  WORKLOAD, bounded and small by contract — not the corpus) are
+  collected and broadcast; the corpus is never shuffled at all. Each
+  corpus partition streams through an Arrow kernel that scores its
+  rows against the queries routed to the same cell.
+- **integer-exact scoring**: embeddings are quantized JVM-side to
+  ``floor(x * scale + 0.5)`` BIGINT vectors (the LSH-bucket
+  convention). Integer dot products commute, so the float64 cosine
+  ``dot / (sqrt(nq) * sqrt(nc))`` is BIT-IDENTICAL in numpy, the JVM,
+  and DuckDB — rank keys never need pre-rounding, and partition
+  order cannot flip a rank (the property the HOF path had to buy
+  with round-then-rank).
+- **partial top-k in the kernel**: each Arrow batch emits at most
+  k rows per routed query (exact-superset of the global top-k under
+  the SAME (score desc, id asc) order), so the final window sees
+  |batches| x |Q_cell| x k rows, never the pair relation.
+
+Driver-side state: one ``collect()`` of the routed queries and one
+broadcast of their int64 matrix — |Q| x d x 8 bytes (the k-means-init
+bounded-collect posture; |Q| is the query workload, independent of
+corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dso_import_spark.functions.vectors import as_double, cosine
+from dso_import_spark.operators.similarity import centroids_by_label
+
+DEFAULT_SCALE = 1000  # the LSH-bucket quantization convention
+
+
+def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """array<float> -> array<bigint> via floor(x * scale + 0.5).
+
+    Matches DuckDB ``list_transform(v::DOUBLE[], x ->
+    CAST(floor(x * {scale} + 0.5) AS BIGINT))`` exactly: float32 ->
+    float64 widening is value-preserving and floor/+ are IEEE-exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long")
+    )
+
+
+def ivf_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """IVF top-k over quantized vectors with an Arrow matmul rerank.
+
+    Returns (query_id, rank, neighbor_id, cos_raw): ``cos_raw`` is the
+    UNROUNDED quantized cosine (exact-int dot / sqrt-norm product) —
+    bit-identical cross-engine, safe as a rank key; round at display.
+    Routing matches ``ivf_topk``: nearest double-precision cell
+    centroid by cosine (label tiebreak), exact rerank inside that
+    cell only. Self-pairs (query_id == neighbor_id) are excluded.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        quantize_vec(vec_col, scale).alias("qi"),
+    )
+    routed = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "qi",
+            "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cent_sim").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "label", "qi")
+    )
+    # the bounded workload collect: |Q| rows of d int64s
+    by_label: dict[int, tuple[list[int], list[list[int]]]] = {}
+    for r in routed.collect():
+        ids, vecs = by_label.setdefault(r["label"], ([], []))
+        ids.append(r["query_id"])
+        vecs.append(list(r["qi"]))
+    packed = {}
+    for lab, (ids, vecs) in by_label.items():
+        qmat = np.asarray(vecs, dtype=np.int64)
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+        packed[lab] = (np.asarray(ids, dtype=np.int64), qmat, qnorm)
+    bc = spark.sparkContext.broadcast(packed)
+    kk = int(k)
+
+    def kernel(batches):
+        import pandas as pd
+
+        data = bc.value
+        for pdf in batches:
+            out_q, out_n, out_s = [], [], []
+            for lab, grp in pdf.groupby("label", sort=False):
+                entry = data.get(lab)
+                if entry is None or grp.empty:
+                    continue
+                qids, qmat, qnorm = entry
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in grp["qi"]]
+                )
+                nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                cnorm = np.sqrt(
+                    (cmat * cmat).sum(axis=1).astype(np.float64)
+                )
+                # exact int64 dots -> bit-deterministic float64 cosine
+                dots = (cmat @ qmat.T).astype(np.float64)
+                scores = dots / (cnorm[:, None] * qnorm[None, :])
+                for j in range(len(qids)):
+                    col = scores[:, j]
+                    mask = nids != qids[j]
+                    cand_n, cand_s = nids[mask], col[mask]
+                    if cand_n.size == 0:
+                        continue
+                    # per-batch partial top-k under the FINAL order
+                    # (score desc, neighbor_id asc) — lexsort keys
+                    # are last-key-primary
+                    order = np.lexsort((cand_n, -cand_s))[:kk]
+                    out_q.extend([qids[j]] * len(order))
+                    out_n.extend(cand_n[order])
+                    out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cos_raw": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    corp = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("label"),
+        quantize_vec(vec_col, scale).alias("qi"),
+    )
+    partial = corp.mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_raw")
+    )

@@ -87,6 +87,7 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     mlops4,
     tsops,
     mlops5,
+    retrieval,
 )
 
 # ROUND 10 FRONT BLOCK (applied): the 13 never-verified round-9
@@ -101,6 +102,9 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # (AST-walks operators/sources/functions imports), so every pick
 # below is either never-verified, dep-stale, or FORCE_REVERIFY.
 ROUND10_FRONT = [
+    # (-1) born THIS round (r10): the retrieval compositions —
+    # new queries go at the head so the driver sees them first
+    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
     # (0) never-verified: the round-9 mlops5 stats/eval batch + the
     # graph/ts additions
     "kaplan_meier_interarrival", "spearman_rank_correlation",
@@ -134,7 +138,6 @@ ROUND10_FRONT = [
     "lm_bigram_quality", "source_overlap_matrix",
     "quality_classifier_score", "priority_sample_topk",
     "dsir_importance_scores", "diversity_distinct_ngrams",
-    "did_difference_in_differences", "srm_sample_ratio_check",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -169,6 +172,9 @@ FORCE_REVERIFY: list[str] = [
 # first. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND11_QUEUE = [
+    # the two r4 fill picks displaced when the round-10 retrieval
+    # queries took the front's head slots
+    "did_difference_in_differences", "srm_sample_ratio_check",
     "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
     "event_transition_matrix", "rendezvous_sharding",
     "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
@@ -199,6 +205,24 @@ ROUND11_QUEUE = [
     "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
     "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
     "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
+    # re-staled IN round 10 by this round's own edits (the dep-aware
+    # checker working as designed): the tail-source bounded-retry fix
+    # touched sources/tail_source.py, a lazy import of extras.py, so
+    # every extras row's r9 green now predates a dep edit. Their
+    # evidence is the FRESHEST in this queue (r9, re-verified last
+    # round; only stream_tail_ingest actually executes the edited
+    # code), so they go last.
+    "wkt_coerce_geometries", "date_parse_variants",
+    "hash_split_train_test", "dedup_cluster_components",
+    "dedup_cluster_canonical", "sql_entry_point", "udaf_geometric_mean",
+    "udtf_sentence_split", "unpivot_melt_measures", "table_profile",
+    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
+    "temperature_mix_weights", "ann_pq_topk", "ann_ivf_pq_topk",
+    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
+    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
+    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
+    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
+    "value_outliers_mad", "stream_session_dynamic_gap",
 ]
 
 

@@ -12,10 +12,12 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND10_FRONT, ROUND11_QUEUE
 
 FRONT_50 = [
-    # never-verified first (the r4 rule): the round-9 mlops5 stats/
-    # eval batch + the graph/ts additions — the only registry rows
-    # with zero driver evidence; a green front makes the registry
-    # 282/282 ever-green
+    # born this round (r10): the retrieval compositions — new queries
+    # take the head slots
+    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
+    # never-verified next (the r4 rule): the round-9 mlops5 stats/
+    # eval batch + the graph/ts additions — the rows with zero driver
+    # evidence; a green front makes the registry 284/284 ever-green
     "kaplan_meier_interarrival", "spearman_rank_correlation",
     "permutation_test_signflip", "unigram_perplexity_heldout",
     "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
@@ -43,8 +45,7 @@ FRONT_50 = [
     "stream_interval_full_outer", "lm_bigram_quality",
     "source_overlap_matrix", "quality_classifier_score",
     "priority_sample_topk", "dsir_importance_scores",
-    "diversity_distinct_ngrams", "did_difference_in_differences",
-    "srm_sample_ratio_check",
+    "diversity_distinct_ngrams",
 ]
 
 

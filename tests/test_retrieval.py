@@ -1,0 +1,172 @@
+"""Retrieval-composition tests: the Arrow IVF kernel against an
+independent numpy brute force, plus engineered re-rank semantics.
+Cross-engine value agreement is pinned by the DuckDB differentials in
+test_queries_vs_duckdb.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dso_import_spark.operators.ann_kernel import ivf_topk_arrow, quantize_vec
+from dso_import_spark.queries import REGISTRY
+
+
+def _load_emb(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows], dtype=np.int64)
+    return ids, mat, labels
+
+
+def test_kernel_matches_numpy_brute_force(spark, sf_dir):
+    # independent reimplementation: double-precision centroid routing,
+    # quantized-integer rerank, (cos desc, id asc) top-k — must agree
+    # with the operator EXACTLY (ids, ranks, bit-equal scores)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    got = ivf_topk_arrow(queries, emb, k=5).collect()
+
+    ids, mat, labels = _load_emb(spark, sf_dir)
+    qi = np.floor(mat * 1000 + 0.5).astype(np.int64)
+    cents = {
+        lab: mat[labels == lab].mean(axis=0) for lab in np.unique(labels)
+    }
+    expected = {}
+    for qpos in np.nonzero(ids % 101 == 0)[0]:
+        qv = mat[qpos]
+        best = min(
+            (
+                (
+                    -float(
+                        qv @ c / (np.sqrt(qv @ qv) * np.sqrt(c @ c))
+                    ),
+                    lab,
+                )
+                for lab, c in cents.items()
+            ),
+        )[1]
+        cell = np.nonzero((labels == best) & (ids != ids[qpos]))[0]
+        qq = qi[qpos]
+        dots = (qi[cell] @ qq).astype(np.float64)
+        norms = np.sqrt((qi[cell] * qi[cell]).sum(axis=1).astype(np.float64))
+        cos = dots / (norms * np.sqrt(float(qq @ qq)))
+        order = np.lexsort((ids[cell], -cos))[:5]
+        expected[int(ids[qpos])] = [
+            (int(ids[cell][j]), float(cos[j])) for j in order
+        ]
+    assert got, "no queries sampled from fixture?"
+    for r in got:
+        exp_n, exp_s = expected[r.query_id][r.rank - 1]
+        assert r.neighbor_id == exp_n, (r, expected[r.query_id])
+        assert r.cos_raw == exp_s  # bit-exact: integer dots commute
+
+
+def test_kernel_excludes_self_and_ranks_contiguously(spark, sf_dir):
+    for name in ("retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
+        rows = REGISTRY[name].spark(spark, sf_dir).collect()
+        assert rows
+        by_q = {}
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            by_q.setdefault(r.query_id, []).append(r)
+        rank_col = "rank" if name == "retrieval_hybrid_topk" else "rerank"
+        for q, rs in by_q.items():
+            ranks = sorted(getattr(r, rank_col) for r in rs)
+            assert ranks == list(range(1, len(ranks) + 1)), (name, q)
+
+
+def test_hybrid_identical_text_wins(spark, tmp_path):
+    # doc 0 (the query) and doc 7 share IDENTICAL text -> lex_jaccard
+    # 1.0; same embedding cluster -> doc 7 must rank first
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (3, "zeta eta theta iota", "en", "s", 19),
+            (7, "alpha beta gamma delta", "en", "s", 22),
+            (9, "alpha misc other words", "en", "s", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.1], 0),
+            (3, [0.9, 0.1, 0.0], 0),
+            (7, [0.8, 0.05, 0.1], 0),
+            (9, [0.85, 0.0, 0.05], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = sorted(
+        REGISTRY["retrieval_hybrid_topk"].spark(spark, str(tmp_path)).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows[0].query_id == 0
+    assert rows[0].neighbor_id == 7
+    assert rows[0].lex_jaccard == 1.0
+
+
+def test_rerank_zero_shared_terms_scores_half(spark, tmp_path):
+    # no shared vocabulary at all -> logit 0 -> sigmoid exactly 0.5,
+    # and the re-rank falls back to the cosine tiebreak
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "s", 10),
+            (2, "gamma delta", "en", "s", 11),
+            (5, "epsilon zeta", "en", "s", 12),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (5, [0.5, 0.5], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = sorted(
+        REGISTRY["rerank_hashed_crossencoder"]
+        .spark(spark, str(tmp_path))
+        .collect(),
+        key=lambda r: r.rerank,
+    )
+    assert [r.ce_score for r in rows] == [0.5, 0.5]
+    assert [r.n_shared for r in rows] == [0, 0]
+    # cosine tiebreak: doc 2 is closer to the query than doc 5
+    assert [r.neighbor_id for r in rows] == [2, 5]
+
+
+def test_retrieval_plans_have_no_cartesian(spark, sf_dir):
+    import contextlib
+    import io
+
+    for name in ("retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, name
+        # the rerank path must be the Arrow kernel, not a label join
+        assert "MapInPandas" in plan, name
+
+
+def test_second_call_idempotent(spark, sf_dir):
+    a = sorted(
+        map(tuple, REGISTRY["retrieval_hybrid_topk"].spark(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, REGISTRY["retrieval_hybrid_topk"].spark(spark, sf_dir).collect())
+    )
+    assert a == b
