@@ -69,6 +69,7 @@ def ivf_topk_arrow(
     vec_col: str = "embedding",
     label_col: str = "label",
     scale: int = DEFAULT_SCALE,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF top-k over quantized vectors with an Arrow matmul rerank.
 
@@ -76,8 +77,12 @@ def ivf_topk_arrow(
     UNROUNDED quantized cosine (exact-int dot / sqrt-norm product) —
     bit-identical cross-engine, safe as a rank key; round at display.
     Routing matches ``ivf_topk``: nearest double-precision cell
-    centroid by cosine (label tiebreak), exact rerank inside that
-    cell only. Self-pairs (query_id == neighbor_id) are excluded.
+    centroid by cosine (label tiebreak); ``n_probe`` cells are probed
+    per query (the standard IVF recall/latency knob — a query routed
+    to its p nearest cells simply appears in p entries of the
+    broadcast query map; each corpus row is still scored once per
+    probing query, and the final window merges the per-cell partial
+    top-ks). Self-pairs (query_id == neighbor_id) are excluded.
     """
     import numpy as np
 
@@ -104,7 +109,7 @@ def ivf_topk_arrow(
                 )
             ),
         )
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("query_id", "label", "qi")
     )
     # the bounded workload collect: |Q| rows of d int64s

@@ -102,9 +102,11 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # (AST-walks operators/sources/functions imports), so every pick
 # below is either never-verified, dep-stale, or FORCE_REVERIFY.
 ROUND10_FRONT = [
-    # (-1) born THIS round (r10): the retrieval compositions —
-    # new queries go at the head so the driver sees them first
+    # (-1) born THIS round (r10): the retrieval compositions + the
+    # multi-probe IVF knob — new queries go at the head so the driver
+    # sees them first
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
+    "ann_multiprobe_topk",
     # (0) never-verified: the round-9 mlops5 stats/eval batch + the
     # graph/ts additions
     "kaplan_meier_interarrival", "spearman_rank_correlation",
@@ -137,7 +139,7 @@ ROUND10_FRONT = [
     "ann_recall_report", "stream_interval_full_outer",
     "lm_bigram_quality", "source_overlap_matrix",
     "quality_classifier_score", "priority_sample_topk",
-    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "dsir_importance_scores",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -172,9 +174,10 @@ FORCE_REVERIFY: list[str] = [
 # first. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND11_QUEUE = [
-    # the two r4 fill picks displaced when the round-10 retrieval
+    # the three r4 fill picks displaced when the round-10 retrieval
     # queries took the front's head slots
-    "did_difference_in_differences", "srm_sample_ratio_check",
+    "diversity_distinct_ngrams", "did_difference_in_differences",
+    "srm_sample_ratio_check",
     "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
     "event_transition_matrix", "rendezvous_sharding",
     "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",

@@ -12,9 +12,10 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND10_FRONT, ROUND11_QUEUE
 
 FRONT_50 = [
-    # born this round (r10): the retrieval compositions — new queries
-    # take the head slots
+    # born this round (r10): the retrieval compositions + multi-probe
+    # IVF — new queries take the head slots
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
+    "ann_multiprobe_topk",
     # never-verified next (the r4 rule): the round-9 mlops5 stats/
     # eval batch + the graph/ts additions — the rows with zero driver
     # evidence; a green front makes the registry 284/284 ever-green
@@ -45,7 +46,6 @@ FRONT_50 = [
     "stream_interval_full_outer", "lm_bigram_quality",
     "source_overlap_matrix", "quality_classifier_score",
     "priority_sample_topk", "dsir_importance_scores",
-    "diversity_distinct_ngrams",
 ]
 
 

@@ -170,3 +170,32 @@ def test_second_call_idempotent(spark, sf_dir):
         map(tuple, REGISTRY["retrieval_hybrid_topk"].spark(spark, sf_dir).collect())
     )
     assert a == b
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    # recall@5 vs exact quantized brute force: probing 2 cells must
+    # recover at least as many true neighbors as probing 1
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+
+    ids, mat, labels = _load_emb(spark, sf_dir)
+    qi = np.floor(mat * 1000 + 0.5).astype(np.int64)
+    norms = np.sqrt((qi * qi).sum(axis=1).astype(np.float64))
+    truth = {}
+    for qpos in np.nonzero(ids % 101 == 0)[0]:
+        cos = (qi @ qi[qpos]).astype(np.float64) / (norms * norms[qpos])
+        mask = ids != ids[qpos]
+        order = np.lexsort((ids[mask], -cos[mask]))[:5]
+        truth[int(ids[qpos])] = set(int(x) for x in ids[mask][order])
+
+    def recall(n_probe):
+        rows = ivf_topk_arrow(queries, emb, k=5, n_probe=n_probe).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        return hits / total
+
+    r1, r2 = recall(1), recall(2)
+    assert 0 < r1 <= r2 <= 1.0, (r1, r2)
