@@ -87,6 +87,15 @@ def ivf_topk_arrow(
     import numpy as np
 
     spark = corpus.sparkSession
+    # NULL/empty vectors and NULL labels carry no geometry: drop them
+    # on BOTH relations up front (the JL-cert round-9 lesson — a NULL
+    # payload must not reach np.stack), mirroring the SQL oracles'
+    # implicit NULL-drop through their label joins
+    valid = (
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    corpus = corpus.filter(valid & F.col(label_col).isNotNull())
+    queries = queries.filter(valid)
     cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -120,9 +129,19 @@ def ivf_topk_arrow(
         vecs.append(list(r["qi"]))
     packed = {}
     for lab, (ids, vecs) in by_label.items():
-        qmat = np.asarray(vecs, dtype=np.int64)
+        # a ragged query vector has no comparable geometry: keep the
+        # modal dimensionality per cell (drops nothing on well-formed
+        # data; prevents an object-dtype matrix on hostile input)
+        lens = [len(v) for v in vecs]
+        d_mode = max(set(lens), key=lambda n: (lens.count(n), -n))
+        keep = [i for i, n in enumerate(lens) if n == d_mode]
+        qmat = np.asarray([vecs[i] for i in keep], dtype=np.int64)
         qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
-        packed[lab] = (np.asarray(ids, dtype=np.int64), qmat, qnorm)
+        packed[lab] = (
+            np.asarray([ids[i] for i in keep], dtype=np.int64),
+            qmat,
+            qnorm,
+        )
     bc = spark.sparkContext.broadcast(packed)
     kk = int(k)
 
@@ -137,9 +156,15 @@ def ivf_topk_arrow(
                 if entry is None or grp.empty:
                     continue
                 qids, qmat, qnorm = entry
-                cmat = np.stack(
-                    [np.asarray(v, dtype=np.int64) for v in grp["qi"]]
-                )
+                vecs = [np.asarray(v, dtype=np.int64) for v in grp["qi"]]
+                d = qmat.shape[1]
+                ok = [i for i, v in enumerate(vecs) if v.shape[0] == d]
+                if not ok:
+                    continue
+                if len(ok) != len(vecs):  # ragged rows carry no
+                    grp = grp.iloc[ok]  # comparable geometry — drop
+                    vecs = [vecs[i] for i in ok]
+                cmat = np.stack(vecs)
                 nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
                 cnorm = np.sqrt(
                     (cmat * cmat).sum(axis=1).astype(np.float64)

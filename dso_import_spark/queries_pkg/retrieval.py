@@ -119,7 +119,12 @@ def _candidates(spark, sf_dir):
         "vec_id", "embedding", "label"
     )
     cand = ivf_topk_arrow(qemb, emb, k=_ANN_K, scale=_VSCALE)
-    return docs, cand.withColumnRenamed("rank", "ann_rank")
+    # |Q|*k rows feed 4-5 plan branches (qids, nids, shared, the
+    # fused/scored join): localCheckpoint so the corpus scan + kernel
+    # run ONCE, not once per branch (the logrank subtree lesson)
+    return docs, cand.withColumnRenamed("rank", "ann_rank").localCheckpoint(
+        eager=True
+    )
 
 
 def _pruned_terms(docs, ids, id_alias):

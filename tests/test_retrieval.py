@@ -199,3 +199,25 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
 
     r1, r2 = recall(1), recall(2)
     assert 0 < r1 <= r2 <= 1.0, (r1, r2)
+
+
+def test_kernel_survives_null_and_ragged_embeddings(spark, tmp_path):
+    # hostile corpus: NULL vector, empty vector, NULL label, ragged
+    # dims — none may crash the kernel or appear as a neighbor (the
+    # JL-cert round-9 lesson applied to the ANN path)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (3, [0.9, 0.1], 0),
+            (5, None, 0),
+            (6, [], 0),
+            (7, [0.5, 0.5], None),
+            (8, [0.1, 0.2, 0.3], 0),  # ragged: 3 dims in a 2-dim cell
+            (9, [0.8, 0.2], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = ivf_topk_arrow(
+        emb.filter(F.col("vec_id") == 0), emb, k=10
+    ).collect()
+    assert {r.neighbor_id for r in rows} == {3, 9}
