@@ -50,9 +50,15 @@ DEFAULT_SCALE = 1000  # the LSH-bucket quantization convention
 def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """array<float> -> array<bigint> via floor(x * scale + 0.5).
 
-    Matches DuckDB ``list_transform(v::DOUBLE[], x ->
-    CAST(floor(x * {scale} + 0.5) AS BIGINT))`` exactly: float32 ->
-    float64 widening is value-preserving and floor/+ are IEEE-exact.
+    The oracles keep the quantized values as DOUBLE lists
+    (``list_transform(v::DOUBLE[], x -> floor(x * {scale} + 0.5))``,
+    no BIGINT cast): float32 -> float64 widening is value-preserving
+    and floor/+ are IEEE-exact, so both engines hold the same exact
+    integers. The bit-exactness contract is therefore |per-pair dot|
+    and |norm²| < 2^53 (double-exact integer range) and
+    |x * scale| < 2^63 (no long saturation) — comfortably true for
+    unit-ish embeddings at scale 1000 (review pass 2: the earlier
+    docstring overclaimed BIGINT-cast parity).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(
@@ -137,10 +143,13 @@ def ivf_topk_arrow(
         keep = [i for i, n in enumerate(lens) if n == d_mode]
         qmat = np.asarray([vecs[i] for i in keep], dtype=np.int64)
         qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+        # a vector that quantizes to all zeros has no direction —
+        # 0/0 would NaN every score (review pass 2): drop it
+        nz = qnorm > 0
         packed[lab] = (
-            np.asarray([ids[i] for i in keep], dtype=np.int64),
-            qmat,
-            qnorm,
+            np.asarray([ids[i] for i in keep], dtype=np.int64)[nz],
+            qmat[nz],
+            qnorm[nz],
         )
     bc = spark.sparkContext.broadcast(packed)
     kk = int(k)
@@ -169,6 +178,11 @@ def ivf_topk_arrow(
                 cnorm = np.sqrt(
                     (cmat * cmat).sum(axis=1).astype(np.float64)
                 )
+                nz = cnorm > 0  # all-zero quantized vector: no
+                if not nz.all():  # direction, 0/0 NaN score — drop
+                    cmat, nids, cnorm = cmat[nz], nids[nz], cnorm[nz]
+                if cmat.shape[0] == 0:
+                    continue
                 # exact int64 dots -> bit-deterministic float64 cosine
                 dots = (cmat @ qmat.T).astype(np.float64)
                 scores = dots / (cnorm[:, None] * qnorm[None, :])

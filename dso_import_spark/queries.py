@@ -92,7 +92,8 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 
 # ROUND 10 FRONT BLOCK (applied): the 13 never-verified round-9
 # queries first (mlops5 ×11 + tsops ×2 — the only registry rows with
-# zero driver evidence; a green front makes the registry 282/282
+# zero driver evidence; with the 3 queries born this round at the
+# head, a green front makes the registry 285/285
 # ever-green), then `stream_tail_ingest` (its r8 green predates the
 # round-9 sources/tail_source.py durability fixes — the staleness
 # leak the r9 verdict flagged; the dep-aware stale checker now sees
@@ -226,6 +227,33 @@ ROUND11_QUEUE = [
     "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
     "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
     "value_outliers_mad", "stream_session_dynamic_gap",
+    # surfaced when the dep walk went TRANSITIVE and began including
+    # queries_pkg/util.py (review pass 2): every row below was last
+    # verified before util.py's r7-era tune_session commit, so its
+    # evidence predates shared-infrastructure edits. Oldest driver
+    # evidence first, registry order within a round.
+    "decimal_money_totals", "schema_evolution_scan",
+    "partition_overwrite_merge", "cdc_apply_changes",
+    "boilerplate_ngram_mass", "bpe_pair_merge_counts",
+    "length_quantile_filter", "rfm_segmentation", "bitmap_exact_distinct",
+    "seasonal_baseline_residuals", "q02_min_cost_supplier",
+    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
+    "q15_top_supplier", "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
+    "q05_nation_revenue", "set_ops_nations", "q17_small_quantity_revenue",
+    "equi_depth_histogram", "equi_depth_histogram_approx",
+    "compaction_bin_packing", "pivot_event_matrix",
+    "skyline_pareto_frontier", "theil_sen_trend", "q10_returned_items",
+    "q11_important_balances", "q12_late_shipment_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q16_supplier_part_counts", "q22_idle_customers",
+    "q01_pricing_summary", "q03_top_revenue_orders",
+    "q06_forecast_revenue", "conditional_agg_pivot", "distinct_agg",
+    "semi_join_big_spenders", "anti_join_no_orders", "rollup_lineitem",
+    "cube_orders", "pivot_returnflag", "percentile_quantity",
+    "range_join_price_bands", "json_extract_events", "string_math_funcs",
+    "q04_order_priority", "q18_large_orders", "variant_json_events",
+    "sql_pipe_syntax", "histogram_width_bucket", "regression_stats",
 ]
 
 

@@ -56,14 +56,18 @@ _CE_BUCKETS = 512  # hashed interaction-feature space
 _CE_SCALE = 1000  # quantized weight scale (quality_classifier scheme)
 _VSCALE = 1000  # embedding quantization (the LSH-bucket convention)
 
-# The IVF routing + candidate CTEs shared by both oracles (DuckDB):
-# routing identical to the ann_ivf_topk oracle (double-precision
-# centroids, well-separated fixture cells), rerank on QUANTIZED
-# integer vectors at depth _ANN_K, with the embedding lookup made
-# explicit (queries come from documents joined to their vectors, not
-# from the embeddings table alone). cos_raw stays unrounded: integer
-# dots make it bit-identical to the Spark kernel's float64.
-_CAND_SQL = f"""
+# The IVF routing + candidate CTEs shared by ALL THREE oracles
+# (DuckDB), parameterized over the query CTE / probe count / depth so
+# the routing + quantization semantics live in exactly one place
+# (review pass 2: the multiprobe oracle had copy-pasted them).
+# Routing is identical to the ann_ivf_topk oracle (double-precision
+# centroids, well-separated fixture cells); the rerank runs on
+# QUANTIZED vectors. cos_raw stays unrounded: integer dots make it
+# bit-identical to the Spark kernel's float64. Zero-quantized-norm
+# vectors are dropped on both the query and candidate side, mirroring
+# the kernel (0/0 has no direction).
+def _cand_sql(query_cte: str, n_probe: int = 1, depth: int = _ANN_K) -> str:
+    return f"""
     v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve,
                  list_transform(embedding::DOUBLE[],
                                 x -> floor(x * {_VSCALE} + 0.5)) AS qi
@@ -73,9 +77,7 @@ _CAND_SQL = f"""
           GROUP BY label, u.pos),
     cent AS (SELECT label, list(m ORDER BY pos) AS centroid
              FROM e GROUP BY label),
-    q AS (SELECT d.doc_id AS query_id, v.ve AS qv, v.qi AS qqi
-          FROM documents d JOIN v ON v.vec_id = d.doc_id
-          WHERE d.doc_id % {_Q_MOD} = 0),
+    q AS ({query_cte}),
     routed AS (
       SELECT query_id, qqi, label FROM (
         SELECT q.query_id, q.qqi, cent.label,
@@ -85,8 +87,9 @@ _CAND_SQL = f"""
                            sqrt(list_dot_product(cent.centroid,
                                                  cent.centroid)))
                           DESC, cent.label) AS rn
-        FROM q CROSS JOIN cent)
-      WHERE rn = 1),
+        FROM q CROSS JOIN cent
+        WHERE list_dot_product(q.qqi, q.qqi) > 0)
+      WHERE rn <= {n_probe}),
     cand AS (
       SELECT query_id, neighbor_id, cos_raw,
              row_number() OVER (PARTITION BY query_id
@@ -97,8 +100,9 @@ _CAND_SQL = f"""
                  (sqrt(list_dot_product(r.qqi, r.qqi)) *
                   sqrt(list_dot_product(c.qi, c.qi))) AS cos_raw
         FROM routed r JOIN v c ON r.label = c.label
-         AND r.query_id <> c.vec_id)
-      QUALIFY ann_rank <= {_ANN_K}),
+         AND r.query_id <> c.vec_id
+         AND list_dot_product(c.qi, c.qi) > 0)
+      QUALIFY ann_rank <= {depth}),
     dterm AS (
       SELECT DISTINCT doc_id, term FROM (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -106,6 +110,15 @@ _CAND_SQL = f"""
     ndist AS (SELECT doc_id, count(*)::BIGINT AS n_terms
               FROM dterm GROUP BY doc_id)
 """
+
+
+# the embedding LOOKUP as the shared compositions' query CTE: queries
+# come from documents joined to their vectors, not from embeddings
+_DOC_QUERY_CTE = f"""SELECT d.doc_id AS query_id, v.ve AS qv, v.qi AS qqi
+          FROM documents d JOIN v ON v.vec_id = d.doc_id
+          WHERE d.doc_id % {_Q_MOD} = 0"""
+
+_CAND_SQL = _cand_sql(_DOC_QUERY_CTE)
 
 
 def _candidates(spark, sf_dir):
@@ -331,41 +344,15 @@ _N_PROBE = 2  # probed cells for the multi-probe variant
 @query(
     "ann_multiprobe_topk",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve,
-                 list_transform(embedding::DOUBLE[],
-                                x -> floor(x * {_VSCALE} + 0.5)) AS qi
-          FROM embeddings),
-    e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
-          FROM v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
-          GROUP BY label, u.pos),
-    cent AS (SELECT label, list(m ORDER BY pos) AS centroid
-             FROM e GROUP BY label),
-    q AS (SELECT vec_id AS query_id, ve AS qv, qi AS qqi FROM v
-          WHERE vec_id % {_Q_MOD} = 0),
-    routed AS (
-      SELECT query_id, qqi, label FROM (
-        SELECT q.query_id, q.qqi, cent.label,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY list_dot_product(q.qv, cent.centroid) /
-                          (sqrt(list_dot_product(q.qv, q.qv)) *
-                           sqrt(list_dot_product(cent.centroid,
-                                                 cent.centroid)))
-                          DESC, cent.label) AS rn
-        FROM q CROSS JOIN cent)
-      WHERE rn <= {_N_PROBE})
-    SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cos_sim
-    FROM (
-      SELECT query_id, neighbor_id, cos_raw,
-             row_number() OVER (PARTITION BY query_id
-                ORDER BY cos_raw DESC, neighbor_id) AS rank
-      FROM (
-        SELECT r.query_id, c.vec_id AS neighbor_id,
-               list_dot_product(r.qqi, c.qi) /
-                 (sqrt(list_dot_product(r.qqi, r.qqi)) *
-                  sqrt(list_dot_product(c.qi, c.qi))) AS cos_raw
-        FROM routed r JOIN v c ON r.label = c.label
-         AND r.query_id <> c.vec_id))
-    WHERE rank <= {_TOP_K}
+    WITH {_cand_sql(
+        f"SELECT vec_id AS query_id, ve AS qv, qi AS qqi FROM v "
+        f"WHERE vec_id % {_Q_MOD} = 0",
+        n_probe=_N_PROBE,
+        depth=_TOP_K,
+    )}
+    SELECT query_id, ann_rank AS rank, neighbor_id,
+           round(cos_raw, 6) AS cos_sim
+    FROM cand
     """,
     doc="Multi-probe IVF top-5 (n_probe=2): the standard IVF "
     "recall/latency knob — each query is scored against its TWO "

@@ -100,19 +100,27 @@ def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
         return None
 
 
-def _module_dep_files(mod_file: Path, repo: Path) -> list[Path]:
-    """First-level `dso_import_spark.*` modules imported by `mod_file`
+_DIRECT_DEP_CACHE: dict[Path, list[Path]] = {}
+
+
+def _direct_dep_files(mod_file: Path, repo: Path) -> list[Path]:
+    """Direct `dso_import_spark.*` modules imported by `mod_file`
     (AST walk, so function-local lazy imports count — the round-9
     staleness leak was `stream_tail_ingest`, whose tail-source import
     sits inside the query body). queries_pkg siblings and the registry
-    plumbing are excluded: they define OTHER queries' staleness, not
-    this one's; operators/sources/functions/streaming/schemas/plans
-    edits are exactly the layer module-granularity checks miss."""
+    plumbing are excluded — they define OTHER queries' staleness —
+    EXCEPT queries_pkg/util.py, which is shared infrastructure (the
+    tables() loader) whose edits invalidate every query's evidence
+    (review pass 2, round 10). Relative imports never occur in this
+    repo's layout (absolute-import lint convention)."""
     import ast
 
+    if mod_file in _DIRECT_DEP_CACHE:
+        return _DIRECT_DEP_CACHE[mod_file]
     try:
         tree = ast.parse(mod_file.read_text())
     except (OSError, SyntaxError):
+        _DIRECT_DEP_CACHE[mod_file] = []
         return []
     mods: set[str] = set()
     for node in ast.walk(tree):
@@ -127,11 +135,33 @@ def _module_dep_files(mod_file: Path, repo: Path) -> list[Path]:
         if not m.startswith("dso_import_spark."):
             continue
         tail = m.split(".", 1)[1]
-        if tail == "queries" or tail.startswith("queries_pkg"):
+        if tail == "queries" or (
+            tail.startswith("queries_pkg") and tail != "queries_pkg.util"
+        ):
             continue
         f = repo / Path(m.replace(".", "/") + ".py")
         if f.exists():
             out.append(f)
+    _DIRECT_DEP_CACHE[mod_file] = out
+    return out
+
+
+def _module_dep_files(mod_file: Path, repo: Path) -> list[Path]:
+    """TRANSITIVE closure of `_direct_dep_files`: a query module that
+    imports operators/ann_kernel.py, which itself imports
+    operators/similarity.py, must go stale when similarity.py changes
+    — first-level-only walking recreated the stream_tail_ingest leak
+    class one layer deeper (review pass 2, round 10)."""
+    seen: set[Path] = set()
+    stack = [mod_file]
+    out: list[Path] = []
+    while stack:
+        f = stack.pop()
+        for dep in _direct_dep_files(f, repo):
+            if dep not in seen and dep != mod_file:
+                seen.add(dep)
+                out.append(dep)
+                stack.append(dep)
     return out
 
 

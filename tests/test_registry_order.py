@@ -18,7 +18,7 @@ FRONT_50 = [
     "ann_multiprobe_topk",
     # never-verified next (the r4 rule): the round-9 mlops5 stats/
     # eval batch + the graph/ts additions — the rows with zero driver
-    # evidence; a green front makes the registry 284/284 ever-green
+    # evidence; a green front makes the registry 285/285 ever-green
     "kaplan_meier_interarrival", "spearman_rank_correlation",
     "permutation_test_signflip", "unigram_perplexity_heldout",
     "jl_projection_distortion_cert", "ab_minimum_detectable_effect",

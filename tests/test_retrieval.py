@@ -148,18 +148,33 @@ def test_rerank_zero_shared_terms_scores_half(spark, tmp_path):
 
 
 def test_retrieval_plans_have_no_cartesian(spark, sf_dir):
+    # NOTE the registered queries localCheckpoint the candidate
+    # relation, which truncates lineage — their explain output shows
+    # only the post-checkpoint fragment (a red herring caught in
+    # review pass 2). The kernel-shape guard must therefore inspect
+    # the PRE-checkpoint operator DataFrame, and the no-cartesian
+    # guard covers both that and the post-checkpoint fusion plan.
     import contextlib
     import io
 
-    for name in ("retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
-        df = REGISTRY[name].spark(spark, sf_dir)
+    def plan_of(df):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
+        return buf.getvalue()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kdf = ivf_topk_arrow(emb.filter(F.col("vec_id") % 101 == 0), emb, k=5)
+    kplan = plan_of(kdf)
+    # the rerank path must be the Arrow kernel, not a label join
+    # (routing runs EAGERLY at build time — the routed.collect() —
+    # so the returned plan is scan -> MapInPandas -> window only)
+    assert "MapInPandas" in kplan
+    assert "CartesianProduct" not in kplan
+    assert "SortMergeJoin" not in kplan
+    for name in ("retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
+        plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        # the rerank path must be the Arrow kernel, not a label join
-        assert "MapInPandas" in plan, name
 
 
 def test_second_call_idempotent(spark, sf_dir):
