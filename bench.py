@@ -92,6 +92,7 @@ BENCH_EXTRA = [
     "retrieval_hybrid_topk",
     "rerank_hashed_crossencoder",
     "ann_multiprobe_topk",
+    "ann_crosssource_topk",
     # ...and the round-9 mlops5/graph batch keeps its slot one more
     # round (BENCH_r09 recorded their first wall times; one more
     # driver datapoint pins the trend). The r8 mlops4 batch rotates

@@ -76,6 +76,7 @@ def ivf_topk_arrow(
     label_col: str = "label",
     scale: int = DEFAULT_SCALE,
     n_probe: int = 1,
+    exclude_key: str | None = None,
 ) -> DataFrame:
     """IVF top-k over quantized vectors with an Arrow matmul rerank.
 
@@ -89,6 +90,12 @@ def ivf_topk_arrow(
     broadcast query map; each corpus row is still scored once per
     probing query, and the final window merges the per-cell partial
     top-ks). Self-pairs (query_id == neighbor_id) are excluded.
+    ``exclude_key`` names a column present on BOTH inputs: a pair is
+    kept only when both key values are non-NULL and DIFFERENT
+    (attribute-masked ANN — the cross-source retrieval /
+    hard-negative shape; matching SQL ``c.key <> q.key`` NULL
+    semantics, and applied per pair BEFORE the top-k depth cut,
+    which a post-filter would get wrong).
     """
     import numpy as np
 
@@ -103,10 +110,12 @@ def ivf_topk_arrow(
     corpus = corpus.filter(valid & F.col(label_col).isNotNull())
     queries = queries.filter(valid)
     cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    keycols = [F.col(exclude_key).alias("pkey")] if exclude_key else []
     q = queries.select(
         F.col(query_id).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         quantize_vec(vec_col, scale).alias("qi"),
+        *keycols,
     )
     routed = (
         q.crossJoin(cents)
@@ -115,6 +124,7 @@ def ivf_topk_arrow(
             "qi",
             "label",
             cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+            *(["pkey"] if exclude_key else []),
         )
         .withColumn(
             "rn",
@@ -125,16 +135,18 @@ def ivf_topk_arrow(
             ),
         )
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "label", "qi")
+        .select("query_id", "label", "qi", *(
+            ["pkey"] if exclude_key else []))
     )
     # the bounded workload collect: |Q| rows of d int64s
-    by_label: dict[int, tuple[list[int], list[list[int]]]] = {}
+    by_label: dict[int, tuple[list, list, list]] = {}
     for r in routed.collect():
-        ids, vecs = by_label.setdefault(r["label"], ([], []))
+        ids, vecs, keys = by_label.setdefault(r["label"], ([], [], []))
         ids.append(r["query_id"])
         vecs.append(list(r["qi"]))
+        keys.append(r["pkey"] if exclude_key else None)
     packed = {}
-    for lab, (ids, vecs) in by_label.items():
+    for lab, (ids, vecs, keys) in by_label.items():
         # a ragged query vector has no comparable geometry: keep the
         # modal dimensionality per cell (drops nothing on well-formed
         # data; prevents an object-dtype matrix on hostile input)
@@ -150,9 +162,11 @@ def ivf_topk_arrow(
             np.asarray([ids[i] for i in keep], dtype=np.int64)[nz],
             qmat[nz],
             qnorm[nz],
+            [k for k, good in zip((keys[i] for i in keep), nz) if good],
         )
     bc = spark.sparkContext.broadcast(packed)
     kk = int(k)
+    exc = exclude_key is not None
 
     def kernel(batches):
         import pandas as pd
@@ -164,7 +178,7 @@ def ivf_topk_arrow(
                 entry = data.get(lab)
                 if entry is None or grp.empty:
                     continue
-                qids, qmat, qnorm = entry
+                qids, qmat, qnorm, qkeys = entry
                 vecs = [np.asarray(v, dtype=np.int64) for v in grp["qi"]]
                 d = qmat.shape[1]
                 ok = [i for i, v in enumerate(vecs) if v.shape[0] == d]
@@ -175,12 +189,19 @@ def ivf_topk_arrow(
                     vecs = [vecs[i] for i in ok]
                 cmat = np.stack(vecs)
                 nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                nkeys = (
+                    grp["pkey"].to_numpy(dtype=object)
+                    if exc
+                    else None
+                )
                 cnorm = np.sqrt(
                     (cmat * cmat).sum(axis=1).astype(np.float64)
                 )
                 nz = cnorm > 0  # all-zero quantized vector: no
                 if not nz.all():  # direction, 0/0 NaN score — drop
                     cmat, nids, cnorm = cmat[nz], nids[nz], cnorm[nz]
+                    if exc:
+                        nkeys = nkeys[nz]
                 if cmat.shape[0] == 0:
                     continue
                 # exact int64 dots -> bit-deterministic float64 cosine
@@ -189,6 +210,16 @@ def ivf_topk_arrow(
                 for j in range(len(qids)):
                     col = scores[:, j]
                     mask = nids != qids[j]
+                    if exc:
+                        # SQL `<>` NULL semantics: keep only when
+                        # both keys are non-NULL and different
+                        qk = qkeys[j]
+                        if qk is None:
+                            continue
+                        mask = mask & np.array(
+                            [x is not None and x != qk for x in nkeys],
+                            dtype=bool,
+                        )
                     cand_n, cand_s = nids[mask], col[mask]
                     if cand_n.size == 0:
                         continue
@@ -211,6 +242,7 @@ def ivf_topk_arrow(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(label_col).alias("label"),
         quantize_vec(vec_col, scale).alias("qi"),
+        *keycols,
     )
     partial = corp.mapInPandas(
         kernel, "query_id long, neighbor_id long, cos_raw double"

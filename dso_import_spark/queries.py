@@ -92,8 +92,8 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 
 # ROUND 10 FRONT BLOCK (applied): the 13 never-verified round-9
 # queries first (mlops5 ×11 + tsops ×2 — the only registry rows with
-# zero driver evidence; with the 3 queries born this round at the
-# head, a green front makes the registry 285/285
+# zero driver evidence; with the 4 queries born this round at the
+# head, a green front makes the registry 286/286
 # ever-green), then `stream_tail_ingest` (its r8 green predates the
 # round-9 sources/tail_source.py durability fixes — the staleness
 # leak the r9 verdict flagged; the dep-aware stale checker now sees
@@ -107,7 +107,7 @@ ROUND10_FRONT = [
     # multi-probe IVF knob — new queries go at the head so the driver
     # sees them first
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk",
+    "ann_multiprobe_topk", "ann_crosssource_topk",
     # (0) never-verified: the round-9 mlops5 stats/eval batch + the
     # graph/ts additions
     "kaplan_meier_interarrival", "spearman_rank_correlation",
@@ -140,7 +140,6 @@ ROUND10_FRONT = [
     "ann_recall_report", "stream_interval_full_outer",
     "lm_bigram_quality", "source_overlap_matrix",
     "quality_classifier_score", "priority_sample_topk",
-    "dsir_importance_scores",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -175,10 +174,10 @@ FORCE_REVERIFY: list[str] = [
 # first. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND11_QUEUE = [
-    # the three r4 fill picks displaced when the round-10 retrieval
+    # the four r4 fill picks displaced when the round-10 retrieval
     # queries took the front's head slots
-    "diversity_distinct_ngrams", "did_difference_in_differences",
-    "srm_sample_ratio_check",
+    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "did_difference_in_differences", "srm_sample_ratio_check",
     "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
     "event_transition_matrix", "rendezvous_sharding",
     "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",

@@ -66,12 +66,28 @@ _VSCALE = 1000  # embedding quantization (the LSH-bucket convention)
 # bit-identical to the Spark kernel's float64. Zero-quantized-norm
 # vectors are dropped on both the query and candidate side, mirroring
 # the kernel (0/0 has no direction).
-def _cand_sql(query_cte: str, n_probe: int = 1, depth: int = _ANN_K) -> str:
+def _cand_sql(
+    query_cte: str,
+    n_probe: int = 1,
+    depth: int = _ANN_K,
+    pair_key: bool = False,
+) -> str:
+    # pair_key=True threads documents.source through v (as pkey) and
+    # the query CTE (as qkey) and keeps only cross-key pairs — the
+    # attribute-masked ANN shape; SQL <> gives the NULL semantics the
+    # kernel mirrors (NULL on either side drops the pair)
+    vkey = ",\n                 d.source AS pkey" if pair_key else ""
+    vjoin = (
+        " JOIN documents d ON d.doc_id = em.vec_id" if pair_key else ""
+    )
+    qkey = ", qkey" if pair_key else ""
+    qkey_inner = ", q.qkey" if pair_key else ""
+    pair_pred = "\n         AND c.pkey <> r.qkey" if pair_key else ""
     return f"""
-    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve,
-                 list_transform(embedding::DOUBLE[],
-                                x -> floor(x * {_VSCALE} + 0.5)) AS qi
-          FROM embeddings),
+    v AS (SELECT em.vec_id, em.label, em.embedding::DOUBLE[] AS ve,
+                 list_transform(em.embedding::DOUBLE[],
+                                x -> floor(x * {_VSCALE} + 0.5)) AS qi{vkey}
+          FROM embeddings em{vjoin}),
     e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
           FROM v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
           GROUP BY label, u.pos),
@@ -79,8 +95,8 @@ def _cand_sql(query_cte: str, n_probe: int = 1, depth: int = _ANN_K) -> str:
              FROM e GROUP BY label),
     q AS ({query_cte}),
     routed AS (
-      SELECT query_id, qqi, label FROM (
-        SELECT q.query_id, q.qqi, cent.label,
+      SELECT query_id, qqi, label{qkey} FROM (
+        SELECT q.query_id, q.qqi, cent.label{qkey_inner},
                row_number() OVER (PARTITION BY q.query_id
                  ORDER BY list_dot_product(q.qv, cent.centroid) /
                           (sqrt(list_dot_product(q.qv, q.qv)) *
@@ -101,7 +117,7 @@ def _cand_sql(query_cte: str, n_probe: int = 1, depth: int = _ANN_K) -> str:
                   sqrt(list_dot_product(c.qi, c.qi))) AS cos_raw
         FROM routed r JOIN v c ON r.label = c.label
          AND r.query_id <> c.vec_id
-         AND list_dot_product(c.qi, c.qi) > 0)
+         AND list_dot_product(c.qi, c.qi) > 0{pair_pred})
       QUALIFY ann_rank <= {depth}),
     dterm AS (
       SELECT DISTINCT doc_id, term FROM (
@@ -370,6 +386,47 @@ def ann_multiprobe_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % _Q_MOD == 0)
     out = ivf_topk_arrow(
         queries, emb, k=_TOP_K, scale=_VSCALE, n_probe=_N_PROBE
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("cos_raw", 6).alias("cos_sim"),
+    )
+
+
+@query(
+    "ann_crosssource_topk",
+    oracle=f"""
+    WITH {_cand_sql(
+        f"SELECT vec_id AS query_id, ve AS qv, qi AS qqi, pkey AS qkey "
+        f"FROM v WHERE vec_id % {_Q_MOD} = 0",
+        depth=_TOP_K,
+        pair_key=True,
+    )}
+    SELECT query_id, ann_rank AS rank, neighbor_id,
+           round(cos_raw, 6) AS cos_sim
+    FROM cand
+    """,
+    doc="Attribute-masked ANN: cosine top-5 where query and neighbor "
+    "must come from DIFFERENT sources (documents.source threaded "
+    "through the embedding relation) — the cross-source retrieval / "
+    "hard-negative / decontamination shape. The exclusion is applied "
+    "PER PAIR inside the Arrow kernel, before the top-k depth cut — "
+    "a post-filter on an unfiltered top-k would under-fill ranks. "
+    "NULL keys drop the pair on both engines (SQL <> semantics, "
+    "mirrored in the kernel mask).",
+)
+def ann_crosssource_topk(spark, sf_dir):
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    src = docs.select("doc_id", "source")
+    # thread the attribute through the vector relation (key equi-join)
+    ev = emb.join(src, emb["vec_id"] == src["doc_id"]).select(
+        "vec_id", "embedding", "label", "source"
+    )
+    queries = ev.filter(F.col("vec_id") % _Q_MOD == 0)
+    out = ivf_topk_arrow(
+        queries, ev, k=_TOP_K, scale=_VSCALE, exclude_key="source"
     )
     return out.select(
         "query_id",

@@ -15,10 +15,10 @@ FRONT_50 = [
     # born this round (r10): the retrieval compositions + multi-probe
     # IVF — new queries take the head slots
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk",
+    "ann_multiprobe_topk", "ann_crosssource_topk",
     # never-verified next (the r4 rule): the round-9 mlops5 stats/
     # eval batch + the graph/ts additions — the rows with zero driver
-    # evidence; a green front makes the registry 285/285 ever-green
+    # evidence; a green front makes the registry 286/286 ever-green
     "kaplan_meier_interarrival", "spearman_rank_correlation",
     "permutation_test_signflip", "unigram_perplexity_heldout",
     "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
@@ -45,7 +45,7 @@ FRONT_50 = [
     "ann_recall_report",
     "stream_interval_full_outer", "lm_bigram_quality",
     "source_overlap_matrix", "quality_classifier_score",
-    "priority_sample_topk", "dsir_importance_scores",
+    "priority_sample_topk",
 ]
 
 

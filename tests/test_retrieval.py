@@ -236,3 +236,36 @@ def test_kernel_survives_null_and_ragged_embeddings(spark, tmp_path):
         emb.filter(F.col("vec_id") == 0), emb, k=10
     ).collect()
     assert {r.neighbor_id for r in rows} == {3, 9}
+
+
+def test_crosssource_excludes_same_source_and_null_keys(spark, tmp_path):
+    # query doc 0 (source sA): doc 3 shares its source (excluded even
+    # though nearest), doc 5 has NULL source (excluded per SQL <>),
+    # doc 9 (sB) is the only legal neighbor
+    docs = spark.createDataFrame(
+        [
+            (0, "t", "en", "sA", 1),
+            (3, "t", "en", "sA", 1),
+            (5, "t", "en", None, 1),
+            (9, "t", "en", "sB", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (3, [0.99, 0.01], 0),
+            (5, [0.98, 0.02], 0),
+            (9, [0.5, 0.5], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = REGISTRY["ann_crosssource_topk"].spark(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q[0] == [9]
+    # the NULL-source doc as a QUERY gets no pairs at all
+    assert 5 not in by_q

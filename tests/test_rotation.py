@@ -79,3 +79,35 @@ def test_next_front_prefers_never_verified_then_stale(tmp_path):
     real = next_front(budget=50)
     assert 0 < len(real) <= 50
     assert real[0] in set(names)
+
+
+def test_dep_walk_is_transitive_and_sees_util(tmp_path):
+    # round-10 review: first-level-only walking missed operator->
+    # operator chains, and queries_pkg/util.py (shared infra) was
+    # lumped in with excluded siblings. Synthetic chain:
+    #   qmod -> operators/a (lazy, function-local) -> operators/b
+    #   qmod -> queries_pkg/util ; qmod -> queries_pkg/sibling (excl.)
+    from dso_import_spark.rotation import _module_dep_files
+
+    pkg = tmp_path / "dso_import_spark"
+    (pkg / "operators").mkdir(parents=True)
+    (pkg / "queries_pkg").mkdir()
+    (pkg / "operators" / "a.py").write_text(
+        "from dso_import_spark.operators.b import helper\n"
+    )
+    (pkg / "operators" / "b.py").write_text("def helper(): pass\n")
+    (pkg / "queries_pkg" / "util.py").write_text("x = 1\n")
+    (pkg / "queries_pkg" / "sibling.py").write_text("y = 2\n")
+    qmod = pkg / "queries_pkg" / "qmod.py"
+    qmod.write_text(
+        "from dso_import_spark.queries_pkg.util import x\n"
+        "from dso_import_spark.queries_pkg.sibling import y\n"
+        "def q():\n"
+        "    from dso_import_spark.operators.a import helper\n"
+        "    return helper\n"
+    )
+    deps = {p.name for p in _module_dep_files(qmod, tmp_path)}
+    assert "a.py" in deps          # lazy function-local import seen
+    assert "b.py" in deps          # transitive operator->operator
+    assert "util.py" in deps       # shared infra included
+    assert "sibling.py" not in deps  # other queries_pkg rows excluded
