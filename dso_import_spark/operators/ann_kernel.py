@@ -204,6 +204,13 @@ def ivf_topk_arrow(
                         nkeys = nkeys[nz]
                 if cmat.shape[0] == 0:
                     continue
+                if exc:
+                    # once per group, not per query (third review
+                    # pass): NULL-ness is query-independent, and the
+                    # per-query compare is a vectorized !=
+                    nkey_notnull = np.array(
+                        [x is not None for x in nkeys], dtype=bool
+                    )
                 # exact int64 dots -> bit-deterministic float64 cosine
                 dots = (cmat @ qmat.T).astype(np.float64)
                 scores = dots / (cnorm[:, None] * qnorm[None, :])
@@ -216,10 +223,7 @@ def ivf_topk_arrow(
                         qk = qkeys[j]
                         if qk is None:
                             continue
-                        mask = mask & np.array(
-                            [x is not None and x != qk for x in nkeys],
-                            dtype=bool,
-                        )
+                        mask = mask & nkey_notnull & (nkeys != qk)
                     cand_n, cand_s = nids[mask], col[mask]
                     if cand_n.size == 0:
                         continue

@@ -65,7 +65,11 @@ _VSCALE = 1000  # embedding quantization (the LSH-bucket convention)
 # QUANTIZED vectors. cos_raw stays unrounded: integer dots make it
 # bit-identical to the Spark kernel's float64. Zero-quantized-norm
 # vectors are dropped on both the query and candidate side, mirroring
-# the kernel (0/0 has no direction).
+# the kernel (0/0 has no direction); NULL/empty vectors and (for
+# centroids and candidates) NULL labels are dropped explicitly, so
+# the oracle's routing cells are exactly the kernel's (third review
+# pass: DuckDB GROUP BY would otherwise keep a NULL-label centroid
+# the kernel never builds).
 def _cand_sql(
     query_cte: str,
     n_probe: int = 1,
@@ -87,9 +91,11 @@ def _cand_sql(
     v AS (SELECT em.vec_id, em.label, em.embedding::DOUBLE[] AS ve,
                  list_transform(em.embedding::DOUBLE[],
                                 x -> floor(x * {_VSCALE} + 0.5)) AS qi{vkey}
-          FROM embeddings em{vjoin}),
+          FROM embeddings em{vjoin}
+          WHERE em.embedding IS NOT NULL AND len(em.embedding) > 0),
     e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
           FROM v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
+          WHERE v.label IS NOT NULL
           GROUP BY label, u.pos),
     cent AS (SELECT label, list(m ORDER BY pos) AS centroid
              FROM e GROUP BY label),

@@ -70,16 +70,28 @@ def green_rounds(
     return green
 
 
+_COMMIT_TS_CACHE: dict[tuple[str, str], int | None] = {}
+
+
 def _module_last_commit_ts(path: Path, repo: Path) -> int | None:
-    """Unix ts of the last commit touching `path`, or None if unknown."""
+    """Unix ts of the last commit touching `path`, or None if unknown.
+    Memoized per (repo, path): the transitive dep walk asks about the
+    same shared files (util.py, operator chains) once per query
+    module, which un-cached meant hundreds of git subprocesses per
+    stale_green sweep (third review pass)."""
+    ck = (str(repo), str(path))
+    if ck in _COMMIT_TS_CACHE:
+        return _COMMIT_TS_CACHE[ck]
     try:
         out = subprocess.run(
             ["git", "log", "-1", "--format=%ct", "--", str(path)],
             cwd=repo, capture_output=True, text=True, timeout=30,
         )
-        return int(out.stdout.strip()) if out.stdout.strip() else None
+        ts = int(out.stdout.strip()) if out.stdout.strip() else None
     except (OSError, ValueError, subprocess.SubprocessError):
-        return None
+        ts = None
+    _COMMIT_TS_CACHE[ck] = ts
+    return ts
 
 
 def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
@@ -100,7 +112,11 @@ def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
         return None
 
 
-_DIRECT_DEP_CACHE: dict[Path, list[Path]] = {}
+# keyed (repo, file): dep resolution depends on the repo root, and a
+# second repo (the synthetic test fixtures) must not reuse the first
+# repo's lists. Within-process on-disk edits are not invalidated —
+# acceptable for a CLI/test process that parses each tree once.
+_DIRECT_DEP_CACHE: dict[tuple[str, str], list[Path]] = {}
 
 
 def _direct_dep_files(mod_file: Path, repo: Path) -> list[Path]:
@@ -115,12 +131,13 @@ def _direct_dep_files(mod_file: Path, repo: Path) -> list[Path]:
     repo's layout (absolute-import lint convention)."""
     import ast
 
-    if mod_file in _DIRECT_DEP_CACHE:
-        return _DIRECT_DEP_CACHE[mod_file]
+    ck = (str(repo), str(mod_file))
+    if ck in _DIRECT_DEP_CACHE:
+        return _DIRECT_DEP_CACHE[ck]
     try:
         tree = ast.parse(mod_file.read_text())
     except (OSError, SyntaxError):
-        _DIRECT_DEP_CACHE[mod_file] = []
+        _DIRECT_DEP_CACHE[ck] = []
         return []
     mods: set[str] = set()
     for node in ast.walk(tree):
@@ -142,7 +159,7 @@ def _direct_dep_files(mod_file: Path, repo: Path) -> list[Path]:
         f = repo / Path(m.replace(".", "/") + ".py")
         if f.exists():
             out.append(f)
-    _DIRECT_DEP_CACHE[mod_file] = out
+    _DIRECT_DEP_CACHE[ck] = out
     return out
 
 
@@ -167,7 +184,7 @@ def _module_dep_files(mod_file: Path, repo: Path) -> list[Path]:
 
 def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
     """Green queries whose defining module — or any operators/sources/
-    functions/streaming layer module it imports (first level, AST walk
+    functions/streaming layer module it TRANSITIVELY imports (AST walk
     incl. lazy imports) — was committed AFTER the CORRECTNESS artifact
     that last verified them: the driver evidence is stale even though
     the local differential suite still covers them. Re-verify these

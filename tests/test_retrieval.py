@@ -241,13 +241,18 @@ def test_kernel_survives_null_and_ragged_embeddings(spark, tmp_path):
 def test_crosssource_excludes_same_source_and_null_keys(spark, tmp_path):
     # query doc 0 (source sA): doc 3 shares its source (excluded even
     # though nearest), doc 5 has NULL source (excluded per SQL <>),
-    # doc 9 (sB) is the only legal neighbor
+    # doc 9 (sB) is the only legal neighbor. Doc 101 is ALSO a query
+    # (101 % 101 == 0) with a NULL source: the query-side NULL-key
+    # guard must give it zero pairs (third review pass: the first
+    # version used doc 5, which never qualifies as a query — the
+    # assertion was vacuous)
     docs = spark.createDataFrame(
         [
             (0, "t", "en", "sA", 1),
             (3, "t", "en", "sA", 1),
             (5, "t", "en", None, 1),
             (9, "t", "en", "sB", 1),
+            (101, "t", "en", None, 1),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
@@ -257,6 +262,7 @@ def test_crosssource_excludes_same_source_and_null_keys(spark, tmp_path):
             (3, [0.99, 0.01], 0),
             (5, [0.98, 0.02], 0),
             (9, [0.5, 0.5], 0),
+            (101, [0.7, 0.3], 0),
         ],
         "vec_id long, embedding array<float>, label int",
     )
@@ -267,5 +273,52 @@ def test_crosssource_excludes_same_source_and_null_keys(spark, tmp_path):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.neighbor_id)
     assert by_q[0] == [9]
-    # the NULL-source doc as a QUERY gets no pairs at all
-    assert 5 not in by_q
+    # the NULL-source doc as a QUERY gets no pairs at all — and it IS
+    # a query here (101 % 101 == 0), so the guard is exercised
+    assert 101 not in by_q
+    assert 5 not in by_q  # (never a query: 5 % 101 != 0)
+
+
+def test_hostile_corpus_cross_engine_agreement(spark, tmp_path):
+    # third review pass: the oracle's centroid CTE kept a NULL-label
+    # group the kernel never builds — pin kernel/oracle agreement on
+    # a corpus WITH NULL labels, NULL/empty vectors, and a NULL-key
+    # query doc, for all three embedding-only ANN queries
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common", "en", None if i == 5 else f"s{i % 2}", 8)
+         for i in [0, 3, 5, 7, 9, 101, 202]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (3, [0.9, 0.1], 0),
+            (5, [0.8, 0.2], None),   # NULL label
+            (7, None, 0),            # NULL vector
+            (9, [], 0),              # empty vector
+            (101, [0.6, 0.4], 1),
+            (202, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    for name in ("ann_multiprobe_topk", "ann_crosssource_topk",
+                 "retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
+        spec = REGISTRY[name]
+        srows = sorted(
+            tuple(str(x) for x in r)
+            for r in spec.spark(spark, str(tmp_path)).collect()
+        )
+        drows = sorted(
+            tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
+        )
+        assert srows == drows, (name, srows, drows)
