@@ -322,3 +322,116 @@ def test_hostile_corpus_cross_engine_agreement(spark, tmp_path):
             tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
         )
         assert srows == drows, (name, srows, drows)
+
+
+# --- property layer: the kernel vs a plain-numpy model over random
+# corpora (hypothesis) — ties, empty cells, multi-probe, exclusion,
+# and NULL keys beyond what the hand-built fixtures cover. Few
+# examples, one small Spark job each (the test_properties.py budget).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=4, max_value=14))
+    dims = draw(st.integers(min_value=2, max_value=4))
+    rows = []
+    for i in range(n):
+        vec = draw(
+            st.lists(
+                st.integers(min_value=-3, max_value=3).map(
+                    lambda x: x / 2.0
+                ),
+                min_size=dims,
+                max_size=dims,
+            )
+        )
+        label = draw(st.integers(min_value=0, max_value=2))
+        key = draw(st.sampled_from(["a", "b", None]))
+        rows.append((i * 101, vec, label, key))  # every row a query
+    return rows
+
+
+def _model(rows, k, n_probe, exclude):
+    # independent numpy model of route -> quantize -> mask -> top-k
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows], dtype=np.int64)
+    keys = [r[3] for r in rows]
+    qi = np.floor(mat * 1000 + 0.5).astype(np.int64)
+    norms = np.sqrt((qi * qi).sum(axis=1).astype(np.float64))
+    cents = {
+        int(lab): mat[labels == lab].mean(axis=0)
+        for lab in np.unique(labels)
+    }
+    out = {}
+    for qp in range(len(ids)):
+        if norms[qp] == 0:
+            continue
+        qv = mat[qp]
+        qn = np.sqrt(qv @ qv)
+
+        def cellkey(L):
+            c = cents[L]
+            cn2 = c @ c
+            if cn2 == 0 or qn == 0:
+                # 0/0 cosine is NaN, and BOTH engines order NaN as
+                # the LARGEST double — in a desc ordering the NaN
+                # cell routes FIRST (label tiebreak among NaNs)
+                return (-np.inf, L)
+            return (-(qv @ c) / (qn * np.sqrt(cn2)), L)
+
+        ranked = sorted(cents, key=cellkey)
+        cand = []
+        for lab in ranked[:n_probe]:
+            for cp in np.nonzero(labels == lab)[0]:
+                if ids[cp] == ids[qp] or norms[cp] == 0:
+                    continue
+                if exclude and (
+                    keys[qp] is None
+                    or keys[cp] is None
+                    or keys[cp] == keys[qp]
+                ):
+                    continue
+                cos = float(qi[cp] @ qi[qp]) / (norms[cp] * norms[qp])
+                cand.append((cos, int(ids[cp])))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        if cand:
+            out[int(ids[qp])] = [(nid, c) for c, nid in cand[:k]]
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=_corpus(),
+    k=st.integers(min_value=1, max_value=4),
+    n_probe=st.integers(min_value=1, max_value=2),
+    exclude=st.booleans(),
+)
+def test_kernel_property_vs_numpy_model(spark, rows, k, n_probe, exclude):
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, src string"
+    )
+    got_rows = ivf_topk_arrow(
+        emb,
+        emb,
+        k=k,
+        n_probe=n_probe,
+        exclude_key="src" if exclude else None,
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_raw))
+    want = _model(rows, k, n_probe, exclude)
+    # routing can legitimately differ when centroid cosines tie or a
+    # query's double-norm routing is ambiguous only on zero-centroid
+    # cells — but the fixture values (halves) make exact double ties
+    # across DIFFERENT mean vectors improbable; compare exactly and
+    # let hypothesis shrink any disagreement
+    assert got == want
