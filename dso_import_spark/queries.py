@@ -90,56 +90,33 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     retrieval,
 )
 
-# ROUND 10 FRONT BLOCK (applied): the 13 never-verified round-9
-# queries first (mlops5 ×11 + tsops ×2 — the only registry rows with
-# zero driver evidence; with the 4 queries born this round at the
-# head, a green front makes the registry 286/286
-# ever-green), then `stream_tail_ingest` (its r8 green predates the
-# round-9 sources/tail_source.py durability fixes — the staleness
-# leak the r9 verdict flagged; the dep-aware stale checker now sees
-# it), then the round-9-staged queue in order (r2 rows, r3/r4 rows,
-# operator-module review-fix re-verification), then 10 oldest
-# dep-stale r4 rows. stale_green() is dep-aware since round 10
-# (AST-walks operators/sources/functions imports), so every pick
-# below is either never-verified, dep-stale, or FORCE_REVERIFY.
-ROUND10_FRONT = [
-    # (-1) born THIS round (r10): the retrieval compositions + the
-    # multi-probe IVF knob — new queries go at the head so the driver
-    # sees them first
-    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk", "ann_crosssource_topk",
-    # (0) never-verified: the round-9 mlops5 stats/eval batch + the
-    # graph/ts additions
-    "kaplan_meier_interarrival", "spearman_rank_correlation",
-    "permutation_test_signflip", "unigram_perplexity_heldout",
-    "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
-    "mcnemar_paired_test", "vocab_chao1_richness",
-    "copurchase_degree_histogram",
-    "logrank_two_arm", "rrf_rank_fusion", "weighted_median_groups",
-    "mase_seasonal_naive",
-    # (0b) the round-9 staleness leak, re-verified first among greens
-    "stream_tail_ingest",
-    # (1) next-oldest driver evidence (r2 rows), registry order
-    "safe_int_cast", "tri_state_boolean",
-    "interval_validity_filter", "open_interval_gate", "temporal_overlap",
-    "fk_validation", "delete_detection", "merge_counts_scale",
-    "explode_bridge",
-    # (2) r3/r4 rows + the review-touched WKT write and simhash paths
-    "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
-    "dedup_simhash_fingerprints",
-    "collated_dedup_groups", "recursive_cte_chain",
-    "listagg_order_sequences",
-    # (3) operator-module review-fix re-verification
-    "asof_tolerance_cogroup", "salted_heavy_hitters",
-    "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_wav_decode",
-    # (4) oldest dep-stale refresh picks filling to 50 (r4 evidence;
-    # their operator/function dependencies were edited in r8/r9)
-    "ann_recall_report", "stream_interval_full_outer",
-    "lm_bigram_quality", "source_overlap_matrix",
-    "quality_classifier_score", "priority_sample_topk",
+# ROUND 11 FRONT BLOCK (applied): zero never-verified rows remain
+# (registry went 286/286 ever-green in round 10), so the whole front
+# drains the dep-aware stale backlog oldest-driver-evidence-first —
+# the 50 staged at the head of last round's ROUND11_QUEUE, confirmed
+# against `python -m dso_import_spark.rotation` this round: the four
+# r4 picks displaced by the round-10 retrieval births, then the r4
+# curation/llm_pipeline/mlops block, then r4/r5 analytics/windows
+# rows. New queries born this round go at the HEAD (cadence rule).
+ROUND11_FRONT = [
+    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "did_difference_in_differences", "srm_sample_ratio_check",
+    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
+    "event_transition_matrix", "rendezvous_sharding", "char_entropy_quality",
+    "gopher_quality_gate", "ngram_novelty_decay", "word_zipf_slope",
+    "embedding_dim_stats", "embedding_quantize_int8", "k_anonymity_audit",
+    "join_key_skew_profile", "embedding_covariance", "merge_insert_update",
+    "dedup_minhash_lsh", "hard_negative_mining", "winsorized_variant_means",
+    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
+    "daily_retention_d1_d7", "zorder_layout_stats", "cluster_aware_split",
+    "shingle_containment", "stratified_sample_exact", "woe_feature_binning",
+    "l_diversity_audit", "cusum_changepoint", "weighted_sample_es",
+    "bm25_scoring", "decile_lift_table", "auc_mann_whitney",
+    "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
+    "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
+    "running_sum", "lag_lead_delta", "sessionize_events",
+    "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
+    "rolling_hour_stats",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -148,52 +125,22 @@ ROUND10_FRONT = [
 # (tests/test_rotation.py checks the choice against exactly these
 # rounds, so a *new* round's results landing mid-cycle doesn't
 # retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 9
+FRONT_CHOSEN_AGAINST_ROUND = 10
 
 # Deliberate evidence-freshness picks that are neither never-verified
-# nor dep-stale: spending a front slot on these is deliberate
-# re-verification, not waste. Most of the round-9 list is gone —
-# stale_green() is dep-aware since round 10 (it AST-walks the
-# defining module's operators/sources/functions imports, including
-# function-local lazy imports), so operator-layer edits now surface
-# as stale automatically instead of needing a manual entry here.
-FORCE_REVERIFY: list[str] = [
-    # r3-evidence rows whose modules and deps are unchanged since —
-    # pure evidence-age refresh (oldest non-stale greens in registry)
-    "collated_dedup_groups", "recursive_cte_chain",
-    "listagg_order_sequences",
-]
+# nor dep-stale. Empty this round: the dep-aware stale set (169 rows)
+# exceeds the front budget on its own, so every slot goes to genuinely
+# stale evidence — spending one on a fresh-green row would be waste.
+FORCE_REVERIFY: list[str] = []
 
-# ROUND 11 QUEUE (pre-staged): the dep-stale backlog the round-10
-# front could not fit — oldest driver evidence first (r4 rows, then
-# r5/r6 rows), registry order within a round. The dep-aware stale
-# checker surfaced 115 rows whose operator/source/function-layer
-# dependencies were edited in r8/r9 after their verifying artifacts;
-# the front takes 36 of them, this queue stages the rest so surplus
-# driver budget (or the next rotation) lands on the oldest evidence
-# first. New queries added mid-round go at the HEAD of the FRONT.
+# ROUND 12 QUEUE (pre-staged): the dep-stale backlog the round-11
+# front could not fit — oldest driver evidence first (r4/r5 rows, then
+# r6, then the rows re-staled by round-10's own edits, then the
+# util.py-transitive block), registry order within a round. Surplus
+# driver budget (or the next rotation) lands here before any fresh
+# green. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
-ROUND11_QUEUE = [
-    # the four r4 fill picks displaced when the round-10 retrieval
-    # queries took the front's head slots
-    "dsir_importance_scores", "diversity_distinct_ngrams",
-    "did_difference_in_differences", "srm_sample_ratio_check",
-    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
-    "event_transition_matrix", "rendezvous_sharding",
-    "char_entropy_quality", "gopher_quality_gate", "ngram_novelty_decay",
-    "word_zipf_slope", "embedding_dim_stats", "embedding_quantize_int8",
-    "k_anonymity_audit", "join_key_skew_profile", "embedding_covariance",
-    "merge_insert_update", "dedup_minhash_lsh", "hard_negative_mining",
-    "winsorized_variant_means", "weekly_growth_rates", "abc_pareto_classes",
-    "session_duration_stats", "daily_retention_d1_d7", "zorder_layout_stats",
-    "cluster_aware_split", "shingle_containment", "stratified_sample_exact",
-    "woe_feature_binning", "l_diversity_audit", "cusum_changepoint",
-    "weighted_sample_es", "bm25_scoring", "decile_lift_table",
-    "auc_mann_whitney", "minhash_recall_cert", "theil_sen_capped",
-    "join_cardinality_estimate", "wasserstein_drift",
-    "source_quality_blocklist", "window_topk_per_group", "running_sum",
-    "lag_lead_delta", "sessionize_events", "tumbling_hour_window",
-    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
+ROUND12_QUEUE = [
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
     "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
@@ -208,29 +155,16 @@ ROUND11_QUEUE = [
     "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
     "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
     "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
-    # re-staled IN round 10 by this round's own edits (the dep-aware
-    # checker working as designed): the tail-source bounded-retry fix
-    # touched sources/tail_source.py, a lazy import of extras.py, so
-    # every extras row's r9 green now predates a dep edit. Their
-    # evidence is the FRESHEST in this queue (r9, re-verified last
-    # round; only stream_tail_ingest actually executes the edited
-    # code), so they go last.
-    "wkt_coerce_geometries", "date_parse_variants",
-    "hash_split_train_test", "dedup_cluster_components",
-    "dedup_cluster_canonical", "sql_entry_point", "udaf_geometric_mean",
-    "udtf_sentence_split", "unpivot_melt_measures", "table_profile",
-    "cms_frequency_estimate", "bpe_regex_token_count", "vocab_oov_rates",
-    "temperature_mix_weights", "ann_pq_topk", "ann_ivf_pq_topk",
-    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
-    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
-    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
-    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
-    "value_outliers_mad", "stream_session_dynamic_gap",
-    # surfaced when the dep walk went TRANSITIVE and began including
-    # queries_pkg/util.py (review pass 2): every row below was last
-    # verified before util.py's r7-era tune_session commit, so its
-    # evidence predates shared-infrastructure edits. Oldest driver
-    # evidence first, registry order within a round.
+    "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
+    "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
+    "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
+    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
+    "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
+    "ann_ivf_pq_topk", "hopping_window_counts", "stream_hopping_hour",
+    "stream_static_enrich", "funnel_conversion", "gapfill_locf_hourly",
+    "semdedup_prune", "semdedup_prune_autok", "cohort_retention",
+    "sliding_distinct_users", "sparse_tfidf_topk", "activity_streaks",
+    "mode_event_type", "value_outliers_mad", "stream_session_dynamic_gap",
     "decimal_money_totals", "schema_evolution_scan",
     "partition_overwrite_merge", "cdc_apply_changes",
     "boilerplate_ngram_mass", "bpe_pair_merge_counts",
@@ -245,14 +179,14 @@ ROUND11_QUEUE = [
     "skyline_pareto_frontier", "theil_sen_trend", "q10_returned_items",
     "q11_important_balances", "q12_late_shipment_priority",
     "q13_customer_order_distribution", "q14_promo_revenue",
-    "q16_supplier_part_counts", "q22_idle_customers",
-    "q01_pricing_summary", "q03_top_revenue_orders",
-    "q06_forecast_revenue", "conditional_agg_pivot", "distinct_agg",
-    "semi_join_big_spenders", "anti_join_no_orders", "rollup_lineitem",
-    "cube_orders", "pivot_returnflag", "percentile_quantity",
-    "range_join_price_bands", "json_extract_events", "string_math_funcs",
-    "q04_order_priority", "q18_large_orders", "variant_json_events",
-    "sql_pipe_syntax", "histogram_width_bucket", "regression_stats",
+    "q16_supplier_part_counts", "q22_idle_customers", "q01_pricing_summary",
+    "q03_top_revenue_orders", "q06_forecast_revenue",
+    "conditional_agg_pivot", "distinct_agg", "semi_join_big_spenders",
+    "anti_join_no_orders", "rollup_lineitem", "cube_orders",
+    "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
+    "json_extract_events", "string_math_funcs", "q04_order_priority",
+    "q18_large_orders", "variant_json_events", "sql_pipe_syntax",
+    "histogram_width_bucket", "regression_stats",
 ]
 
 
@@ -272,4 +206,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND10_FRONT, ROUND11_QUEUE)
+_apply_front_block(ROUND11_FRONT, ROUND12_QUEUE)

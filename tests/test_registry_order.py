@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND10_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND11_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,49 +9,39 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND10_FRONT, ROUND11_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND11_FRONT, ROUND12_QUEUE
 
 FRONT_50 = [
-    # born this round (r10): the retrieval compositions + multi-probe
-    # IVF — new queries take the head slots
-    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk", "ann_crosssource_topk",
-    # never-verified next (the r4 rule): the round-9 mlops5 stats/
-    # eval batch + the graph/ts additions — the rows with zero driver
-    # evidence; a green front makes the registry 286/286 ever-green
-    "kaplan_meier_interarrival", "spearman_rank_correlation",
-    "permutation_test_signflip", "unigram_perplexity_heldout",
-    "jl_projection_distortion_cert", "ab_minimum_detectable_effect",
-    "mcnemar_paired_test", "vocab_chao1_richness",
-    "copurchase_degree_histogram", "logrank_two_arm", "rrf_rank_fusion",
-    "weighted_median_groups", "mase_seasonal_naive",
-    # the round-9 staleness leak (r8 green predates the r9
-    # tail_source.py durability fixes), then the staged r10 queue:
-    # r2 rows, r3/r4 rows, operator-module review-fix re-verification
-    "stream_tail_ingest",
-    "safe_int_cast", "tri_state_boolean", "interval_validity_filter",
-    "open_interval_gate", "temporal_overlap", "fk_validation",
-    "delete_detection", "merge_counts_scale", "explode_bridge",
-    "stream_interval_left_outer", "wkt_file_scan", "wkt_write_roundtrip",
-    "dedup_simhash_fingerprints", "collated_dedup_groups",
-    "recursive_cte_chain", "listagg_order_sequences",
-    "asof_tolerance_cogroup", "salted_heavy_hitters",
-    "salted_join_revenue", "ann_lsh_topk", "semdedup_autok_kernel",
-    "multimodal_metadata", "multimodal_decode_stats",
-    "multimodal_frame_sample", "multimodal_features",
-    "multimodal_wav_decode",
-    # oldest dep-stale refresh picks filling to 50 (r4 evidence whose
-    # operator/function dependencies were edited in r8/r9)
-    "ann_recall_report",
-    "stream_interval_full_outer", "lm_bigram_quality",
-    "source_overlap_matrix", "quality_classifier_score",
-    "priority_sample_topk",
+    # round-11 rotation: zero never-verified rows remain (286/286
+    # ever-green since round 10), so the front is the head of the
+    # dep-aware stale backlog, oldest driver evidence first — the 50
+    # staged last round as ROUND11_QUEUE's head. New queries born this
+    # round take the head slots when they land (update here + in
+    # queries.py in the same commit).
+    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "did_difference_in_differences", "srm_sample_ratio_check",
+    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
+    "event_transition_matrix", "rendezvous_sharding", "char_entropy_quality",
+    "gopher_quality_gate", "ngram_novelty_decay", "word_zipf_slope",
+    "embedding_dim_stats", "embedding_quantize_int8", "k_anonymity_audit",
+    "join_key_skew_profile", "embedding_covariance", "merge_insert_update",
+    "dedup_minhash_lsh", "hard_negative_mining", "winsorized_variant_means",
+    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
+    "daily_retention_d1_d7", "zorder_layout_stats", "cluster_aware_split",
+    "shingle_containment", "stratified_sample_exact", "woe_feature_binning",
+    "l_diversity_audit", "cusum_changepoint", "weighted_sample_es",
+    "bm25_scoring", "decile_lift_table", "auc_mann_whitney",
+    "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
+    "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
+    "running_sum", "lag_lead_delta", "sessionize_events",
+    "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
+    "rolling_hour_stats",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND10_FRONT == FRONT_50
+    assert ROUND11_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -66,22 +56,22 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND11_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND12_QUEUE[: len(beyond)]), beyond
 
 
-def test_round11_queue_is_staged():
+def test_round12_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND11_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND11_QUEUE) & set(FRONT_50)
+    assert set(ROUND12_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND12_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND11_QUEUE)] == ROUND11_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND12_QUEUE)] == ROUND12_QUEUE
     # front + queue covers the whole dep-stale backlog: together with
     # the front's never-verified coverage, registry order is fully
     # pinned oldest-evidence-first
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND11_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND12_QUEUE) | set(FRONT_50)
 
 
 def test_registry_names_appear_in_survey():
