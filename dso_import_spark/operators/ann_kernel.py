@@ -184,8 +184,15 @@ def ivf_topk_arrow(
                 ok = [i for i, v in enumerate(vecs) if v.shape[0] == d]
                 if not ok:
                     continue
-                if len(ok) != len(vecs):  # ragged rows carry no
-                    grp = grp.iloc[ok]  # comparable geometry — drop
+                # Ragged rows carry no comparable geometry — drop.
+                # NOTE (differential contract): the DuckDB oracles
+                # RAISE on ragged corpora instead (list_dot_product
+                # rejects unequal list lengths), so ragged input is
+                # out-of-contract for the kernel/oracle differential;
+                # the hostile fixtures deliberately omit ragged rows
+                # (tests/test_retrieval.py hostile corpus).
+                if len(ok) != len(vecs):
+                    grp = grp.iloc[ok]
                     vecs = [vecs[i] for i in ok]
                 cmat = np.stack(vecs)
                 nids = grp["neighbor_id"].to_numpy(dtype=np.int64)

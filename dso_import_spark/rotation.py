@@ -71,6 +71,29 @@ def green_rounds(
 
 
 _COMMIT_TS_CACHE: dict[tuple[str, str], int | None] = {}
+_CACHED_HEAD: dict[str, str] = {}
+
+
+def _invalidate_caches_on_new_head(repo: Path) -> None:
+    """Clear the commit-ts and dep memos when HEAD moved (one
+    `git rev-parse` per sweep, called from stale_green): a commit
+    landing mid-process would otherwise leave later sweeps reading
+    stale timestamps/dep lists for the rest of the process lifetime
+    (round-10 advisory)."""
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        )
+        head = out.stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        return
+    if not head:
+        return
+    if _CACHED_HEAD.get(str(repo)) != head:
+        _CACHED_HEAD[str(repo)] = head
+        _COMMIT_TS_CACHE.clear()
+        _DIRECT_DEP_CACHE.clear()
 
 
 def _module_last_commit_ts(path: Path, repo: Path) -> int | None:
@@ -78,7 +101,8 @@ def _module_last_commit_ts(path: Path, repo: Path) -> int | None:
     Memoized per (repo, path): the transitive dep walk asks about the
     same shared files (util.py, operator chains) once per query
     module, which un-cached meant hundreds of git subprocesses per
-    stale_green sweep (third review pass)."""
+    stale_green sweep (third review pass). Invalidated when HEAD
+    moves (see _invalidate_caches_on_new_head)."""
     ck = (str(repo), str(path))
     if ck in _COMMIT_TS_CACHE:
         return _COMMIT_TS_CACHE[ck]
@@ -114,8 +138,9 @@ def _file_created_commit_ts(path: Path, repo: Path) -> int | None:
 
 # keyed (repo, file): dep resolution depends on the repo root, and a
 # second repo (the synthetic test fixtures) must not reuse the first
-# repo's lists. Within-process on-disk edits are not invalidated —
-# acceptable for a CLI/test process that parses each tree once.
+# repo's lists. UNCOMMITTED on-disk edits are not invalidated —
+# acceptable for a CLI/test process that parses each tree once —
+# but a new COMMIT clears this via _invalidate_caches_on_new_head.
 _DIRECT_DEP_CACHE: dict[tuple[str, str], list[Path]] = {}
 
 
@@ -191,6 +216,7 @@ def stale_green(repo: Path = REPO, max_round: int | None = None) -> list[str]:
     once never-verified queries run out."""
     from dso_import_spark.queries import REGISTRY
 
+    _invalidate_caches_on_new_head(repo)
     greens = green_rounds(repo, max_round)
     # artifact age = its CREATING commit time, not st_mtime and not the
     # last commit: a fresh machine checkout (every round starts on one)

@@ -283,7 +283,13 @@ def test_hostile_corpus_cross_engine_agreement(spark, tmp_path):
     # third review pass: the oracle's centroid CTE kept a NULL-label
     # group the kernel never builds — pin kernel/oracle agreement on
     # a corpus WITH NULL labels, NULL/empty vectors, and a NULL-key
-    # query doc, for all three embedding-only ANN queries
+    # query doc, for all three embedding-only ANN queries.
+    # Deliberately NO ragged-dim rows: ragged input is out-of-contract
+    # for the differential (the kernel drops ragged rows per cell,
+    # DuckDB's list_dot_product raises on unequal lengths — see
+    # operators/ann_kernel.py kernel note); the kernel-side ragged
+    # behavior is pinned separately by
+    # test_kernel_survives_null_and_ragged_embeddings above.
     import duckdb
 
     docs = spark.createDataFrame(
@@ -377,10 +383,12 @@ def _model(rows, k, n_probe, exclude):
             c = cents[L]
             cn2 = c @ c
             if cn2 == 0 or qn == 0:
-                # 0/0 cosine is NaN, and BOTH engines order NaN as
-                # the LARGEST double — in a desc ordering the NaN
-                # cell routes FIRST (label tiebreak among NaNs)
-                return (-np.inf, L)
+                # a zero-norm centroid's routing cosine is NULL on
+                # BOTH engines (the kernel routes via try_divide,
+                # 0/0 -> NULL; DuckDB's 0.0/0.0 is NULL too) and both
+                # sort NULL LAST in a desc ordering — so the
+                # zero-centroid cell routes LAST (label tiebreak)
+                return (np.inf, L)
             return (-(qv @ c) / (qn * np.sqrt(cn2)), L)
 
         ranked = sorted(cents, key=cellkey)
@@ -401,6 +409,33 @@ def _model(rows, k, n_probe, exclude):
         if cand:
             out[int(ids[qp])] = [(nid, c) for c, nid in cand[:k]]
     return out
+
+
+def test_zero_norm_centroid_routes_last(spark):
+    # explicit regression corpus for the round-10 hypothesis
+    # falsifier: label 1's centroid is exactly zero (opposite members
+    # cancel) and label 2 is a singleton all-zero vector. Both engines
+    # compute a NULL routing cosine for a zero-norm centroid and rank
+    # NULL LAST in the desc routing order, so with n_probe=1 every
+    # query routes to a REAL cell and gets neighbors; the old
+    # NaN-routes-first model returned {} for the label-0 queries here.
+    rows = [
+        (0, [1.0, 0.5], 0, "a"),
+        (101, [0.5, 1.0], 0, "b"),
+        (202, [1.0, 0.0], 1, "a"),
+        (303, [-1.0, 0.0], 1, "b"),
+        (404, [0.0, 0.0], 2, "a"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, src string"
+    )
+    got_rows = ivf_topk_arrow(emb, emb, k=2, n_probe=1).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_raw))
+    want = _model(rows, 2, 1, False)
+    assert want.get(0) and want.get(101), "zero-centroid cells must not win routing"
+    assert got == want
 
 
 @settings(
