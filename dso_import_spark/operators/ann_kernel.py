@@ -266,3 +266,184 @@ def ivf_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_raw")
     )
+
+
+def _round_half_away(x, decimals: int):
+    """DuckDB ``round(DOUBLE, n)`` mirror: y = x * 10^n (one float64
+    multiply), half-away-from-zero on y, divide back. Verified
+    bit-identical to DuckDB on 100k random doubles (round 11); numpy's
+    own ``np.round`` is half-to-EVEN and diverges on exact halves."""
+    import numpy as np
+
+    p = float(10 ** decimals)
+    y = x * p
+    return np.sign(y) * np.floor(np.abs(y) + 0.5) / p
+
+
+def lsh_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    round_scale: int = 6,
+) -> DataFrame:
+    """LSH-bucketed top-k on the broadcast-workload Arrow kernel — the
+    100 TB shape of ``operators/similarity.lsh_topk`` (same semantics,
+    same oracle): exact double-cosine rerank restricted to the query's
+    signed-random-projection bucket, but scored by a per-partition
+    numpy kernel instead of the interpreted HOF pair join that
+    measured 316.9 s at x100 (round-10 verdict, the one soft-weak row).
+
+    Same posture as ``ivf_topk_arrow`` with the LSH bucket as the
+    routing key: the corpus NEVER shuffles (bucket id is a narrow
+    Column fused into the scan); the bucketed queries — the bounded
+    retrieval workload, |Q| x d doubles — are collected and broadcast;
+    each Arrow batch emits at most k rows per routed query under the
+    FINAL (cos_sim desc, neighbor_id) order, so the global window sees
+    |batches| x |Q| x k rows, never the pair relation.
+
+    Bit-exactness contract (differs from the quantized IVF kernel —
+    this one must match the UNQUANTIZED HOF/DuckDB score): DuckDB's
+    ``list_dot_product`` is a sequential left fold (verified
+    bit-identical to ``np.cumsum`` on 200 random float32-origin
+    vectors), Spark's ``F.aggregate`` fold is too, and IEEE multiply/
+    sqrt/divide are deterministic — so ``cumsum(q*c)[-1] /
+    (sqrt(nc) * sqrt(nq))`` reproduces the oracle's double EXACTLY,
+    and ``_round_half_away`` reproduces its ``round(x, 6)``. numpy's
+    BLAS matmul would NOT (pairwise summation) — hence the cumsum.
+
+    NULL/empty vectors are dropped on both relations (the oracle's
+    bits CTE drops them via ``generate_series(1, len(v))``). A
+    zero-norm vector is KEPT with a NULL score (0/0 -> NULL on both
+    engines, NULLS LAST in both desc orders): each batch emits up to k
+    NULL-score rows per query (smallest neighbor_ids) so the global
+    window can fill ranks exactly like the oracle when a bucket has
+    fewer than k scorable candidates. Ragged dims: out-of-contract for
+    the differential (kernel drops per-bucket non-modal rows, DuckDB
+    raises — see the ivf kernel note).
+    """
+    import numpy as np
+
+    from dso_import_spark.operators.similarity import lsh_bucket
+
+    spark = corpus.sparkSession
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    q = queries.filter(valid).select(
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    # the bounded workload collect: |Q| rows of d float64s
+    by_bucket: dict[int, tuple[list, list]] = {}
+    for r in q.collect():
+        ids, vecs = by_bucket.setdefault(r["bucket"], ([], []))
+        ids.append(r["query_id"])
+        vecs.append(list(r["qv"]))
+    packed = {}
+    for b, (ids, vecs) in by_bucket.items():
+        lens = [len(v) for v in vecs]
+        d_mode = max(set(lens), key=lambda n: (lens.count(n), -n))
+        keep = [i for i, n in enumerate(lens) if n == d_mode]
+        qmat = np.asarray([vecs[i] for i in keep], dtype=np.float64)
+        # sequential sum of exact squares == list_dot_product(v, v)
+        qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+        packed[b] = (
+            np.asarray([ids[i] for i in keep], dtype=np.int64),
+            qmat,
+            qnorm,
+        )
+    bc = spark.sparkContext.broadcast(packed)
+    kk = int(k)
+    rs = int(round_scale)
+
+    def kernel(batches):
+        import pandas as pd
+
+        data = bc.value
+        for pdf in batches:
+            out_q, out_n, out_s = [], [], []
+            for b, grp in pdf.groupby("bucket", sort=False):
+                entry = data.get(b)
+                if entry is None or grp.empty:
+                    continue
+                qids, qmat, qnorm = entry
+                vecs = [
+                    np.asarray(v, dtype=np.float64) for v in grp["cv"]
+                ]
+                d = qmat.shape[1]
+                ok = [i for i, v in enumerate(vecs) if v.shape[0] == d]
+                if not ok:
+                    continue
+                if len(ok) != len(vecs):  # ragged: out-of-contract
+                    grp = grp.iloc[ok]
+                    vecs = [vecs[i] for i in ok]
+                cmat = np.stack(vecs)
+                nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+                scorable = cnorm > 0
+                for j in range(len(qids)):
+                    not_self = nids != qids[j]
+                    if qnorm[j] > 0:
+                        live = scorable & not_self
+                        cn, ci = cmat[live], nids[live]
+                        if ci.size:
+                            # sequential fold == DuckDB/HOF dot; the
+                            # divide mirrors dot/(sqrt*sqrt) exactly
+                            dots = np.cumsum(
+                                cn * qmat[j][None, :], axis=1
+                            )[:, -1]
+                            cos = _round_half_away(
+                                dots / (cnorm[live] * qnorm[j]), rs
+                            )
+                            order = np.lexsort((ci, -cos))[:kk]
+                            out_q.extend([qids[j]] * len(order))
+                            out_n.extend(ci[order])
+                            out_s.extend(cos[order])
+                        null_ids = nids[~scorable & not_self]
+                    else:
+                        # zero-norm query: every pair is NULL-scored
+                        null_ids = nids[not_self]
+                    # NULL-score fill rows (0/0 -> NULL, ranked last on
+                    # both engines): k smallest ids per batch is an
+                    # exact superset of the global NULL tail
+                    if null_ids.size:
+                        tail = np.sort(null_ids)[:kk]
+                        out_q.extend([qids[j]] * len(tail))
+                        out_n.extend(tail)
+                        out_s.extend([np.nan] * len(tail))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cos_sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    corp = corpus.filter(valid).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    partial = corp.mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_sim double"
+    )
+    # NaN sentinel -> real NULL so the window's NULLS-LAST matches the
+    # oracle (Spark orders NaN LAST too, but as a VALUE after +inf —
+    # a NULL in the output schema is the honest cross-engine shape)
+    partial = partial.withColumn(
+        "cos_sim",
+        F.when(F.isnan(F.col("cos_sim")), F.lit(None)).otherwise(
+            F.col("cos_sim")
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

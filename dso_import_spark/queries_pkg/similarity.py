@@ -123,16 +123,23 @@ def ann_ivf_topk(spark, sf_dir):
           FROM scored)
     WHERE rank <= 5
     """,
-    doc="Signed-random-projection LSH top-5 (lsh_topk operator): "
-    "integer-quantized hyperplane bits make the bucket id exact "
-    "integer math, so Spark and the oracle bucket identically; exact "
-    "cosine rerank runs only inside the query's bucket (~1/64 of the "
-    "corpus per query at 6 bits).",
+    doc="Signed-random-projection LSH top-5 on the broadcast-workload "
+    "Arrow kernel (lsh_topk_arrow): integer-quantized hyperplane bits "
+    "make the bucket id exact integer math, so Spark and the oracle "
+    "bucket identically; the exact double-cosine rerank runs only "
+    "inside the query's bucket (~1/64 of the corpus per query at 6 "
+    "bits) as a corpus-partition numpy kernel whose sequential-fold "
+    "dot is bit-identical to the oracle's list_dot_product (round 11 "
+    "— replaced the interpreted HOF pair join that measured 316.9 s "
+    "at x100; the HOF form lsh_topk remains the operator-level "
+    "correctness pin, differentially tested in tests/test_ann_lsh).",
 )
 def ann_lsh_topk(spark, sf_dir):
+    from dso_import_spark.operators.ann_kernel import lsh_topk_arrow
+
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
-    return lsh_topk(queries, emb, k=5, n_bits=6)
+    return lsh_topk_arrow(queries, emb, k=5, n_bits=6)
 
 
 @query(

@@ -12,6 +12,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from dso_import_spark.queries import spark_queries
 
@@ -191,11 +192,32 @@ def test_scd2_snapshot_two_shuffles_no_global_sort(spark, sf_dir, qs):
     assert "SortMergeJoin" not in plan  # the self-join alternative
 
 
-def test_lsh_topk_corpus_never_shuffles_before_join(spark, sf_dir, qs):
-    """The tiny query side broadcasts; the corpus-side bucket is a
-    narrow map fused into the scan. Top-k runs as WindowGroupLimit
-    (partial rank pushdown) before the only hash shuffle."""
+def test_lsh_topk_kernel_corpus_never_shuffles(spark, sf_dir, qs):
+    """ann_lsh_topk is on the broadcast-workload Arrow kernel since
+    round 11: the corpus-side bucket is a narrow Column fused into the
+    scan, the bucketed queries are collected/broadcast at build time,
+    and the plan is scan -> MapInPandas -> per-query window — no join
+    node at all, one hash shuffle for the final window, partial top-k
+    already applied per batch inside the kernel."""
     plan = plan_of(qs["ann_lsh_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    assert "hashpartitioning(query_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_lsh_topk_hof_pin_corpus_never_shuffles_before_join(spark, sf_dir):
+    """The HOF-form lsh_topk operator stays as the correctness pin:
+    tiny query side broadcasts; the corpus-side bucket is a narrow map
+    fused into the scan. Top-k runs as WindowGroupLimit (partial rank
+    pushdown) before the only hash shuffle."""
+    from dso_import_spark.operators.similarity import lsh_topk
+    from dso_import_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    plan = plan_of(lsh_topk(queries, emb, k=5, n_bits=6))
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     # only the post-join per-query window shuffle; corpus scan → join is

@@ -411,6 +411,89 @@ def _model(rows, k, n_probe, exclude):
     return out
 
 
+# --- LSH-bucketed Arrow kernel (round 11: ann_lsh_topk's 100 TB
+# shape) — differential against the HOF-form operator pin and against
+# the unchanged DuckDB oracle on a hostile corpus.
+
+
+def test_lsh_kernel_matches_hof_pin(spark, sf_dir):
+    # the HOF-form lsh_topk stays the operator-level correctness pin:
+    # the kernel must reproduce its (query_id, rank, neighbor_id,
+    # cos_sim) rows EXACTLY — same buckets (shared lsh_bucket Column),
+    # same round-6 double cosine (sequential fold both sides), same
+    # (cos desc, id) order
+    from dso_import_spark.operators.ann_kernel import lsh_topk_arrow
+    from dso_import_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    hof = sorted(map(tuple, lsh_topk(queries, emb, k=5, n_bits=6).collect()))
+    ker = sorted(
+        map(tuple, lsh_topk_arrow(queries, emb, k=5, n_bits=6).collect())
+    )
+    assert len(ker) > 0
+    assert ker == hof
+
+
+def test_lsh_kernel_matches_hof_pin_random_corpus(spark):
+    # seeded random float32 corpus, every row a query — exercises
+    # multi-row buckets, ties, and rounding boundaries beyond the
+    # fixture's reach
+    rng = np.random.default_rng(1131)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8).astype("float32")])
+        for i in range(120)
+    ]
+    from dso_import_spark.operators.ann_kernel import lsh_topk_arrow
+    from dso_import_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hof = sorted(map(tuple, lsh_topk(emb, emb, k=3, n_bits=4).collect()))
+    ker = sorted(map(tuple, lsh_topk_arrow(emb, emb, k=3, n_bits=4).collect()))
+    assert len(ker) > 0
+    assert ker == hof
+
+
+def test_lsh_kernel_hostile_corpus_vs_oracle(spark, tmp_path):
+    # NULL vector and empty vector are dropped by BOTH engines (the
+    # oracle's bits CTE drops them via generate_series over len);
+    # zero-norm vectors are KEPT with a NULL round-6 cosine (0/0 ->
+    # NULL both engines, NULLS LAST in both desc orders) — vec 101 is
+    # a zero-norm QUERY (101 % 101 == 0) whose every pair is NULL
+    import duckdb
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (3, [0.9, 0.1]),
+            (5, None),
+            (6, []),
+            (7, [0.0, 0.0]),
+            (9, [0.8, 0.2]),
+            (101, [0.0, 0.0]),
+            (202, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    spec = REGISTRY["ann_lsh_topk"]
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+    drows = sorted(
+        tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
+    )
+    assert srows == drows
+    # the zero-norm query must actually exercise the NULL-score path
+    assert any(r[0] == "101" and r[3] == "None" for r in srows)
+
+
 def test_zero_norm_centroid_routes_last(spark):
     # explicit regression corpus for the round-10 hypothesis
     # falsifier: label 1's centroid is exactly zero (opposite members
