@@ -87,29 +87,18 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 10: the new retrieval compositions get their first driver
-    # wall times...
+    # round 11: the new end-to-end curation composition gets its first
+    # driver wall time (note ann_lsh_topk is in HEADLINE — its r11
+    # kernel re-shape is tracked there on the comparable series)...
+    "corpus_curation_pipeline",
+    # ...and the round-10 retrieval compositions keep their slot one
+    # more round (BENCH_r10 recorded their first wall times; one more
+    # driver datapoint pins the trend). The r9 mlops5/graph batch
+    # rotates out with two datapoints on record.
     "retrieval_hybrid_topk",
     "rerank_hashed_crossencoder",
     "ann_multiprobe_topk",
     "ann_crosssource_topk",
-    # ...and the round-9 mlops5/graph batch keeps its slot one more
-    # round (BENCH_r09 recorded their first wall times; one more
-    # driver datapoint pins the trend). The r8 mlops4 batch rotates
-    # out with two datapoints on record.
-    "kaplan_meier_interarrival",
-    "spearman_rank_correlation",
-    "permutation_test_signflip",
-    "unigram_perplexity_heldout",
-    "jl_projection_distortion_cert",
-    "ab_minimum_detectable_effect",
-    "mcnemar_paired_test",
-    "vocab_chao1_richness",
-    "copurchase_degree_histogram",
-    "logrank_two_arm",
-    "rrf_rank_fusion",
-    "weighted_median_groups",
-    "mase_seasonal_naive",
 ]
 
 

@@ -99,6 +99,11 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # curation/llm_pipeline/mlops block, then r4/r5 analytics/windows
 # rows. New queries born this round go at the HEAD (cadence rule).
 ROUND11_FRONT = [
+    # (-1) born/re-shaped THIS round (r11): the end-to-end curation
+    # composition (new) and ann_lsh_topk (its scoring moved onto the
+    # Arrow kernel, so the r10 green is stale) take the head slots
+    "corpus_curation_pipeline", "ann_lsh_topk",
+    # (0) the dep-stale backlog, oldest driver evidence first
     "dsir_importance_scores", "diversity_distinct_ngrams",
     "did_difference_in_differences", "srm_sample_ratio_check",
     "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
@@ -115,8 +120,7 @@ ROUND11_FRONT = [
     "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
     "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
     "running_sum", "lag_lead_delta", "sessionize_events",
-    "tumbling_hour_window", "asof_join_last_signup", "ntile_rank_analytics",
-    "rolling_hour_stats",
+    "tumbling_hour_window", "asof_join_last_signup",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -141,6 +145,9 @@ FORCE_REVERIFY: list[str] = []
 # green. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND12_QUEUE = [
+    # the two r4/r5 picks displaced when the round-11 births took the
+    # front's head slots
+    "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
     "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
@@ -187,6 +194,15 @@ ROUND12_QUEUE = [
     "json_extract_events", "string_math_funcs", "q04_order_priority",
     "q18_large_orders", "variant_json_events", "sql_pipe_syntax",
     "histogram_width_bucket", "regression_stats",
+    # re-staled IN round 11 by this round's own edits (the dep-aware
+    # checker working as designed): the ann_lsh_topk kernel port
+    # touched operators/ann_kernel.py, which the retrieval family
+    # imports — their ivf_topk_arrow path itself is code-identical
+    # (the edit only ADDED lsh functions + a contract note). Their
+    # r10 evidence is the FRESHEST in this queue, so they go last;
+    # the local hostile gate still re-runs them every round.
+    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
+    "ann_multiprobe_topk", "ann_crosssource_topk", "ann_recall_report",
 ]
 
 

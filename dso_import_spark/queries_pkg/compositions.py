@@ -393,3 +393,399 @@ def banding_estimator_cert(spark, sf_dir):
             6,
         ).alias("mean_true_jaccard"),
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus-curation composition (round 11, VERDICT r10
+# "What's missing" #3): exact-hash dedup -> shingle near-dup cluster
+# canonicalization -> Gopher quality gate -> water-filling mix
+# allocation -> exact stratified sample, as ONE registered query over
+# the FULL documents table with one end-to-end oracle — the
+# curation-side analog of retrieval_hybrid_topk. Thresholds are pinned
+# HERE (mirroring gopher_quality_gate's published-constant rescale and
+# stratified_sample_exact's Knuth-mix convention) rather than imported
+# from sibling query modules: the rotation staleness walker skips
+# queries_pkg siblings, so a cross-sibling import would hide an
+# evidence-invalidating edit.
+# ---------------------------------------------------------------------------
+
+_CG_MIN_WORDS = 30
+_CG_MAX_WORDS = 120
+_CG_MIN_WLEN = 3.0
+_CG_MAX_WLEN = 8.0
+_CG_MIN_STOP = 2
+_CG_MAX_REP = 0.125
+_CMIX = 2654435761
+_CSHIFT = 13
+_CMASK = 1 << 31
+
+_CURATION_PIPELINE_ORACLE = rf"""
+    WITH RECURSIVE
+    ex0 AS (
+      SELECT lang, md5(text) AS h, max(text) AS text,
+             min(doc_id) AS doc_id, min(n_chars) AS n_chars,
+             count(*)::BIGINT AS n_copies
+      FROM documents GROUP BY lang, md5(text)),
+    toks AS (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(text, '\s+') AS t
+      FROM ex0),
+    sh AS (
+      SELECT doc_id, lang, n_chars,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in range(1, greatest(len(t) - 1, 1))])
+               AS s
+      FROM toks),
+    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+           FROM sh),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_shared
+      FROM ex a JOIN ex b
+        ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.lang, d.n_chars, d.text,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM ex0 d LEFT JOIN comp c USING (doc_id)),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY n_chars DESC, doc_id) AS rn
+        FROM labeled)
+      WHERE rn = 1),
+    gw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM kept),
+    pw AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM gw
+           GROUP BY doc_id, w),
+    pd AS (SELECT doc_id,
+                  sum(c) AS n_words,
+                  sum(c * length(w)) / sum(c) AS mean_wlen,
+                  sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END)
+                    AS n_stop,
+                  max(c) AS max_c
+           FROM pw GROUP BY doc_id),
+    gated AS (
+      SELECT k.doc_id, k.lang, p.n_words
+      FROM kept k JOIN pd p USING (doc_id)
+      WHERE NOT (p.n_words < {_CG_MIN_WORDS}
+                 OR p.n_words > {_CG_MAX_WORDS})
+        AND NOT (p.mean_wlen < {_CG_MIN_WLEN}
+                 OR p.mean_wlen > {_CG_MAX_WLEN})
+        AND NOT (p.n_stop < {_CG_MIN_STOP})
+        AND NOT (p.max_c / p.n_words > {_CG_MAX_REP})),
+    caps AS (
+      SELECT lang, sum(n_words)::BIGINT AS cap_tokens,
+             count(*)::BIGINT AS w
+      FROM gated GROUP BY lang),
+    tot AS (SELECT sum(cap_tokens)::BIGINT AS total_cap,
+                   sum(w)::BIGINT AS total_w,
+                   CAST(floor(sum(cap_tokens) / 2) AS BIGINT) AS budget
+            FROM caps),
+    ordered AS (
+      SELECT c.lang, c.cap_tokens, c.w, t.budget, t.total_w,
+             c.cap_tokens * 1.0 / c.w AS ratio,
+             sum(c.cap_tokens) OVER win - c.cap_tokens AS prev_cap,
+             sum(c.w) OVER win - c.w AS prev_w,
+             row_number() OVER win AS pos
+      FROM caps c CROSS JOIN tot t
+      WINDOW win AS (ORDER BY c.cap_tokens * 1.0 / c.w, c.lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cutc AS (
+      SELECT min(CASE WHEN (budget - prev_cap) * 1.0 / (total_w - prev_w)
+                        <= ratio
+                      THEN pos END) AS cut_pos
+      FROM ordered),
+    lam AS (
+      SELECT o.pos AS cut_pos,
+             (o.budget - o.prev_cap) * 1.0 / (o.total_w - o.prev_w)
+               AS lambda
+      FROM ordered o JOIN cutc c ON o.pos = c.cut_pos),
+    alloc AS (
+      SELECT o.lang, o.cap_tokens, o.w,
+             (o.pos < l.cut_pos) AS saturated,
+             round(CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
+                        ELSE l.lambda * o.w END, 4) AS alloc_tokens,
+             CASE WHEN o.pos < l.cut_pos THEN 1.0
+                  ELSE (l.lambda * o.w) / o.cap_tokens END AS rate
+      FROM ordered o CROSS JOIN lam l),
+    ranked AS (
+      SELECT g.lang, g.doc_id, g.n_words,
+             row_number() OVER (PARTITION BY g.lang
+               ORDER BY (((g.doc_id % {_CMASK}) * {_CMIX}) >> {_CSHIFT}),
+                        g.doc_id) AS rn
+      FROM gated g),
+    picked AS (
+      SELECT r.lang, r.doc_id, r.n_words
+      FROM ranked r JOIN alloc a USING (lang)
+      WHERE r.rn <= CAST(ceil(a.w * a.rate) AS BIGINT)),
+    samp AS (
+      SELECT lang, count(*)::BIGINT AS n_sampled,
+             sum(n_words)::BIGINT AS sampled_tokens,
+             sum(doc_id)::BIGINT AS sampled_id_sum
+      FROM picked GROUP BY lang),
+    base AS (SELECT lang, count(*)::BIGINT AS n_input
+             FROM documents GROUP BY lang),
+    uniq AS (SELECT lang, count(*)::BIGINT AS n_exact_unique
+             FROM ex0 GROUP BY lang),
+    canon AS (SELECT lang, count(*)::BIGINT AS n_canonical
+              FROM kept GROUP BY lang)
+    SELECT a.lang, b.n_input, u.n_exact_unique, cn.n_canonical,
+           a.w AS n_gated, a.cap_tokens, a.saturated, a.alloc_tokens,
+           s.n_sampled, s.sampled_tokens, s.sampled_id_sum
+    FROM alloc a
+    JOIN base b USING (lang)
+    JOIN uniq u USING (lang)
+    JOIN canon cn USING (lang)
+    JOIN samp s USING (lang)
+"""
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=_CURATION_PIPELINE_ORACLE,
+    doc="END-TO-END corpus curation over the FULL documents table as "
+    "one query: (A0) EXACT dedup — md5(text) hash groupBy per lang, "
+    "keeper = min doc_id (the linear tier that collapses a "
+    "replica-dense corpus before anything quadratic runs; the x100 "
+    "fixture is 100 exact copies of every base doc, so this stage "
+    "does 100x of the dropping); (A1) near-dup canonicalization on "
+    "the representatives — distinct 3-gram shingle Jaccard >= 0.5 "
+    "blocked by lang -> connected components -> keep the longest "
+    "member per cluster (min doc_id tie); (B) Gopher-style quality "
+    "gate on the keepers (word-count bounds, mean-word-length bounds, "
+    "min stopword occurrences, max single-word repetition share); "
+    "(C) water-filling token-budget allocation across languages over "
+    "the gated capacity (budget = half the gated tokens; saturated "
+    "langs take their cap, the rest split the remainder per doc-count "
+    "weight); (D) EXACT stratified sample per lang at the "
+    "water-filled token rate — ceil(n_docs * alloc/cap) docs in "
+    "Knuth-mix order, with sampled_id_sum pinning WHICH docs were "
+    "chosen. One row per surviving language: the funnel a curation "
+    "run publishes (input -> exact-unique -> canonical -> gated -> "
+    "allocated -> sampled). Stages reuse verified disciplines "
+    "(dedup_exact_stats hashing, dedup_cluster_canonical components, "
+    "gopher_quality_gate rules, budget_water_filling algebra, "
+    "stratified_sample_exact permutation) but the DIFFERENTIAL is "
+    "end-to-end: stage handoffs (keeper sets, gate survivors, rate "
+    "algebra) are exactly what per-stage oracles cannot see. Scale: "
+    "the only full-corpus shuffles are the exact-hash groupBy and the "
+    "per-lang count; the shingle join runs on distinct-text "
+    "REPRESENTATIVES only (band/prefix candidates are the documented "
+    "swap-in when reps are themselves huge), components use "
+    "pointer-jumping localCheckpoint rounds, allocation windows run "
+    "over the |languages| relation (bounded state), and the sample "
+    "window is stratum-partitioned — no global sort anywhere.",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.operators.dedup import (
+        connected_components,
+        shingle_array_from_tokens,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # (A0) exact dedup: hash groupBy — all group members share text,
+    # so max(text)/min(n_chars) are value-deterministic picks
+    ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max("text").alias("text"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    # (A1) shingle near-dup canonicalization on the representatives
+    toks = ex0.select(
+        "doc_id", "lang", "n_chars", tokens("text").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        shingle_array_from_tokens(F.col("t"), 3).alias("s"),
+    )
+    ex = sh.select(
+        "doc_id",
+        "lang",
+        F.size("s").cast("long").alias("n_sh"),
+        F.explode("s").alias("shingle"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    pairs = shared.filter(F.round(jac, 4) >= 0.5).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = ex0.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        labeled.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    # (B) Gopher gate on the keepers (single-space split — the gate's
+    # pinned convention; the shingle stage uses \s+ tokens() — both
+    # mirrored verbatim in the oracle)
+    wrd = kept.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    pw = wrd.groupBy("doc_id", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    pdq = pw.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_wlen"),
+        F.sum(
+            F.when(F.col("w").isin("the", "a"), F.col("c")).otherwise(0.0)
+        ).alias("n_stop"),
+        F.max("c").alias("max_c"),
+    )
+    passes = (
+        ~(
+            (F.col("n_words") < _CG_MIN_WORDS)
+            | (F.col("n_words") > _CG_MAX_WORDS)
+        )
+        & ~(
+            (F.col("mean_wlen") < _CG_MIN_WLEN)
+            | (F.col("mean_wlen") > _CG_MAX_WLEN)
+        )
+        & ~(F.col("n_stop") < _CG_MIN_STOP)
+        & ~(F.col("max_c") / F.col("n_words") > _CG_MAX_REP)
+    )
+    gated = (
+        pdq.filter(passes)
+        .join(kept.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_words")
+    )
+    # (C) water-filling over the gated per-lang capacity (the
+    # budget_water_filling algebra: exact BIGINT cumulative sums,
+    # identical double expression trees on both engines)
+    caps = gated.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("cap_tokens"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    tot = caps.agg(
+        F.sum("cap_tokens").cast("long").alias("total_cap"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.floor(F.sum("cap_tokens") / 2).cast("long").alias("budget"),
+    )
+    win = Window.orderBy(
+        F.col("cap_tokens") * 1.0 / F.col("w"), F.col("lang")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = caps.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cap_tokens",
+        "w",
+        "budget",
+        "total_w",
+        (F.col("cap_tokens") * 1.0 / F.col("w")).alias("ratio"),
+        (F.sum("cap_tokens").over(win) - F.col("cap_tokens")).alias(
+            "prev_cap"
+        ),
+        (F.sum("w").over(win) - F.col("w")).alias("prev_w"),
+        F.row_number().over(win).alias("pos"),
+    )
+    lam_cand = (F.col("budget") - F.col("prev_cap")) * 1.0 / (
+        F.col("total_w") - F.col("prev_w")
+    )
+    cut = ordered.agg(
+        F.min(F.when(lam_cand <= F.col("ratio"), F.col("pos"))).alias(
+            "cut_pos"
+        )
+    )
+    lam = ordered.join(
+        F.broadcast(cut), F.col("pos") == F.col("cut_pos")
+    ).select("cut_pos", lam_cand.alias("lam"))
+    alloc = ordered.crossJoin(F.broadcast(lam)).select(
+        "lang",
+        "cap_tokens",
+        "w",
+        (F.col("pos") < F.col("cut_pos")).alias("saturated"),
+        F.round(
+            F.when(
+                F.col("pos") < F.col("cut_pos"), F.col("cap_tokens") * 1.0
+            ).otherwise(F.col("lam") * F.col("w")),
+            4,
+        ).alias("alloc_tokens"),
+        F.when(F.col("pos") < F.col("cut_pos"), F.lit(1.0)).otherwise(
+            (F.col("lam") * F.col("w")) / F.col("cap_tokens")
+        ).alias("rate"),
+    )
+    # (D) exact stratified sample at the water-filled rate (Knuth-mix
+    # order inside each lang — engine-replayable permutation)
+    skey = F.shiftright((F.col("doc_id") % _CMASK) * F.lit(_CMIX), _CSHIFT)
+    ws = Window.partitionBy("lang").orderBy(skey, F.col("doc_id"))
+    ranked = gated.select(
+        "lang", "doc_id", "n_words", F.row_number().over(ws).alias("rn")
+    )
+    picked = ranked.join(F.broadcast(alloc), "lang").filter(
+        F.col("rn") <= F.ceil(F.col("w") * F.col("rate"))
+    )
+    samp = picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_words").cast("long").alias("sampled_tokens"),
+        F.sum("doc_id").cast("long").alias("sampled_id_sum"),
+    )
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input")
+    )
+    uniq = ex0.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_unique")
+    )
+    canon = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical")
+    )
+    return (
+        alloc.join(F.broadcast(base), "lang")
+        .join(F.broadcast(uniq), "lang")
+        .join(F.broadcast(canon), "lang")
+        .join(F.broadcast(samp), "lang")
+        .select(
+            "lang",
+            "n_input",
+            "n_exact_unique",
+            "n_canonical",
+            F.col("w").alias("n_gated"),
+            "cap_tokens",
+            "saturated",
+            "alloc_tokens",
+            "n_sampled",
+            "sampled_tokens",
+            "sampled_id_sum",
+        )
+    )

@@ -135,3 +135,80 @@ def test_set_minhash_candidates_match_word_banding(spark):
         for r in minhash_band_candidates(docs).collect()
     }
     assert got == want and want
+
+
+# --- corpus_curation_pipeline (round 11): end-to-end invariants
+# beyond the differential oracle match
+
+
+def test_curation_pipeline_funnel_is_monotone(spark, sf_dir):
+    rows = REGISTRY["corpus_curation_pipeline"].spark(spark, sf_dir).collect()
+    assert rows, "pipeline produced no language rows"
+    total_alloc, total_cap = 0.0, 0
+    for r in rows:
+        assert (
+            r.n_input
+            >= r.n_exact_unique
+            >= r.n_canonical
+            >= r.n_gated
+            >= r.n_sampled
+            > 0
+        ), r
+        # allocation bounded by capacity (4dp display rounding slack)
+        assert r.alloc_tokens <= r.cap_tokens + 0.001, r
+        assert r.sampled_tokens <= r.cap_tokens, r
+        total_alloc += r.alloc_tokens
+        total_cap += r.cap_tokens
+    # water-filling exactness: allocations sum to the budget
+    # (floor(total_cap / 2)) up to the per-lang 4dp rounding
+    assert abs(total_alloc - total_cap // 2) <= 0.01 * len(rows), (
+        total_alloc,
+        total_cap,
+    )
+
+
+def test_curation_pipeline_exact_tier_collapses_replicas(spark, tmp_path):
+    # a replica-dense corpus (the x100 fixture shape): 40 exact copies
+    # of each of 3 base docs, one near-dup variant pair. The exact
+    # tier must collapse copies to min-doc_id reps; the near-dup tier
+    # must then merge the variant pair (shingle Jaccard >= 0.5)
+    base = [
+        # >= 30 words, mean word len in [3, 8], >= 2 stopwords, no
+        # word above 12.5% share: passes the Gopher gate
+        ("the quick brown fox jumps over a lazy dog while the rain "
+         "falls gently onto green hills and many small birds sing "
+         "about warm bright mornings near quiet rivers under clear "
+         "skies with soft wind and fresh air around tall old trees"),
+        ("some other document text with the usual filler words and a "
+         "few more tokens about data systems joining tables quickly "
+         "while scanning large files from remote storage into memory "
+         "buffers before writing results back out to durable disks"),
+        ("third base document mentions the weather and a calendar of "
+         "events including markets festivals concerts lectures and "
+         "workshops held across town during spring summer autumn and "
+         "winter seasons attracting visitors from nearby villages"),
+    ]
+    rows = []
+    did = 0
+    for b, text in enumerate(base):
+        for _ in range(40):
+            rows.append((did, text, "en", f"s{did % 3}", len(text)))
+            did += 1
+    # near-dup variant of base[0]: one word changed -> high shingle
+    # overlap with the original, same length class
+    variant = base[0].replace("lazy dog", "lazy cat")
+    rows.append((did, variant, "en", "sx", len(variant)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = REGISTRY["corpus_curation_pipeline"].spark(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_input == 121
+    assert r.n_exact_unique == 4  # 3 base texts + 1 variant
+    assert r.n_canonical == 3  # variant merged into base[0]'s cluster
+    assert r.n_gated == 3  # all three keepers pass the gate

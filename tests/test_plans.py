@@ -439,6 +439,12 @@ _SCALAR_RESULT_QUERIES = {
     # cumulative/cut windows over the |languages| caps relation
     # (5 rows) + 1-row totals — bounded allocation state, never data
     "budget_water_filling",
+    # the end-to-end curation composition reuses the water-filling
+    # shape verbatim: its only SinglePartition consumers are the
+    # |languages| allocation windows + 1-row budget total (the
+    # corpus-wide stages — exact-hash groupBy, shingle join, gate,
+    # stratified-sample window — are all hash/stratum-partitioned)
+    "corpus_curation_pipeline",
     # ONE 1-row integer confusion aggregate; the whole query is the
     # scalar combine — the cohens_kappa class
     "randomized_response_debias",
