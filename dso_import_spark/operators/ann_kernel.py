@@ -306,7 +306,7 @@ def lsh_topk_arrow(
     |batches| x |Q| x k rows, never the pair relation.
 
     Bit-exactness contract (differs from the quantized IVF kernel —
-    this one must match the UNQUANTIZED HOF/DuckDB score): DuckDB's
+    this one must match the UNQUANTIZED DuckDB-oracle score): DuckDB's
     ``list_dot_product`` is a sequential left fold (verified
     bit-identical to ``np.cumsum`` on 200 random float32-origin
     vectors), Spark's ``F.aggregate`` fold is too, and IEEE multiply/
@@ -314,6 +314,15 @@ def lsh_topk_arrow(
     (sqrt(nc) * sqrt(nq))`` reproduces the oracle's double EXACTLY,
     and ``_round_half_away`` reproduces its ``round(x, 6)``. numpy's
     BLAS matmul would NOT (pairwise summation) — hence the cumsum.
+    Rounding caveat (first review pass, round 11): the HOF pin's
+    ``F.round`` is decimal HALF_UP on the double's shortest decimal
+    repr, while DuckDB/this kernel round the FLOAT product x*10^n —
+    on a double whose shortest repr is an exact .5 boundary but whose
+    float product lands below it (e.g. 0.0002465 -> x*1e6 =
+    246.49999999999997) the two disagree by one ulp-of-display. The
+    kernel deliberately sides with DUCKDB (the driver's differential
+    contract); kernel-vs-HOF equality holds off those boundary
+    doubles, which the pinned fixture/seeded corpora avoid.
 
     NULL/empty vectors are dropped on both relations (the oracle's
     bits CTE drops them via ``generate_series(1, len(v))``). A

@@ -203,6 +203,9 @@ ROUND12_QUEUE = [
     # the local hostile gate still re-runs them every round.
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
     "ann_multiprobe_topk", "ann_crosssource_topk", "ann_recall_report",
+    # ...and the corpus_curation_pipeline addition touched
+    # queries_pkg/compositions.py, re-staling its module siblings
+    "banding_estimator_cert", "shingle_containment_banded",
 ]
 
 

@@ -425,8 +425,7 @@ _CURATION_PIPELINE_ORACLE = rf"""
     WITH RECURSIVE
     ex0 AS (
       SELECT lang, md5(text) AS h, max(text) AS text,
-             min(doc_id) AS doc_id, min(n_chars) AS n_chars,
-             count(*)::BIGINT AS n_copies
+             min(doc_id) AS doc_id, min(n_chars) AS n_chars
       FROM documents GROUP BY lang, md5(text)),
     toks AS (
       SELECT doc_id, lang, n_chars,
@@ -608,7 +607,6 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.max("text").alias("text"),
         F.min("doc_id").alias("doc_id"),
         F.min("n_chars").alias("n_chars"),
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
     # (A1) shingle near-dup canonicalization on the representatives
     toks = ex0.select(

@@ -132,7 +132,7 @@ def ann_ivf_topk(spark, sf_dir):
     "dot is bit-identical to the oracle's list_dot_product (round 11 "
     "— replaced the interpreted HOF pair join that measured 316.9 s "
     "at x100; the HOF form lsh_topk remains the operator-level "
-    "correctness pin, differentially tested in tests/test_ann_lsh).",
+    "correctness pin, differentially tested in tests/test_retrieval.py).",
 )
 def ann_lsh_topk(spark, sf_dir):
     from dso_import_spark.operators.ann_kernel import lsh_topk_arrow

@@ -421,7 +421,12 @@ def test_lsh_kernel_matches_hof_pin(spark, sf_dir):
     # the kernel must reproduce its (query_id, rank, neighbor_id,
     # cos_sim) rows EXACTLY — same buckets (shared lsh_bucket Column),
     # same round-6 double cosine (sequential fold both sides), same
-    # (cos desc, id) order
+    # (cos desc, id) order. NOTE: exact equality holds because no
+    # fixture cosine sits on a .5e-6 display boundary — there Spark's
+    # decimal-HALF_UP F.round and the kernel's DuckDB-mirror float
+    # round can differ by one display ulp (the kernel deliberately
+    # sides with DuckDB, the driver contract; see lsh_topk_arrow
+    # docstring)
     from dso_import_spark.operators.ann_kernel import lsh_topk_arrow
     from dso_import_spark.operators.similarity import lsh_topk
 
