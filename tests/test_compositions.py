@@ -212,3 +212,52 @@ def test_curation_pipeline_exact_tier_collapses_replicas(spark, tmp_path):
     assert r.n_exact_unique == 4  # 3 base texts + 1 variant
     assert r.n_canonical == 3  # variant merged into base[0]'s cluster
     assert r.n_gated == 3  # all three keepers pass the gate
+
+
+def test_curation_pipeline_hostile_nulls_vs_oracle(spark, tmp_path):
+    # NULL text, NULL lang, and empty text must flow through the
+    # whole funnel identically on both engines: NULL text groups by a
+    # NULL md5 key and dies at the gate join (no words on either
+    # engine); the NULL-lang stratum is dropped by the final
+    # equi-joins on lang (SQL NULL-key semantics, both engines —
+    # verified: the output is the single 'en' row); empty text yields
+    # the [''] token quirk on both engines and fails the word-count
+    # gate
+    import duckdb
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while the rain "
+        "falls gently onto green hills and many small birds sing "
+        "about warm bright mornings near quiet rivers under clear "
+        "skies with soft wind and fresh air around tall old trees"
+    )
+    rows = [
+        (0, good, "en", "s0", len(good)),
+        (1, good, "en", "s1", len(good)),  # exact dup of 0
+        (2, None, "en", "s2", 0),          # NULL text
+        (3, "", "en", "s3", 0),            # empty text
+        (4, good, None, "s4", len(good)),  # NULL lang stratum
+        (5, "tiny doc", "en", "s5", 8),    # fails word-count gate
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    spec = REGISTRY["corpus_curation_pipeline"]
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+    drows = sorted(
+        tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
+    )
+    assert srows == drows, (srows, drows)
+    # the exact tier must have collapsed docs 0/1, and only gate
+    # survivors appear: en (doc 0) and the NULL-lang stratum (doc 4)
+    assert len(srows) >= 1
