@@ -602,12 +602,19 @@ def corpus_curation_pipeline(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     # (A0) exact dedup: hash groupBy — all group members share text,
-    # so max(text)/min(n_chars) are value-deterministic picks
+    # so max(text)/min(n_chars) are value-deterministic picks.
+    # Eagerly checkpointed: FIVE downstream actions consume the
+    # representative set (shingle pairs, components' edge checkpoint,
+    # keeper window, gate explode, uniq counts) and each would re-run
+    # the full-corpus md5 groupBy — measured 1.3-4.6 s per recompute
+    # at sf0.1 vs a one-shot executor-local checkpoint of ~|distinct
+    # texts| rows (the relation a production run would materialize as
+    # the dedup output table anyway)
     ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
         F.max("text").alias("text"),
         F.min("doc_id").alias("doc_id"),
         F.min("n_chars").alias("n_chars"),
-    )
+    ).localCheckpoint(eager=True)
     # (A1) shingle near-dup canonicalization on the representatives
     toks = ex0.select(
         "doc_id", "lang", "n_chars", tokens("text").alias("t")
@@ -685,11 +692,14 @@ def corpus_curation_pipeline(spark, sf_dir):
         & ~(F.col("n_stop") < _CG_MIN_STOP)
         & ~(F.col("max_c") / F.col("n_words") > _CG_MAX_REP)
     )
+    # gate survivors feed three actions (caps, the sample window, the
+    # picked agg) — checkpoint the tiny (doc_id, lang, n_words)
+    # relation instead of re-running the explode + double groupBy
     gated = (
         pdq.filter(passes)
         .join(kept.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_words")
-    )
+    ).localCheckpoint(eager=True)
     # (C) water-filling over the gated per-lang capacity (the
     # budget_water_filling algebra: exact BIGINT cumulative sums,
     # identical double expression trees on both engines)

@@ -37,7 +37,31 @@ def test_nonconvergence_raises_instead_of_splitting(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=2)
+        # small_graph_edges=0 forces the distributed rounds (the
+        # driver union-find fast path has no convergence bound)
+        connected_components(pairs, max_rounds=2, small_graph_edges=0)
+
+
+def test_fast_path_and_distributed_rounds_agree(spark):
+    # the round-11 bounded-graph union-find must return EXACTLY what
+    # the distributed min-label rounds return — chain + triangle +
+    # singleton-pair mix, both paths forced explicitly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)]
+        + [(100, 102), (102, 101), (101, 100), (200, 201)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(
+        map(tuple, connected_components(pairs).collect())
+    )  # default gate: fast path
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(pairs, small_graph_edges=0).collect(),
+        )
+    )
+    assert fast == dist
+    assert len(fast) == 56  # 51-node chain + triangle + pair
 
 
 def test_hot_shingle_max_df_guard_fires_and_caps(spark):
