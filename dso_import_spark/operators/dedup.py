@@ -1090,8 +1090,8 @@ def connected_components(
     the deduped edge list holds at most ``small_graph_edges`` rows
     (known for free from the eager checkpoint), the closure is
     computed with a driver union-find instead — the k-means-init
-    bounded-collect posture (|pairs| x 16 bytes, ~3 MB at the
-    default gate), identical output contract. Above the gate the
+    bounded-collect posture (collected Rows cost ~100+ bytes each,
+    so ~tens of MB at the default gate), identical output contract. Above the gate the
     distributed rounds run as before; pass ``small_graph_edges=0`` to
     force them (the property/convergence tests do).
     """
@@ -1101,7 +1101,11 @@ def connected_components(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     edges = edges.localCheckpoint(eager=True)  # tiny after banding; reused per round
-    if edges.count() <= 2 * small_graph_edges:  # both directions counted
+    # both directions counted; small_graph_edges=0 must force the
+    # distributed rounds even on an EMPTY pair set (second review
+    # pass: `0 <= 2*0` silently took the fast path and made forced
+    # convergence tests vacuous)
+    if small_graph_edges > 0 and edges.count() <= 2 * small_graph_edges:
         spark = pairs.sparkSession
         parent: dict[int, int] = {}
 
@@ -1113,15 +1117,22 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        collected = edges.collect()
-        for r in collected:
-            a, b = find(r["src"]), find(r["dst"])
+        # one pass over the collected rows: unions and the node set
+        # together. Driver cost is the collected Row objects (~100+
+        # bytes each, so ~tens of MB at the default 2x200k-row gate —
+        # NOT 16 bytes/pair; raise small_graph_edges with that number
+        # in mind) plus the parent/node dicts.
+        nodes: set[int] = set()
+        for r in edges.collect():
+            s, d = r["src"], r["dst"]
+            nodes.add(s)
+            nodes.add(d)
+            a, b = find(s), find(d)
             if a != b:
                 # union by MIN root so the representative is the
                 # minimum member id (the min-label contract)
                 lo, hi = (a, b) if a < b else (b, a)
                 parent[hi] = lo
-        nodes = {x for r in collected for x in (r["src"], r["dst"])}
         rows = [(int(x), int(find(x))) for x in sorted(nodes)]
         return spark.createDataFrame(rows, "id long, cluster_id long")
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(

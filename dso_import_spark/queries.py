@@ -204,8 +204,12 @@ ROUND12_QUEUE = [
     "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
     "ann_multiprobe_topk", "ann_crosssource_topk", "ann_recall_report",
     # ...and the corpus_curation_pipeline addition touched
-    # queries_pkg/compositions.py, re-staling its module siblings
+    # queries_pkg/compositions.py, re-staling its module siblings...
     "banding_estimator_cert", "shingle_containment_banded",
+    # ...and the connected_components bounded-graph fast path touched
+    # operators/dedup.py, whose import closure reaches these three
+    "dedup_simhash_fingerprints", "semdedup_autok_kernel",
+    "stream_tail_ingest",
 ]
 
 

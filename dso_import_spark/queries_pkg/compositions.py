@@ -448,7 +448,7 @@ _CURATION_PIPELINE_ORACLE = rf"""
       GROUP BY 1, 2, 3, 4),
     pairs AS (
       SELECT id_a, id_b FROM shared
-      WHERE round(n_shared / (n_a + n_b - n_shared), 4) >= 0.5),
+      WHERE 3 * n_shared >= n_a + n_b),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -647,10 +647,14 @@ def corpus_curation_pipeline(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    jac = F.col("n_shared") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_shared")
-    )
-    pairs = shared.filter(F.round(jac, 4) >= 0.5).select("id_a", "id_b")
+    # jaccard >= 0.5 as an EXACT integer gate (3*|A∩B| >= |A|+|B| ⟺
+    # |A∩B|/|A∪B| >= 1/2): no float round at the cluster boundary, so
+    # the Spark-F.round-vs-DuckDB-round half-boundary divergence class
+    # (see ann_kernel._round_half_away) cannot flip a pair and cascade
+    # through the funnel (second review pass, round 11)
+    pairs = shared.filter(
+        F.col("n_shared") * 3 >= F.col("n_a") + F.col("n_b")
+    ).select("id_a", "id_b")
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
@@ -660,11 +664,13 @@ def corpus_curation_pipeline(spark, sf_dir):
     wk = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
+    # keeper set feeds the gate lineage twice (pdq + the gated join)
+    # and the canon count — same checkpoint discipline as ex0/gated
     kept = (
         labeled.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "text")
-    )
+    ).localCheckpoint(eager=True)
     # (B) Gopher gate on the keepers (single-space split — the gate's
     # pinned convention; the shingle stage uses \s+ tokens() — both
     # mirrored verbatim in the oracle)

@@ -258,6 +258,10 @@ def test_curation_pipeline_hostile_nulls_vs_oracle(spark, tmp_path):
         tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
     )
     assert srows == drows, (srows, drows)
-    # the exact tier must have collapsed docs 0/1, and only gate
-    # survivors appear: en (doc 0) and the NULL-lang stratum (doc 4)
-    assert len(srows) >= 1
+    # pin the funnel shape, not just engine agreement: exactly the
+    # 'en' row survives (NULL-lang stratum dropped by the lang
+    # equi-joins), docs 0/1 collapsed by the exact tier, and of en's
+    # 4 exact-unique texts only doc 0 passes the gate
+    assert len(srows) == 1
+    (row,) = srows
+    assert row[0] == "en" and row[1] == "5" and row[2] == "4", row
