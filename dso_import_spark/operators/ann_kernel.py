@@ -456,3 +456,148 @@ def lsh_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def ivf_pq_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int = 5,
+    m: int = 2,
+    k_codes: int = 4,
+    iters: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 6,
+) -> DataFrame:
+    """IVF+PQ on the broadcast-workload Arrow kernel — the 100 TB
+    shape of ``operators/similarity.ivf_pq_topk`` (same routing, same
+    codebooks, same oracle): the interpreted ADC join (an
+    ``element_at`` lookup expression per candidate pair — 60.6 s at
+    x100, the largest remaining ANN family number) becomes a numpy
+    gather over the broadcast per-query distance tables.
+
+    The routing, Lloyd codebook training, corpus encoding, and
+    per-query distance tables are the EXACT relations the HOF form
+    builds (shared ``_pq_encode`` / ``_pq_query_tables`` helpers) —
+    the kernel COLLECTS the routed query tables (the bounded
+    workload: |Q| x m x k_codes doubles) so every looked-up value is
+    bit-identical to what the join form would read; only the
+    per-candidate lookup+sum+round+top-k moves into the kernel.
+    Per-batch partial top-k under the FINAL (adc_dist2 asc,
+    neighbor_id asc) order; the coded corpus (few bytes per vector,
+    already checkpointed by ``_pq_encode``) streams through
+    ``mapInPandas`` and never shuffles. ADC sum is the same left fold
+    as the Column expression (0 + t0[c0] + t1[c1] ...), and the rank
+    key is rounded with the DuckDB-mirror ``_round_half_away`` (the
+    driver's differential contract; see the LSH kernel's rounding
+    caveat for the F.round half-boundary class).
+    """
+    import numpy as np
+
+    from dso_import_spark.operators.similarity import (
+        _pq_encode,
+        _pq_query_tables,
+        centroids_by_label,
+    )
+
+    spark = corpus.sparkSession
+    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    routed = (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("cent_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cent_sim").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "label")
+    )
+    z = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("ve"),
+    )
+    books, sub, coded = _pq_encode(
+        z, m, k_codes, iters, round_scale, extra_cols=("label",)
+    )
+    qtabs = _pq_query_tables(routed, books, sub, m, extra_cols=("label",))
+    # the bounded workload collect: |Q| rows of m x k_codes doubles,
+    # values computed by the SAME Column expressions the join form
+    # feeds to element_at — no recomputation divergence possible
+    by_label: dict[int, tuple[list, list]] = {}
+    for r in qtabs.collect():
+        ids, tabs = by_label.setdefault(r["label"], ([], []))
+        ids.append(r["query_id"])
+        tabs.append(
+            np.asarray([list(r[f"t{j}"]) for j in range(m)], dtype=np.float64)
+        )
+    packed = {
+        lab: (np.asarray(ids, dtype=np.int64), np.stack(tabs))
+        for lab, (ids, tabs) in by_label.items()
+    }
+    bc = spark.sparkContext.broadcast(packed)
+    kk, mm, rs = int(topk), int(m), int(round_scale)
+
+    def kernel(batches):
+        import pandas as pd
+
+        data = bc.value
+        for pdf in batches:
+            out_q, out_n, out_s = [], [], []
+            for lab, grp in pdf.groupby("label", sort=False):
+                entry = data.get(lab)
+                if entry is None or grp.empty:
+                    continue
+                qids, qtab = entry  # qtab: (nq, m, k_codes)
+                nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+                codes = np.stack(
+                    [grp[f"c{j}"].to_numpy(dtype=np.int64) for j in range(mm)],
+                    axis=1,
+                )  # (n, m)
+                for qi in range(len(qids)):
+                    # left-fold over subspaces mirrors the Column sum
+                    acc = qtab[qi, 0][codes[:, 0]]
+                    for j in range(1, mm):
+                        acc = acc + qtab[qi, j][codes[:, j]]
+                    adc = _round_half_away(acc, rs)
+                    mask = nids != qids[qi]
+                    cn, cs = nids[mask], adc[mask]
+                    if cn.size == 0:
+                        continue
+                    # partial top-k under the FINAL (adc asc, id asc)
+                    order = np.lexsort((cn, cs))[:kk]
+                    out_q.extend([qids[qi]] * len(order))
+                    out_n.extend(cn[order])
+                    out_s.extend(cs[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "adc_dist2": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    partial = coded.mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "adc_dist2")
+    )

@@ -102,7 +102,7 @@ ROUND11_FRONT = [
     # (-1) born/re-shaped THIS round (r11): the end-to-end curation
     # composition (new) and ann_lsh_topk (its scoring moved onto the
     # Arrow kernel, so the r10 green is stale) take the head slots
-    "corpus_curation_pipeline", "ann_lsh_topk",
+    "corpus_curation_pipeline", "ann_lsh_topk", "ann_ivf_pq_topk",
     # (0) the dep-stale backlog, oldest driver evidence first
     "dsir_importance_scores", "diversity_distinct_ngrams",
     "did_difference_in_differences", "srm_sample_ratio_check",
@@ -120,7 +120,7 @@ ROUND11_FRONT = [
     "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
     "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
     "running_sum", "lag_lead_delta", "sessionize_events",
-    "tumbling_hour_window", "asof_join_last_signup",
+    "tumbling_hour_window",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -145,9 +145,9 @@ FORCE_REVERIFY: list[str] = []
 # green. New queries added mid-round go at the HEAD of the FRONT.
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND12_QUEUE = [
-    # the two r4/r5 picks displaced when the round-11 births took the
-    # front's head slots
-    "ntile_rank_analytics", "rolling_hour_stats",
+    # the three r4/r5 picks displaced when the round-11 births took
+    # the front's head slots
+    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
     "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
@@ -167,7 +167,7 @@ ROUND12_QUEUE = [
     "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
     "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
-    "ann_ivf_pq_topk", "hopping_window_counts", "stream_hopping_hour",
+    "hopping_window_counts", "stream_hopping_hour",
     "stream_static_enrich", "funnel_conversion", "gapfill_locf_hourly",
     "semdedup_prune", "semdedup_prune_autok", "cohort_retention",
     "sliding_distinct_users", "sparse_tfidf_topk", "activity_streaks",

@@ -930,21 +930,30 @@ def ann_pq_topk(spark, sf_dir):
           FROM scored)
     WHERE rank <= 5
     """,
-    doc="IVF + PQ, the production ANN composition (operators/"
-    "similarity.py:ivf_pq_topk): coarse-route each query to its "
+    doc="IVF + PQ, the production ANN composition, on the "
+    "broadcast-workload Arrow kernel since round 11 (operators/"
+    "ann_kernel.py:ivf_pq_topk_arrow): coarse-route each query to its "
     "nearest cell via broadcast per-label centroids, then score ONLY "
-    "that cell's members by summed PQ distance-table lookups — per "
-    "query, k_cells routing dots + |cell| two-lookup scores against a "
-    "corpus of 2 small codes per vector. Oracle composes the "
-    "ann_ivf_topk routing CTE with the ann_pq_topk training/encoding/"
-    "table CTEs and restricts scoring to the routed cell.",
+    "that cell's members by summed PQ distance-table lookups — the "
+    "routed queries' distance tables (|Q| x m x k_codes doubles, the "
+    "bounded workload) are collected/broadcast and the coded corpus "
+    "(2 small codes per vector, checkpointed by _pq_encode) streams "
+    "through a numpy-gather kernel with per-batch partial top-k; "
+    "x100 60.6 s (interpreted element_at ADC join) -> 35.0 s, of "
+    "which 26.7 s is the one-time Lloyd codebook train+encode (index "
+    "BUILD, amortized across query batches in production) — query "
+    "scoring itself dropped ~34 s -> ~8 s. The HOF form ivf_pq_topk "
+    "stays the operator-level pin (tests/test_pq.py differential). "
+    "Oracle composes the ann_ivf_topk routing CTE with the "
+    "ann_pq_topk training/encoding/table CTEs and restricts scoring "
+    "to the routed cell.",
 )
 def ann_ivf_pq_topk(spark, sf_dir):
-    from dso_import_spark.operators.similarity import ivf_pq_topk
+    from dso_import_spark.operators.ann_kernel import ivf_pq_topk_arrow
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
-    return ivf_pq_topk(queries, emb, topk=5, m=2, k_codes=4)
+    return ivf_pq_topk_arrow(queries, emb, topk=5, m=2, k_codes=4)
 
 
 @query(

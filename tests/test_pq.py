@@ -111,3 +111,30 @@ def test_pca_project_contract(spark, sf_dir):
     var_k2 = np.var(got[:, :2], axis=0).sum()
     var_k8 = np.var(got, axis=0).sum()
     assert var_k8 >= var_k2 - 1e-12
+
+
+def test_ivf_pq_kernel_matches_hof_pin(spark, sf_dir):
+    # the HOF-form ivf_pq_topk stays the operator-level correctness
+    # pin: the Arrow kernel (round 11) shares its routing, codebooks,
+    # coded corpus, and collected distance tables, so the (query_id,
+    # rank, neighbor_id, adc_dist2) rows must agree EXACTLY off the
+    # F.round half-boundary class (the fixture avoids it — see the
+    # LSH kernel's rounding caveat)
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.ann_kernel import ivf_pq_topk_arrow
+    from dso_import_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    hof = sorted(
+        map(tuple, ivf_pq_topk(queries, emb, topk=5, m=2, k_codes=4).collect())
+    )
+    ker = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_arrow(queries, emb, topk=5, m=2, k_codes=4).collect(),
+        )
+    )
+    assert len(ker) > 0
+    assert ker == hof

@@ -12,19 +12,20 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND11_FRONT, ROUND12_QUEUE
 
 FRONT_50 = [
-    # round-11 rotation: the two round-11 births/re-shapes first
-    # (corpus_curation_pipeline is new; ann_lsh_topk's scoring moved
-    # onto the Arrow kernel, staling its r10 green), then the head of
-    # the dep-aware stale backlog, oldest driver evidence first.
-    "corpus_curation_pipeline", "ann_lsh_topk", "dsir_importance_scores",
-    "diversity_distinct_ngrams", "did_difference_in_differences",
-    "srm_sample_ratio_check", "spatial_knn_radius", "arrival_anomaly_days",
-    "funnel_time_to_convert", "event_transition_matrix",
-    "rendezvous_sharding", "char_entropy_quality", "gopher_quality_gate",
-    "ngram_novelty_decay", "word_zipf_slope", "embedding_dim_stats",
-    "embedding_quantize_int8", "k_anonymity_audit", "join_key_skew_profile",
-    "embedding_covariance", "merge_insert_update", "dedup_minhash_lsh",
-    "hard_negative_mining", "winsorized_variant_means",
+    # round-11 rotation: the three round-11 births/re-shapes first
+    # (corpus_curation_pipeline is new; ann_lsh_topk and
+    # ann_ivf_pq_topk moved onto the Arrow kernel, staling their
+    # greens), then the head of the dep-aware stale backlog, oldest
+    # driver evidence first.
+    "corpus_curation_pipeline", "ann_lsh_topk", "ann_ivf_pq_topk",
+    "dsir_importance_scores", "diversity_distinct_ngrams",
+    "did_difference_in_differences", "srm_sample_ratio_check",
+    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
+    "event_transition_matrix", "rendezvous_sharding", "char_entropy_quality",
+    "gopher_quality_gate", "ngram_novelty_decay", "word_zipf_slope",
+    "embedding_dim_stats", "embedding_quantize_int8", "k_anonymity_audit",
+    "join_key_skew_profile", "embedding_covariance", "merge_insert_update",
+    "dedup_minhash_lsh", "hard_negative_mining", "winsorized_variant_means",
     "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
     "daily_retention_d1_d7", "zorder_layout_stats", "cluster_aware_split",
     "shingle_containment", "stratified_sample_exact", "woe_feature_binning",
@@ -33,7 +34,7 @@ FRONT_50 = [
     "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
     "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
     "running_sum", "lag_lead_delta", "sessionize_events",
-    "tumbling_hour_window", "asof_join_last_signup",
+    "tumbling_hour_window",
 ]
 
 
