@@ -651,9 +651,19 @@ def corpus_curation_pipeline(spark, sf_dir):
     # |A∩B|/|A∪B| >= 1/2): no float round at the cluster boundary, so
     # the Spark-F.round-vs-DuckDB-round half-boundary divergence class
     # (see ann_kernel._round_half_away) cannot flip a pair and cascade
-    # through the funnel (second review pass, round 11)
+    # through the funnel (second review pass, round 11). The coalesce
+    # wrappers are PLAN armor, not semantics (n_a/n_b are sizes of
+    # never-NULL arrays): a bare null-intolerant comparison lets
+    # InferFiltersFromConstraints synthesize isnotnull(n_a/n_b) and
+    # push the FULL inlined shingle expression into scan-side Filter
+    # nodes on both join branches — measured 8x on this stage (2.3 ->
+    # 19 s sf0.1), the same inline-HOF-in-Filter class the session
+    # tuning already excludes InferFiltersFromGenerate for; coalesce
+    # is null-tolerant, so no constraint can be inferred through it
     pairs = shared.filter(
-        F.col("n_shared") * 3 >= F.col("n_a") + F.col("n_b")
+        F.col("n_shared") * 3
+        >= F.coalesce(F.col("n_a"), F.lit(0))
+        + F.coalesce(F.col("n_b"), F.lit(0))
     ).select("id_a", "id_b")
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
