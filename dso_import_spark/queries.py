@@ -90,63 +90,14 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     retrieval,
 )
 
-# ROUND 11 FRONT BLOCK (applied): zero never-verified rows remain
-# (registry went 286/286 ever-green in round 10), so the whole front
-# drains the dep-aware stale backlog oldest-driver-evidence-first —
-# the 50 staged at the head of last round's ROUND11_QUEUE, confirmed
-# against `python -m dso_import_spark.rotation` this round: the four
-# r4 picks displaced by the round-10 retrieval births, then the r4
-# curation/llm_pipeline/mlops block, then r4/r5 analytics/windows
-# rows. New queries born this round go at the HEAD (cadence rule).
-ROUND11_FRONT = [
-    # (-1) born/re-shaped THIS round (r11): the end-to-end curation
-    # composition (new) and ann_lsh_topk (its scoring moved onto the
-    # Arrow kernel, so the r10 green is stale) take the head slots
-    "corpus_curation_pipeline", "ann_lsh_topk", "ann_ivf_pq_topk",
-    # (0) the dep-stale backlog, oldest driver evidence first
-    "dsir_importance_scores", "diversity_distinct_ngrams",
-    "did_difference_in_differences", "srm_sample_ratio_check",
-    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
-    "event_transition_matrix", "rendezvous_sharding", "char_entropy_quality",
-    "gopher_quality_gate", "ngram_novelty_decay", "word_zipf_slope",
-    "embedding_dim_stats", "embedding_quantize_int8", "k_anonymity_audit",
-    "join_key_skew_profile", "embedding_covariance", "merge_insert_update",
-    "dedup_minhash_lsh", "hard_negative_mining", "winsorized_variant_means",
-    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
-    "daily_retention_d1_d7", "zorder_layout_stats", "cluster_aware_split",
-    "shingle_containment", "stratified_sample_exact", "woe_feature_binning",
-    "l_diversity_audit", "cusum_changepoint", "weighted_sample_es",
-    "bm25_scoring", "decile_lift_table", "auc_mann_whitney",
-    "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
-    "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
-    "running_sum", "lag_lead_delta", "sessionize_events",
-    "tumbling_hour_window",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded
-# (unless stale or FORCE_REVERIFY). Bump when rotating
-# (tests/test_rotation.py checks the choice against exactly these
-# rounds, so a *new* round's results landing mid-cycle doesn't
-# retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 10
-
-# Deliberate evidence-freshness picks that are neither never-verified
-# nor dep-stale. Empty this round: the dep-aware stale set (169 rows)
-# exceeds the front budget on its own, so every slot goes to genuinely
-# stale evidence — spending one on a fresh-green row would be waste.
-FORCE_REVERIFY: list[str] = []
-
-# ROUND 12 QUEUE (pre-staged): the dep-stale backlog the round-11
-# front could not fit — oldest driver evidence first (r4/r5 rows, then
-# r6, then the rows re-staled by round-10's own edits, then the
-# util.py-transitive block), registry order within a round. Surplus
-# driver budget (or the next rotation) lands here before any fresh
-# green. New queries added mid-round go at the HEAD of the FRONT.
-# Recompute with `python -m dso_import_spark.rotation` when rotating.
-ROUND12_QUEUE = [
-    # the three r4/r5 picks displaced when the round-11 births took
-    # the front's head slots
+# ROUND 12 FRONT BLOCK (applied): zero never-verified rows remain, so
+# the whole front keeps draining the dep-aware stale backlog — the 50
+# staged at the head of last round's ROUND12_QUEUE, confirmed against
+# `python -m dso_import_spark.rotation` this round (131 stale greens;
+# the r4/r5 windows/analytics/ANN-era rows lead, then the r5/r6
+# streaming + dedup blocks). New queries born this round go at the
+# HEAD (cadence rule).
+ROUND12_FRONT = [
     "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
@@ -166,12 +117,37 @@ ROUND12_QUEUE = [
     "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
     "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
     "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 11
+
+# Deliberate evidence-freshness picks that are neither never-verified
+# nor dep-stale. Empty this round: the dep-aware stale set (131 rows)
+# exceeds the front budget on its own, so every slot goes to genuinely
+# stale evidence — spending one on a fresh-green row would be waste.
+FORCE_REVERIFY: list[str] = []
+
+# ROUND 13 QUEUE (pre-staged): the dep-stale backlog the round-12
+# front could not fit — same oldest-driver-evidence-first order as the
+# round-11 staging (r5 mlops/streaming rows, then the r5/r6 tpch-era
+# block, then the rows re-staled by round-11's own edits, whose r10
+# evidence is the freshest in the queue). Surplus driver budget (or
+# the next rotation) lands here before any fresh green. New queries
+# added mid-round go at the HEAD of the FRONT. Recompute with
+# `python -m dso_import_spark.rotation` when rotating.
+ROUND13_QUEUE = [
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
-    "hopping_window_counts", "stream_hopping_hour",
-    "stream_static_enrich", "funnel_conversion", "gapfill_locf_hourly",
-    "semdedup_prune", "semdedup_prune_autok", "cohort_retention",
-    "sliding_distinct_users", "sparse_tfidf_topk", "activity_streaks",
-    "mode_event_type", "value_outliers_mad", "stream_session_dynamic_gap",
+    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
+    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
+    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
+    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
+    "value_outliers_mad", "stream_session_dynamic_gap",
     "decimal_money_totals", "schema_evolution_scan",
     "partition_overwrite_merge", "cdc_apply_changes",
     "boilerplate_ngram_mass", "bpe_pair_merge_counts",
@@ -193,23 +169,11 @@ ROUND12_QUEUE = [
     "pivot_returnflag", "percentile_quantity", "range_join_price_bands",
     "json_extract_events", "string_math_funcs", "q04_order_priority",
     "q18_large_orders", "variant_json_events", "sql_pipe_syntax",
-    "histogram_width_bucket", "regression_stats",
-    # re-staled IN round 11 by this round's own edits (the dep-aware
-    # checker working as designed): the ann_lsh_topk kernel port
-    # touched operators/ann_kernel.py, which the retrieval family
-    # imports — their ivf_topk_arrow path itself is code-identical
-    # (the edit only ADDED lsh functions + a contract note). Their
-    # r10 evidence is the FRESHEST in this queue, so they go last;
-    # the local hostile gate still re-runs them every round.
-    "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk", "ann_crosssource_topk", "ann_recall_report",
-    # ...and the corpus_curation_pipeline addition touched
-    # queries_pkg/compositions.py, re-staling its module siblings...
-    "banding_estimator_cert", "shingle_containment_banded",
-    # ...and the connected_components bounded-graph fast path touched
-    # operators/dedup.py, whose import closure reaches these three
-    "dedup_simhash_fingerprints", "semdedup_autok_kernel",
-    "stream_tail_ingest",
+    "histogram_width_bucket", "regression_stats", "retrieval_hybrid_topk",
+    "rerank_hashed_crossencoder", "ann_multiprobe_topk",
+    "ann_crosssource_topk", "ann_recall_report", "banding_estimator_cert",
+    "shingle_containment_banded", "dedup_simhash_fingerprints",
+    "semdedup_autok_kernel", "stream_tail_ingest",
 ]
 
 
@@ -229,4 +193,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND11_FRONT, ROUND12_QUEUE)
+_apply_front_block(ROUND12_FRONT, ROUND13_QUEUE)

@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND11_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND12_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,38 +9,37 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND11_FRONT, ROUND12_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND12_FRONT, ROUND13_QUEUE
 
 FRONT_50 = [
-    # round-11 rotation: the three round-11 births/re-shapes first
-    # (corpus_curation_pipeline is new; ann_lsh_topk and
-    # ann_ivf_pq_topk moved onto the Arrow kernel, staling their
-    # greens), then the head of the dep-aware stale backlog, oldest
-    # driver evidence first.
-    "corpus_curation_pipeline", "ann_lsh_topk", "ann_ivf_pq_topk",
-    "dsir_importance_scores", "diversity_distinct_ngrams",
-    "did_difference_in_differences", "srm_sample_ratio_check",
-    "spatial_knn_radius", "arrival_anomaly_days", "funnel_time_to_convert",
-    "event_transition_matrix", "rendezvous_sharding", "char_entropy_quality",
-    "gopher_quality_gate", "ngram_novelty_decay", "word_zipf_slope",
-    "embedding_dim_stats", "embedding_quantize_int8", "k_anonymity_audit",
-    "join_key_skew_profile", "embedding_covariance", "merge_insert_update",
-    "dedup_minhash_lsh", "hard_negative_mining", "winsorized_variant_means",
-    "weekly_growth_rates", "abc_pareto_classes", "session_duration_stats",
-    "daily_retention_d1_d7", "zorder_layout_stats", "cluster_aware_split",
-    "shingle_containment", "stratified_sample_exact", "woe_feature_binning",
-    "l_diversity_audit", "cusum_changepoint", "weighted_sample_es",
-    "bm25_scoring", "decile_lift_table", "auc_mann_whitney",
-    "minhash_recall_cert", "theil_sen_capped", "join_cardinality_estimate",
-    "wasserstein_drift", "source_quality_blocklist", "window_topk_per_group",
-    "running_sum", "lag_lead_delta", "sessionize_events",
-    "tumbling_hour_window",
+    # round-12 rotation: zero never-verified remain; the whole front
+    # drains the dep-aware stale backlog oldest-driver-evidence-first
+    # (the head of the round-11 staging).
+    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
+    "group_exact_percentiles", "revenue_share_window",
+    "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
+    "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
+    "ridge_regression_normal_eq", "dp_sensitivity_audit",
+    "selectivity_estimate_cert", "approx_distinct_sketch",
+    "approx_quantile_sketch", "grouping_sets_revenue",
+    "stream_tumbling_hour", "stream_session_windows",
+    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
+    "stream_upsert_state", "dedup_exact_stats", "dedup_prefix_groups",
+    "dedup_ngram_jaccard", "dedup_minhash_banded",
+    "incremental_corpus_dedup", "dedup_substring_spans",
+    "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
+    "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
+    "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
+    "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
+    "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
+    "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
+    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND11_FRONT == FRONT_50
+    assert ROUND12_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -55,22 +54,22 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND12_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND13_QUEUE[: len(beyond)]), beyond
 
 
-def test_round12_queue_is_staged():
+def test_round13_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND12_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND12_QUEUE) & set(FRONT_50)
+    assert set(ROUND13_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND13_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND12_QUEUE)] == ROUND12_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND13_QUEUE)] == ROUND13_QUEUE
     # front + queue covers the whole dep-stale backlog: together with
     # the front's never-verified coverage, registry order is fully
     # pinned oldest-evidence-first
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND12_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND13_QUEUE) | set(FRONT_50)
 
 
 def test_registry_names_appear_in_survey():
