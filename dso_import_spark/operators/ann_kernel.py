@@ -503,6 +503,14 @@ def ivf_pq_topk_arrow(
     )
 
     spark = corpus.sparkSession
+    # NULL/empty vectors and NULL labels carry no geometry: drop them
+    # on BOTH relations up front, same hygiene as ivf_topk_arrow — a
+    # NULL payload reaching the driver collect crashes list(None) and
+    # a NaN code crashes to_numpy(dtype=int64), where the HOF form it
+    # replaced degraded gracefully (round-11 advisory)
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    corpus = corpus.filter(valid & F.col(label_col).isNotNull())
+    queries = queries.filter(valid)
     cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
     q = queries.select(
         F.col(query_id).alias("query_id"),

@@ -1087,8 +1087,11 @@ def connected_components(
     banding/jaccard are usually tiny relative to the corpus, and each
     distributed round costs 2 actions of pure job latency — at sf0.1
     the rounds dominated corpus_curation_pipeline's wall time. When
-    the deduped edge list holds at most ``small_graph_edges`` rows
-    (known for free from the eager checkpoint), the closure is
+    the DIRECTED edge list (both orientations of each input pair,
+    duplicates included — duplicate input pairs shrink the effective
+    gate, in the safe direction) holds at most ``2 *
+    small_graph_edges`` rows — one cheap count on the eager
+    checkpoint — the closure is
     computed with a driver union-find instead — the k-means-init
     bounded-collect posture (collected Rows cost ~100+ bytes each,
     so ~tens of MB at the default gate), identical output contract. Above the gate the

@@ -517,8 +517,9 @@ _CURATION_PIPELINE_ORACLE = rf"""
     alloc AS (
       SELECT o.lang, o.cap_tokens, o.w,
              (o.pos < l.cut_pos) AS saturated,
-             round(CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
-                        ELSE l.lambda * o.w END, 4) AS alloc_tokens,
+             floor((CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
+                         ELSE l.lambda * o.w END) * 10000.0 + 0.5)
+               / 10000.0 AS alloc_tokens,
              CASE WHEN o.pos < l.cut_pos THEN 1.0
                   ELSE (l.lambda * o.w) / o.cap_tokens END AS rate
       FROM ordered o CROSS JOIN lam l),
@@ -728,8 +729,12 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.sum("w").cast("long").alias("total_w"),
         F.floor(F.sum("cap_tokens") / 2).cast("long").alias("budget"),
     )
+    # lang tiebreak NULLS LAST: Spark default ASC sorts NULL first,
+    # DuckDB last — a NULL-lang stratum tying another on ratio would
+    # shift prev_cap/prev_w/cut_pos cross-engine (round-11 advisory)
     win = Window.orderBy(
-        F.col("cap_tokens") * 1.0 / F.col("w"), F.col("lang")
+        F.col("cap_tokens") * 1.0 / F.col("w"),
+        F.col("lang").asc_nulls_last(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ordered = caps.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -760,11 +765,21 @@ def corpus_curation_pipeline(spark, sf_dir):
         "cap_tokens",
         "w",
         (F.col("pos") < F.col("cut_pos")).alias("saturated"),
-        F.round(
-            F.when(
-                F.col("pos") < F.col("cut_pos"), F.col("cap_tokens") * 1.0
-            ).otherwise(F.col("lam") * F.col("w")),
-            4,
+        # integer-scaled half-up instead of F.round: Spark rounds the
+        # decimal shortest-repr HALF_UP, DuckDB rounds the float
+        # half-away — floor(x*1e4 + 0.5) is the identical double
+        # expression on both engines (alloc is non-negative), the same
+        # armor the Jaccard gate got (round-11 advisory)
+        (
+            F.floor(
+                F.when(
+                    F.col("pos") < F.col("cut_pos"),
+                    F.col("cap_tokens") * 1.0,
+                ).otherwise(F.col("lam") * F.col("w"))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
         ).alias("alloc_tokens"),
         F.when(F.col("pos") < F.col("cut_pos"), F.lit(1.0)).otherwise(
             (F.col("lam") * F.col("w")) / F.col("cap_tokens")

@@ -893,7 +893,9 @@ def ann_pq_topk(spark, sf_dir):
     "ann_ivf_pq_topk",
     oracle=f"""
     WITH zall AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
-                  FROM embeddings),
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) > 0
+                    AND label IS NOT NULL),
     e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
           FROM zall v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
           GROUP BY label, u.pos),
@@ -946,7 +948,14 @@ def ann_pq_topk(spark, sf_dir):
     "stays the operator-level pin (tests/test_pq.py differential). "
     "Oracle composes the ann_ivf_topk routing CTE with the "
     "ann_pq_topk training/encoding/table CTEs and restricts scoring "
-    "to the routed cell.",
+    "to the routed cell; both sides drop NULL/empty vectors and "
+    "NULL-label corpus rows up front (round-12: the kernel gained "
+    "the same hygiene filter as ivf_topk_arrow — a NULL payload "
+    "crashed the |Q|-row collect where the HOF form degraded "
+    "gracefully). Contract note: the oracle's shared zall filter "
+    "also drops NULL-label QUERY rows, which the kernel keeps "
+    "(routing ignores the query's own label) — differential "
+    "fixtures keep query-row labels non-NULL.",
 )
 def ann_ivf_pq_topk(spark, sf_dir):
     from dso_import_spark.operators.ann_kernel import ivf_pq_topk_arrow

@@ -578,8 +578,9 @@ def ratio_metric_delta_ci(spark, sf_dir):
       FROM ordered o JOIN cutc c ON o.pos = c.cut_pos)
     SELECT o.lang, o.cap_tokens, o.w,
            (o.pos < l.cut_pos) AS saturated,
-           round(CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
-                      ELSE l.lambda * o.w END, 4) AS alloc_tokens
+           floor((CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
+                       ELSE l.lambda * o.w END) * 10000.0 + 0.5)
+             / 10000.0 AS alloc_tokens
     FROM ordered o CROSS JOIN lam l
     """,
     doc="Water-filling token-budget allocation across languages: a "
@@ -594,7 +595,8 @@ def ratio_metric_delta_ci(spark, sf_dir):
     "before saturates, everything after gets λ·w. All comparisons run "
     "on doubles built from exact BIGINT capacities via identical "
     "expression trees (cumulative sums are integer — no float "
-    "accumulation order issues), allocations rounded 4dp. Windows run "
+    "accumulation order issues), allocations displayed via the engine-"
+    "mirrored floor(x*1e4+0.5)/1e4 half-up. Windows run "
     "over the |languages| relation (5 rows) — bounded state. Exactness "
     "invariant: Σalloc = budget and 0 <= alloc <= cap, asserted in "
     "tests/test_mlops4.py.",
@@ -623,8 +625,14 @@ def budget_water_filling(spark, sf_dir):
         F.sum("w").cast("long").alias("total_w"),
         F.floor(F.sum("cap_tokens") / 2).cast("long").alias("budget"),
     )
+    # lang tiebreak NULLS LAST to match DuckDB's ASC default (Spark
+    # sorts NULL first): a NULL-lang stratum tying on ratio would
+    # shift the allocation algebra cross-engine (round-11 advisory)
     win = (
-        Window.orderBy(F.col("cap_tokens") * 1.0 / F.col("w"), F.col("lang"))
+        Window.orderBy(
+            F.col("cap_tokens") * 1.0 / F.col("w"),
+            F.col("lang").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ordered = caps.crossJoin(F.broadcast(tot)).select(
@@ -658,12 +666,20 @@ def budget_water_filling(spark, sf_dir):
         "cap_tokens",
         "w",
         (F.col("pos") < F.col("cut_pos")).alias("saturated"),
-        F.round(
-            F.when(
-                F.col("pos") < F.col("cut_pos"),
-                F.col("cap_tokens") * 1.0,
-            ).otherwise(F.col("lambda") * F.col("w")),
-            4,
+        # integer-scaled half-up instead of F.round (decimal HALF_UP)
+        # vs DuckDB round (float half-away): floor(x*1e4 + 0.5) is the
+        # identical double expression on both engines (round-11
+        # advisory; alloc is non-negative)
+        (
+            F.floor(
+                F.when(
+                    F.col("pos") < F.col("cut_pos"),
+                    F.col("cap_tokens") * 1.0,
+                ).otherwise(F.col("lambda") * F.col("w"))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
         ).alias("alloc_tokens"),
     )
 

@@ -297,15 +297,21 @@ def test_hostile_corpus_cross_engine_agreement(spark, tmp_path):
          for i in [0, 3, 5, 7, 9, 101, 202]],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
+    # 64-dim vectors: the PQ oracle's subspace CTEs slice dims 1..32 /
+    # 33..64 and DuckDB's zip-unnest pads short vectors with NULLs
+    # (list_dot_product then raises) — 64 dims is the fixture contract
+    def v64(a, b):
+        return [a, b] + [round(0.01 * (i % 7), 2) for i in range(62)]
+
     emb = spark.createDataFrame(
         [
-            (0, [1.0, 0.0], 0),
-            (3, [0.9, 0.1], 0),
-            (5, [0.8, 0.2], None),   # NULL label
-            (7, None, 0),            # NULL vector
-            (9, [], 0),              # empty vector
-            (101, [0.6, 0.4], 1),
-            (202, [0.5, 0.5], 1),
+            (0, v64(1.0, 0.0), 0),
+            (3, v64(0.9, 0.1), 0),
+            (5, v64(0.8, 0.2), None),   # NULL label
+            (7, None, 0),               # NULL vector
+            (9, [], 0),                 # empty vector
+            (101, v64(0.6, 0.4), 1),
+            (202, v64(0.5, 0.5), 1),
         ],
         "vec_id long, embedding array<float>, label int",
     )
@@ -318,7 +324,11 @@ def test_hostile_corpus_cross_engine_agreement(spark, tmp_path):
             f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
         )
     for name in ("ann_multiprobe_topk", "ann_crosssource_topk",
-                 "retrieval_hybrid_topk", "rerank_hashed_crossencoder"):
+                 "retrieval_hybrid_topk", "rerank_hashed_crossencoder",
+                 # round-12: the PQ kernel gained the same hygiene
+                 # filter — without it this corpus crashed the |Q|-row
+                 # collect on list(None) (round-11 advisory)
+                 "ann_ivf_pq_topk"):
         spec = REGISTRY[name]
         srows = sorted(
             tuple(str(x) for x in r)
