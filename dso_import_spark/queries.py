@@ -98,6 +98,12 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # streaming + dedup blocks). New queries born this round go at the
 # HEAD (cadence rule).
 ROUND12_FRONT = [
+    # (-1) behavior-changed THIS round (r12): the PQ kernel gained the
+    # NULL-hygiene filter (+ matching oracle zall filter), and the two
+    # water-filling allocations moved to engine-mirrored floor-scaled
+    # rounding + NULLS-LAST lang tiebreaks — their r11 greens are
+    # genuinely stale, so they take the head slots
+    "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
     "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
@@ -142,6 +148,9 @@ FORCE_REVERIFY: list[str] = []
 # added mid-round go at the HEAD of the FRONT. Recompute with
 # `python -m dso_import_spark.rotation` when rotating.
 ROUND13_QUEUE = [
+    # the three r5-era picks displaced when the round-12 behavior
+    # changes took the front's head slots
+    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
     "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
     "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
@@ -174,6 +183,21 @@ ROUND13_QUEUE = [
     "ann_crosssource_topk", "ann_recall_report", "banding_estimator_cert",
     "shingle_containment_banded", "dedup_simhash_fingerprints",
     "semdedup_autok_kernel", "stream_tail_ingest",
+    # re-staled IN round 12 by the advisory-fix commit (dep-aware
+    # checker working as designed): module siblings of the three
+    # behavior-changed queries — their own code paths are identical
+    # (extras/mlops4/compositions/dedup/ann_kernel shared-module
+    # edits), and their r8-r11 evidence is the freshest here, so
+    # they go last; the local hostile gate re-runs them anyway.
+    "bh_fdr_correction", "randomized_response_debias",
+    "mutual_information_cols", "ratio_metric_delta_ci", "eb_shrunken_rates",
+    "jsonl_rescue_scan", "pinball_loss_eval", "wasserstein_drift",
+    "theil_sen_capped", "zorder_layout_stats", "bm25_scoring",
+    "source_quality_blocklist", "decile_lift_table", "auc_mann_whitney",
+    "stratified_sample_exact", "cusum_changepoint", "weighted_sample_es",
+    "shingle_containment", "minhash_recall_cert", "cluster_aware_split",
+    "l_diversity_audit", "woe_feature_binning", "join_cardinality_estimate",
+    "dedup_minhash_lsh", "ann_lsh_topk",
 ]
 
 

@@ -12,9 +12,10 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND12_FRONT, ROUND13_QUEUE
 
 FRONT_50 = [
-    # round-12 rotation: zero never-verified remain; the whole front
-    # drains the dep-aware stale backlog oldest-driver-evidence-first
-    # (the head of the round-11 staging).
+    # round-12 rotation: the three behavior-changed queries from the
+    # advisory-fix commit first, then the dep-aware stale backlog
+    # oldest-driver-evidence-first (the head of the round-11 staging).
+    "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
     "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
@@ -33,7 +34,6 @@ FRONT_50 = [
     "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
     "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
     "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
-    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
 ]
 
 
