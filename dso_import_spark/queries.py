@@ -122,7 +122,6 @@ ROUND12_FRONT = [
     "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
     "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
     "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
-    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
