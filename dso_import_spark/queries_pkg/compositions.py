@@ -420,8 +420,53 @@ _CG_MAX_REP = 0.125
 _CMIX = 2654435761
 _CSHIFT = 13
 _CMASK = 1 << 31
+# sample-rank bucket: the Knuth key tops out at ((2^31-1) * _CMIX)
+# >> _CSHIFT ~ 2^49.3, so >> 42 yields <= ~170 buckets — the
+# bucket-offset relation stays |langs| x |buckets| bounded
+_CBUCKET_SHIFT = 42
 
-_CURATION_PIPELINE_ORACLE = rf"""
+# Volume gate for the near-dup pair tier (round 12, VERDICT r11 #1 —
+# the connected_components small_graph_edges dispatch pattern): at
+# most this many exact-dedup representatives run the exact shingle
+# equi-join, whose cost is Σ_shingle df² — fine when the exact tier
+# collapsed a replica-dense corpus, a DNF when reps ≈ corpus (the
+# measured shingle_containment wall, SCALING.md round-5). Above the
+# gate, MinHash-banded candidates feed the IDENTICAL exact
+# integer-Jaccard verify on candidates only. Bands are 8 SINGLE-
+# signature rows (r=1, b=8): at the funnel's J >= 0.5 gate a true
+# pair is missed only when all 8 deterministic min-hashes disagree —
+# P(miss) = (1-j)^8, 0.4% at j=0.5, 0.0002% at j=0.8 — where the
+# default 4x2 banding's S-curve misses 32% at the threshold. Both
+# engines dispatch from the same representative count, so the
+# differential covers whichever tier ran.
+_FUNNEL_EXACT_MAX_REPS = 20_000
+_FUNNEL_BANDS = 8
+
+_MINHASH_P = 4294967311
+
+
+def _funnel_sig_sql(i: int) -> str:
+    """One engine-portable affine min-hash (the set_minhash_band_
+    candidates scheme: md5-prefix 32-bit element hash, a_i·x + b_i
+    mod P)."""
+    return (
+        f"min(((40503*{i} + 1) * x + (12345*{i} + 7)) % {_MINHASH_P})"
+        f" AS m{i}"
+    )
+
+
+def _curation_pipeline_oracle(exact_max_reps: int) -> str:
+    """The end-to-end funnel oracle, parameterized on the pair-tier
+    volume gate so tests can force the banded tier cross-engine
+    (the registered query pins ``_FUNNEL_EXACT_MAX_REPS``)."""
+    sig_lines = ",\n             ".join(
+        _funnel_sig_sql(i) for i in range(_FUNNEL_BANDS)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, lang, {j} AS band, m{j} AS v0 FROM sigs"
+        for j in range(_FUNNEL_BANDS)
+    )
+    return rf"""
     WITH RECURSIVE
     ex0 AS (
       SELECT lang, md5(text) AS h, max(text) AS text,
@@ -446,9 +491,37 @@ _CURATION_PIPELINE_ORACLE = rf"""
         ON a.shingle = b.shingle AND a.lang = b.lang
        AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4),
+    hw AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM ex),
+    sigs AS (
+      SELECT doc_id, lang,
+             {sig_lines}
+      FROM hw GROUP BY doc_id, lang),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.lang = b.lang
+       AND a.doc_id < b.doc_id),
+    bshared AS (
+      SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_shared
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.id_a
+      JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4),
+    nreps AS (SELECT count(*) AS n FROM ex0),
     pairs AS (
       SELECT id_a, id_b FROM shared
-      WHERE 3 * n_shared >= n_a + n_b),
+      WHERE 3 * n_shared >= n_a + n_b
+        AND (SELECT n FROM nreps) <= {exact_max_reps}
+      UNION ALL
+      SELECT id_a, id_b FROM bshared
+      WHERE 3 * n_shared >= n_a + n_b
+        AND (SELECT n FROM nreps) > {exact_max_reps}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -555,6 +628,9 @@ _CURATION_PIPELINE_ORACLE = rf"""
 """
 
 
+_CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(_FUNNEL_EXACT_MAX_REPS)
+
+
 @query(
     "corpus_curation_pipeline",
     oracle=_CURATION_PIPELINE_ORACLE,
@@ -584,20 +660,29 @@ _CURATION_PIPELINE_ORACLE = rf"""
     "end-to-end: stage handoffs (keeper sets, gate survivors, rate "
     "algebra) are exactly what per-stage oracles cannot see. Scale: "
     "the only full-corpus shuffles are the exact-hash groupBy and the "
-    "per-lang count; the shingle join runs on distinct-text "
-    "REPRESENTATIVES only (band/prefix candidates are the documented "
-    "swap-in when reps are themselves huge), components use "
+    "per-lang count; the pair stage runs on distinct-text "
+    "REPRESENTATIVES only and VOLUME-GATES its tier (round 12): "
+    "<= 20k reps run the exact shingle equi-join, above it MinHash-"
+    "banded candidates (8 single-signature bands, r=1 — P(miss) = "
+    "(1-j)^8 = 0.4% at the J=0.5 gate) feed the identical exact "
+    "integer-Jaccard verify on candidates only, so a non-replica-"
+    "dense corpus (reps ~ corpus) never pays the Σ df² self-join; "
+    "the oracle replays the dispatch from the same count. Components "
+    "use "
     "pointer-jumping localCheckpoint rounds, allocation windows run "
     "over the |languages| relation (bounded state), and the sample "
     "window is stratum-partitioned — no global sort anywhere.",
 )
-def corpus_curation_pipeline(spark, sf_dir):
+def corpus_curation_pipeline(
+    spark, sf_dir, exact_max_reps: int = _FUNNEL_EXACT_MAX_REPS
+):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from dso_import_spark.functions.text import tokens
+    from dso_import_spark.functions.text import tokens, word_hash32
     from dso_import_spark.operators.dedup import (
         connected_components,
+        minhash_sig_cols,
         shingle_array_from_tokens,
     )
 
@@ -632,22 +717,99 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.size("s").cast("long").alias("n_sh"),
         F.explode("s").alias("shingle"),
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Volume-gated pair tier (round 12): one cheap count on the
+    # eagerly-checkpointed representative relation decides the tier —
+    # the connected_components small_graph_edges posture. The oracle
+    # replays the SAME dispatch from the same count, so the
+    # differential certifies whichever tier ran.
+    n_reps = ex0.count()
+    if n_reps <= exact_max_reps:
+        # exact tier: every shared shingle self-joins — Σ df² cost,
+        # correct and fastest when the exact-hash stage collapsed the
+        # corpus to a bounded representative set
+        a, b = ex.alias("a"), ex.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+    else:
+        # banded tier: candidates from 8 single-signature MinHash
+        # bands (r=1 — P(miss) = (1-j)^8, 0.4% at the J=0.5 gate,
+        # vs 32% for the default 4x2 S-curve), array-native
+        # signatures (array_min over the affine-transformed hash
+        # array — no shingle explode until the candidate-bounded
+        # verify), then the IDENTICAL exact integer-Jaccard verify
+        # on candidates only: cost O(candidates · avg set size),
+        # never Σ df²
+        hashed = sh.select(
+            "doc_id",
+            "lang",
+            F.transform(F.col("s"), word_hash32).alias("hs"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+        sigs = hashed.select(
+            "doc_id", "lang", *minhash_sig_cols("hs", _FUNNEL_BANDS)
+        )
+        bands = sigs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.col(f"m{j}").alias("v0"),
+                        )
+                        for j in range(_FUNNEL_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "lang", "b.*")
+        ba, bb = bands.alias("a"), bands.alias("b")
+        cand = (
+            ba.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.v0") == F.col("b.v0"))
+                & (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        shared = (
+            cand.join(
+                ex.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("n_sh").alias("n_a"),
+                    "shingle",
+                ),
+                "id_a",
+            )
+            .join(
+                ex.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("n_sh").alias("n_b"),
+                    "shingle",
+                ),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     # jaccard >= 0.5 as an EXACT integer gate (3*|A∩B| >= |A|+|B| ⟺
     # |A∩B|/|A∪B| >= 1/2): no float round at the cluster boundary, so
     # the Spark-F.round-vs-DuckDB-round half-boundary divergence class
@@ -786,11 +948,47 @@ def corpus_curation_pipeline(spark, sf_dir):
         ).alias("rate"),
     )
     # (D) exact stratified sample at the water-filled rate (Knuth-mix
-    # order inside each lang — engine-replayable permutation)
+    # order inside each lang — engine-replayable permutation).
+    # Distributed ranking (round 12, VERDICT r11 #4): the per-lang
+    # row_number window funneled each language through ONE sort task
+    # — a hot stratum holding most of a 100 TB corpus serializes on
+    # it. Bucket-offset instead (the spearman_rank_correlation
+    # shape): the Knuth key's high bits form <= ~170 buckets, the
+    # per-(lang, bucket) counts prefix-sum into offsets over that
+    # bounded relation, and row_number runs per (lang, bucket)
+    # partition. Total order is unchanged — the bucket is a
+    # monotone prefix of the (skey, doc_id) sort key — so the
+    # unchanged oracle's plain per-lang window certifies it.
     skey = F.shiftright((F.col("doc_id") % _CMASK) * F.lit(_CMIX), _CSHIFT)
-    ws = Window.partitionBy("lang").orderBy(skey, F.col("doc_id"))
-    ranked = gated.select(
-        "lang", "doc_id", "n_words", F.row_number().over(ws).alias("rn")
+    keyed = gated.select(
+        "lang",
+        "doc_id",
+        "n_words",
+        skey.alias("skey"),
+        F.shiftright(skey, _CBUCKET_SHIFT).alias("bkt"),
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        keyed.groupBy("lang", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("btot"))
+        .select(
+            "lang",
+            "bkt",
+            F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("off"),
+        )
+    )
+    w_in = Window.partitionBy("lang", "bkt").orderBy("skey", "doc_id")
+    ranked = keyed.join(F.broadcast(boff), ["lang", "bkt"]).select(
+        "lang",
+        "doc_id",
+        "n_words",
+        (F.col("off") + F.row_number().over(w_in)).alias("rn"),
     )
     picked = ranked.join(F.broadcast(alloc), "lang").filter(
         F.col("rn") <= F.ceil(F.col("w") * F.col("rate"))

@@ -265,3 +265,80 @@ def test_curation_pipeline_hostile_nulls_vs_oracle(spark, tmp_path):
     assert len(srows) == 1
     (row,) = srows
     assert row[0] == "en" and row[1] == "5" and row[2] == "4", row
+
+
+def test_curation_pipeline_banded_tier_agrees_with_exact(spark, tmp_path):
+    # round 12 (VERDICT r11 #1): the pair stage volume-gates between
+    # the exact shingle self-join and MinHash-banded candidates
+    # (8 single-signature bands) + the identical integer-Jaccard
+    # verify. On a NON-replica-dense corpus (every text distinct —
+    # the exact tier collapses nothing) with real near-dup clusters,
+    # the two tiers must produce the IDENTICAL end-to-end funnel, and
+    # the forced banded tier must agree with the parameterized oracle
+    # replaying the same dispatch.
+    import duckdb
+
+    from dso_import_spark.queries_pkg.compositions import (
+        _curation_pipeline_oracle,
+    )
+
+    base = [
+        ("the quick brown fox jumps over a lazy dog while the rain "
+         "falls gently onto green hills and many small birds sing "
+         "about warm bright mornings near quiet rivers under clear "
+         "skies with soft wind and fresh air around tall old trees"),
+        ("some other document text with the usual filler words and a "
+         "few more tokens about data systems joining tables quickly "
+         "while scanning large files from remote storage into memory "
+         "buffers before writing results back out to durable disks"),
+        ("third base document mentions the weather and a calendar of "
+         "events including markets festivals concerts lectures and "
+         "workshops held across town during spring summer autumn and "
+         "winter seasons attracting visitors from nearby villages"),
+    ]
+    # distinct texts: per cluster, one-word substitutions of a base —
+    # ~3 shingles change per substitution out of ~40, so within-
+    # cluster Jaccard stays >= 0.5 while every text is unique
+    subs = [("quick", "swift"), ("filler", "common"), ("town", "city")]
+    rows, did = [], 0
+    for b, text in enumerate(base):
+        old, new = subs[b]
+        for v in range(4):
+            t = text if v == 0 else text.replace(old, f"{new}{v}")
+            rows.append((did, t, "en" if b < 2 else "nl",
+                         f"s{did % 3}", len(t)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spec = REGISTRY["corpus_curation_pipeline"]
+    exact = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+    banded = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path), exact_max_reps=1).collect()
+    )
+    # all 12 texts are distinct (exact tier collapses nothing), the
+    # near-dup tier must still canonicalize each 4-variant cluster
+    assert exact == banded, (exact, banded)
+    assert {r[0] for r in exact} == {"en", "nl"}
+    for r in exact:
+        n_input, n_uniq, n_canon = int(r[1]), int(r[2]), int(r[3])
+        assert n_input == n_uniq, r            # no exact dups anywhere
+        assert n_canon == n_uniq // 4, r       # 4-variant clusters merged
+    # cross-engine: the forced banded tier vs the oracle replaying the
+    # same dispatch (gate = 1 rep)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in con.sql(_curation_pipeline_oracle(1)).fetchall()
+    )
+    assert banded == drows, (banded, drows)
