@@ -104,6 +104,7 @@ ROUND12_FRONT = [
     # rounding + NULLS-LAST lang tiebreaks — their r11 greens are
     # genuinely stale, so they take the head slots
     "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
+    "stratified_sample_exact",
     "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
@@ -121,7 +122,7 @@ ROUND12_FRONT = [
     "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
     "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
     "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
-    "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
+    "udaf_geometric_mean", "udtf_sentence_split",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -149,7 +150,8 @@ FORCE_REVERIFY: list[str] = []
 ROUND13_QUEUE = [
     # the three r5-era picks displaced when the round-12 behavior
     # changes took the front's head slots
-    "table_profile", "cms_frequency_estimate", "bpe_regex_token_count",
+    "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
+    "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
     "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
     "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",

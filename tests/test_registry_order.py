@@ -16,6 +16,7 @@ FRONT_50 = [
     # advisory-fix commit first, then the dep-aware stale backlog
     # oldest-driver-evidence-first (the head of the round-11 staging).
     "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
+    "stratified_sample_exact",
     "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
     "group_exact_percentiles", "revenue_share_window",
     "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
@@ -33,7 +34,7 @@ FRONT_50 = [
     "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
     "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
     "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
-    "udaf_geometric_mean", "udtf_sentence_split", "unpivot_melt_measures",
+    "udaf_geometric_mean", "udtf_sentence_split",
 ]
 
 
