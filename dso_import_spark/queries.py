@@ -195,7 +195,7 @@ ROUND13_QUEUE = [
     "jsonl_rescue_scan", "pinball_loss_eval", "wasserstein_drift",
     "theil_sen_capped", "zorder_layout_stats", "bm25_scoring",
     "source_quality_blocklist", "decile_lift_table", "auc_mann_whitney",
-    "stratified_sample_exact", "cusum_changepoint", "weighted_sample_es",
+    "cusum_changepoint", "weighted_sample_es",
     "shingle_containment", "minhash_recall_cert", "cluster_aware_split",
     "l_diversity_audit", "woe_feature_binning", "join_cardinality_estimate",
     "dedup_minhash_lsh", "ann_lsh_topk",
