@@ -432,15 +432,21 @@ _CBUCKET_SHIFT = 42
 # collapsed a replica-dense corpus, a DNF when reps ≈ corpus (the
 # measured shingle_containment wall, SCALING.md round-5). Above the
 # gate, MinHash-banded candidates feed the IDENTICAL exact
-# integer-Jaccard verify on candidates only. Bands are 8 SINGLE-
-# signature rows (r=1, b=8): at the funnel's J >= 0.5 gate a true
-# pair is missed only when all 8 deterministic min-hashes disagree —
-# P(miss) = (1-j)^8, 0.4% at j=0.5, 0.0002% at j=0.8 — where the
-# default 4x2 banding's S-curve misses 32% at the threshold. Both
-# engines dispatch from the same representative count, so the
-# differential covers whichever tier ran.
+# integer-Jaccard verify on candidates only. Bands are 16 PAIRS of
+# signatures (r=2, b=16, 32 hashes): at the funnel's J >= 0.5 gate
+# P(miss) = (1-j²)^16 — 1.0% at j=0.5, 0.02% at j=0.7 — where the
+# default 4x2 banding's S-curve misses 32% at the threshold. r=2
+# deliberately: single-signature bands bucket every document whose
+# min-hash is a corpus-wide hot shingle (boilerplate makes one
+# low-hashing shingle everyone's minimum — measured as a DNF on the
+# x10 distinct-text fixture), while a PAIR key needs agreement under
+# two independent permutations, so bucket volume tracks true pair
+# similarity. Both engines dispatch from the same representative
+# count, so the differential covers whichever tier ran.
 _FUNNEL_EXACT_MAX_REPS = 20_000
-_FUNNEL_BANDS = 8
+_FUNNEL_HASHES = 32
+_FUNNEL_BAND_SIZE = 2
+_FUNNEL_BANDS = _FUNNEL_HASHES // _FUNNEL_BAND_SIZE
 
 _MINHASH_P = 4294967311
 
@@ -460,10 +466,11 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
     volume gate so tests can force the banded tier cross-engine
     (the registered query pins ``_FUNNEL_EXACT_MAX_REPS``)."""
     sig_lines = ",\n             ".join(
-        _funnel_sig_sql(i) for i in range(_FUNNEL_BANDS)
+        _funnel_sig_sql(i) for i in range(_FUNNEL_HASHES)
     )
     band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, lang, {j} AS band, m{j} AS v0 FROM sigs"
+        f"SELECT doc_id, lang, {j} AS band, "
+        f"m{2 * j} AS v0, m{2 * j + 1} AS v1 FROM sigs"
         for j in range(_FUNNEL_BANDS)
     )
     return rf"""
@@ -504,8 +511,8 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.v0 = b.v0 AND a.lang = b.lang
-       AND a.doc_id < b.doc_id),
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.lang = b.lang AND a.doc_id < b.doc_id),
     bshared AS (
       SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS n_shared
@@ -663,8 +670,10 @@ _CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(_FUNNEL_EXACT_MAX_REPS)
     "per-lang count; the pair stage runs on distinct-text "
     "REPRESENTATIVES only and VOLUME-GATES its tier (round 12): "
     "<= 20k reps run the exact shingle equi-join, above it MinHash-"
-    "banded candidates (8 single-signature bands, r=1 — P(miss) = "
-    "(1-j)^8 = 0.4% at the J=0.5 gate) feed the identical exact "
+    "banded candidates (16 signature-pair bands, r=2/b=16 — P(miss) "
+    "= (1-j²)^16 = 1.0% at the J=0.5 gate, and a pair band key so a "
+    "hot min-shingle cannot bucket the corpus) feed the identical "
+    "exact "
     "integer-Jaccard verify on candidates only, so a non-replica-"
     "dense corpus (reps ~ corpus) never pays the Σ df² self-join; "
     "the oracle replays the dispatch from the same count. Components "
@@ -744,9 +753,10 @@ def corpus_curation_pipeline(
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
     else:
-        # banded tier: candidates from 8 single-signature MinHash
-        # bands (r=1 — P(miss) = (1-j)^8, 0.4% at the J=0.5 gate,
-        # vs 32% for the default 4x2 S-curve), array-native
+        # banded tier: candidates from 16 signature-PAIR MinHash
+        # bands (r=2, b=16 — P(miss) = (1-j²)^16, 1.0% at the J=0.5
+        # gate; r=2 so a corpus-wide hot min-shingle cannot bucket
+        # everyone, see _FUNNEL_BAND_SIZE note), array-native
         # signatures (array_min over the affine-transformed hash
         # array — no shingle explode until the candidate-bounded
         # verify), then the IDENTICAL exact integer-Jaccard verify
@@ -758,7 +768,7 @@ def corpus_curation_pipeline(
             F.transform(F.col("s"), word_hash32).alias("hs"),
         )
         sigs = hashed.select(
-            "doc_id", "lang", *minhash_sig_cols("hs", _FUNNEL_BANDS)
+            "doc_id", "lang", *minhash_sig_cols("hs", _FUNNEL_HASHES)
         )
         bands = sigs.select(
             "doc_id",
@@ -768,7 +778,8 @@ def corpus_curation_pipeline(
                     *[
                         F.struct(
                             F.lit(j).alias("band"),
-                            F.col(f"m{j}").alias("v0"),
+                            F.col(f"m{2 * j}").alias("v0"),
+                            F.col(f"m{2 * j + 1}").alias("v1"),
                         )
                         for j in range(_FUNNEL_BANDS)
                     ]
@@ -781,6 +792,7 @@ def corpus_curation_pipeline(
                 bb,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.v0") == F.col("b.v0"))
+                & (F.col("a.v1") == F.col("b.v1"))
                 & (F.col("a.lang") == F.col("b.lang"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )

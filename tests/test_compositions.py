@@ -270,7 +270,7 @@ def test_curation_pipeline_hostile_nulls_vs_oracle(spark, tmp_path):
 def test_curation_pipeline_banded_tier_agrees_with_exact(spark, tmp_path):
     # round 12 (VERDICT r11 #1): the pair stage volume-gates between
     # the exact shingle self-join and MinHash-banded candidates
-    # (8 single-signature bands) + the identical integer-Jaccard
+    # (16 signature-pair bands) + the identical integer-Jaccard
     # verify. On a NON-replica-dense corpus (every text distinct —
     # the exact tier collapses nothing) with real near-dup clusters,
     # the two tiers must produce the IDENTICAL end-to-end funnel, and
