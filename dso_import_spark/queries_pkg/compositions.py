@@ -464,7 +464,15 @@ def _funnel_sig_sql(i: int) -> str:
 def _curation_pipeline_oracle(exact_max_reps: int) -> str:
     """The end-to-end funnel oracle, parameterized on the pair-tier
     volume gate so tests can force the banded tier cross-engine
-    (the registered query pins ``_FUNNEL_EXACT_MAX_REPS``)."""
+    (the registered query pins ``_FUNNEL_EXACT_MAX_REPS``).
+
+    Multi-referenced CTEs carry DuckDB's AS MATERIALIZED hint: the
+    funnel's handoff relations (edges/kept/gated/ordered/alloc) are
+    each consumed by several downstream chains, and inlined they
+    re-run the whole upstream pipeline — recursive closure included —
+    once per reference (measured 267 s at sf0.01 inlined vs ~8 s
+    materialized; the Spark side checkpoints the same relations for
+    the same reason)."""
     sig_lines = ",\n             ".join(
         _funnel_sig_sql(i) for i in range(_FUNNEL_HASHES)
     )
@@ -475,7 +483,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
     )
     return rf"""
     WITH RECURSIVE
-    ex0 AS (
+    ex0 AS MATERIALIZED (
       SELECT lang, md5(text) AS h, max(text) AS text,
              min(doc_id) AS doc_id, min(n_chars) AS n_chars
       FROM documents GROUP BY lang, md5(text)),
@@ -489,7 +497,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
                             for i in range(1, greatest(len(t) - 1, 1))])
                AS s
       FROM toks),
-    ex AS (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
+    ex AS MATERIALIZED (SELECT doc_id, lang, len(s)::BIGINT AS n_sh, unnest(s) AS shingle
            FROM sh),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -506,7 +514,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
       SELECT doc_id, lang,
              {sig_lines}
       FROM hw GROUP BY doc_id, lang),
-    bands AS (
+    bands AS MATERIALIZED (
       {band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -521,15 +529,17 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
       JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2, 3, 4),
     nreps AS (SELECT count(*) AS n FROM ex0),
-    pairs AS (
-      SELECT id_a, id_b FROM shared
-      WHERE 3 * n_shared >= n_a + n_b
-        AND (SELECT n FROM nreps) <= {exact_max_reps}
+    pairs AS MATERIALIZED (
+      -- the 1-row nreps relation joins in rather than appearing as a
+      -- scalar subquery in WHERE: DuckDB re-evaluates an uncorrelated
+      -- scalar subquery per candidate row here (measured 232 s at
+      -- sf0.01), a cross join evaluates it once
+      SELECT id_a, id_b FROM shared CROSS JOIN nreps
+      WHERE 3 * n_shared >= n_a + n_b AND n <= {exact_max_reps}
       UNION ALL
-      SELECT id_a, id_b FROM bshared
-      WHERE 3 * n_shared >= n_a + n_b
-        AND (SELECT n FROM nreps) > {exact_max_reps}),
-    edges AS (
+      SELECT id_a, id_b FROM bshared CROSS JOIN nreps
+      WHERE 3 * n_shared >= n_a + n_b AND n > {exact_max_reps}),
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
     reach(id, lbl) AS (
@@ -542,7 +552,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
       SELECT d.doc_id, d.lang, d.n_chars, d.text,
              coalesce(c.cluster_id, d.doc_id) AS cluster_id
       FROM ex0 d LEFT JOIN comp c USING (doc_id)),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT doc_id, lang, text FROM (
         SELECT *, row_number() OVER (PARTITION BY cluster_id
                     ORDER BY n_chars DESC, doc_id) AS rn
@@ -558,7 +568,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
                     AS n_stop,
                   max(c) AS max_c
            FROM pw GROUP BY doc_id),
-    gated AS (
+    gated AS MATERIALIZED (
       SELECT k.doc_id, k.lang, p.n_words
       FROM kept k JOIN pd p USING (doc_id)
       WHERE NOT (p.n_words < {_CG_MIN_WORDS}
@@ -567,7 +577,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
                  OR p.mean_wlen > {_CG_MAX_WLEN})
         AND NOT (p.n_stop < {_CG_MIN_STOP})
         AND NOT (p.max_c / p.n_words > {_CG_MAX_REP})),
-    caps AS (
+    caps AS MATERIALIZED (
       SELECT lang, sum(n_words)::BIGINT AS cap_tokens,
              count(*)::BIGINT AS w
       FROM gated GROUP BY lang),
@@ -575,7 +585,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
                    sum(w)::BIGINT AS total_w,
                    CAST(floor(sum(cap_tokens) / 2) AS BIGINT) AS budget
             FROM caps),
-    ordered AS (
+    ordered AS MATERIALIZED (
       SELECT c.lang, c.cap_tokens, c.w, t.budget, t.total_w,
              c.cap_tokens * 1.0 / c.w AS ratio,
              sum(c.cap_tokens) OVER win - c.cap_tokens AS prev_cap,
@@ -594,7 +604,7 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
              (o.budget - o.prev_cap) * 1.0 / (o.total_w - o.prev_w)
                AS lambda
       FROM ordered o JOIN cutc c ON o.pos = c.cut_pos),
-    alloc AS (
+    alloc AS MATERIALIZED (
       SELECT o.lang, o.cap_tokens, o.w,
              (o.pos < l.cut_pos) AS saturated,
              floor((CASE WHEN o.pos < l.cut_pos THEN o.cap_tokens * 1.0
