@@ -648,78 +648,27 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
 _CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(_FUNNEL_EXACT_MAX_REPS)
 
 
-@query(
-    "corpus_curation_pipeline",
-    oracle=_CURATION_PIPELINE_ORACLE,
-    doc="END-TO-END corpus curation over the FULL documents table as "
-    "one query: (A0) EXACT dedup — md5(text) hash groupBy per lang, "
-    "keeper = min doc_id (the linear tier that collapses a "
-    "replica-dense corpus before anything quadratic runs; the x100 "
-    "fixture is 100 exact copies of every base doc, so this stage "
-    "does 100x of the dropping); (A1) near-dup canonicalization on "
-    "the representatives — distinct 3-gram shingle Jaccard >= 0.5 "
-    "blocked by lang -> connected components -> keep the longest "
-    "member per cluster (min doc_id tie); (B) Gopher-style quality "
-    "gate on the keepers (word-count bounds, mean-word-length bounds, "
-    "min stopword occurrences, max single-word repetition share); "
-    "(C) water-filling token-budget allocation across languages over "
-    "the gated capacity (budget = half the gated tokens; saturated "
-    "langs take their cap, the rest split the remainder per doc-count "
-    "weight); (D) EXACT stratified sample per lang at the "
-    "water-filled token rate — ceil(n_docs * alloc/cap) docs in "
-    "Knuth-mix order, with sampled_id_sum pinning WHICH docs were "
-    "chosen. One row per surviving language: the funnel a curation "
-    "run publishes (input -> exact-unique -> canonical -> gated -> "
-    "allocated -> sampled). Stages reuse verified disciplines "
-    "(dedup_exact_stats hashing, dedup_cluster_canonical components, "
-    "gopher_quality_gate rules, budget_water_filling algebra, "
-    "stratified_sample_exact permutation) but the DIFFERENTIAL is "
-    "end-to-end: stage handoffs (keeper sets, gate survivors, rate "
-    "algebra) are exactly what per-stage oracles cannot see. Scale: "
-    "the only full-corpus shuffles are the exact-hash groupBy and the "
-    "per-lang count; the pair stage runs on distinct-text "
-    "REPRESENTATIVES only and VOLUME-GATES its tier (round 12): "
-    "<= 20k reps run the exact shingle equi-join, above it MinHash-"
-    "banded candidates (16 signature-pair bands, r=2/b=16 — P(miss) "
-    "= (1-j²)^16 = 1.0% at the J=0.5 gate, and a pair band key so a "
-    "hot min-shingle cannot bucket the corpus) feed the identical "
-    "exact "
-    "integer-Jaccard verify on candidates only, so a non-replica-"
-    "dense corpus (reps ~ corpus) never pays the Σ df² self-join; "
-    "the oracle replays the dispatch from the same count. Components "
-    "use "
-    "pointer-jumping localCheckpoint rounds, allocation windows run "
-    "over the |languages| relation (bounded state), and the sample "
-    "window is stratum-partitioned — no global sort anywhere.",
-)
-def corpus_curation_pipeline(
-    spark, sf_dir, exact_max_reps: int = _FUNNEL_EXACT_MAX_REPS
-):
-    from pyspark.sql import Window
+def _funnel_pair_tier(ex0, n_reps: int, exact_max_reps: int):
+    """The funnel's volume-gated near-dup pair stage over the
+    exact-dedup representative relation ``ex0`` (doc_id, lang, text,
+    n_chars): returns the (id_a, id_b) Jaccard >= 0.5 pairs. Module-
+    level rather than inlined in the registered query so the plan
+    lint can inspect its FULL lineage — the funnel consumes it inside
+    eager checkpoints, which truncate the explain output the
+    HOF-in-Filter guard reads; the round-11
+    InferFiltersFromConstraints regression (isnotnull(size(<inlined
+    shingle transform>)) synthesized into scan-side Filters, 8x on
+    the stage) was invisible in the final plan for exactly that
+    reason (tests/test_plans.py::
+    test_funnel_pair_tier_keeps_hofs_out_of_filters)."""
     from pyspark.sql import functions as F
 
     from dso_import_spark.functions.text import tokens, word_hash32
     from dso_import_spark.operators.dedup import (
-        connected_components,
         minhash_sig_cols,
         shingle_array_from_tokens,
     )
 
-    (docs,) = tables(spark, sf_dir, "documents")
-    # (A0) exact dedup: hash groupBy — all group members share text,
-    # so max(text)/min(n_chars) are value-deterministic picks.
-    # Eagerly checkpointed: FIVE downstream actions consume the
-    # representative set (shingle pairs, components' edge checkpoint,
-    # keeper window, gate explode, uniq counts) and each would re-run
-    # the full-corpus md5 groupBy — measured 1.3-4.6 s per recompute
-    # at sf0.1 vs a one-shot executor-local checkpoint of ~|distinct
-    # texts| rows (the relation a production run would materialize as
-    # the dedup output table anyway)
-    ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
-        F.max("text").alias("text"),
-        F.min("doc_id").alias("doc_id"),
-        F.min("n_chars").alias("n_chars"),
-    ).localCheckpoint(eager=True)
     # (A1) shingle near-dup canonicalization on the representatives
     toks = ex0.select(
         "doc_id", "lang", "n_chars", tokens("text").alias("t")
@@ -736,12 +685,11 @@ def corpus_curation_pipeline(
         F.size("s").cast("long").alias("n_sh"),
         F.explode("s").alias("shingle"),
     )
-    # Volume-gated pair tier (round 12): one cheap count on the
-    # eagerly-checkpointed representative relation decides the tier —
-    # the connected_components small_graph_edges posture. The oracle
+    # Volume-gated dispatch (round 12): n_reps is one cheap count on
+    # the eagerly-checkpointed representative relation — the
+    # connected_components small_graph_edges posture. The oracle
     # replays the SAME dispatch from the same count, so the
     # differential certifies whichever tier ran.
-    n_reps = ex0.count()
     if n_reps <= exact_max_reps:
         # exact tier: every shared shingle self-joins — Σ df² cost,
         # correct and fastest when the exact-hash stage collapsed the
@@ -850,6 +798,81 @@ def corpus_curation_pipeline(
         >= F.coalesce(F.col("n_a"), F.lit(0))
         + F.coalesce(F.col("n_b"), F.lit(0))
     ).select("id_a", "id_b")
+    return pairs
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=_CURATION_PIPELINE_ORACLE,
+    doc="END-TO-END corpus curation over the FULL documents table as "
+    "one query: (A0) EXACT dedup — md5(text) hash groupBy per lang, "
+    "keeper = min doc_id (the linear tier that collapses a "
+    "replica-dense corpus before anything quadratic runs; the x100 "
+    "fixture is 100 exact copies of every base doc, so this stage "
+    "does 100x of the dropping); (A1) near-dup canonicalization on "
+    "the representatives — distinct 3-gram shingle Jaccard >= 0.5 "
+    "blocked by lang -> connected components -> keep the longest "
+    "member per cluster (min doc_id tie); (B) Gopher-style quality "
+    "gate on the keepers (word-count bounds, mean-word-length bounds, "
+    "min stopword occurrences, max single-word repetition share); "
+    "(C) water-filling token-budget allocation across languages over "
+    "the gated capacity (budget = half the gated tokens; saturated "
+    "langs take their cap, the rest split the remainder per doc-count "
+    "weight); (D) EXACT stratified sample per lang at the "
+    "water-filled token rate — ceil(n_docs * alloc/cap) docs in "
+    "Knuth-mix order, with sampled_id_sum pinning WHICH docs were "
+    "chosen. One row per surviving language: the funnel a curation "
+    "run publishes (input -> exact-unique -> canonical -> gated -> "
+    "allocated -> sampled). Stages reuse verified disciplines "
+    "(dedup_exact_stats hashing, dedup_cluster_canonical components, "
+    "gopher_quality_gate rules, budget_water_filling algebra, "
+    "stratified_sample_exact permutation) but the DIFFERENTIAL is "
+    "end-to-end: stage handoffs (keeper sets, gate survivors, rate "
+    "algebra) are exactly what per-stage oracles cannot see. Scale: "
+    "the only full-corpus shuffles are the exact-hash groupBy and the "
+    "per-lang count; the pair stage runs on distinct-text "
+    "REPRESENTATIVES only and VOLUME-GATES its tier (round 12): "
+    "<= 20k reps run the exact shingle equi-join, above it MinHash-"
+    "banded candidates (16 signature-pair bands, r=2/b=16 — P(miss) "
+    "= (1-j²)^16 = 1.0% at the J=0.5 gate, and a pair band key so a "
+    "hot min-shingle cannot bucket the corpus) feed the identical "
+    "exact "
+    "integer-Jaccard verify on candidates only, so a non-replica-"
+    "dense corpus (reps ~ corpus) never pays the Σ df² self-join; "
+    "the oracle replays the dispatch from the same count. Components "
+    "use "
+    "pointer-jumping localCheckpoint rounds, allocation windows run "
+    "over the |languages| relation (bounded state), and the sample "
+    "window is stratum-partitioned — no global sort anywhere.",
+)
+def corpus_curation_pipeline(
+    spark, sf_dir, exact_max_reps: int = _FUNNEL_EXACT_MAX_REPS
+):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.dedup import connected_components
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    # (A0) exact dedup: hash groupBy — all group members share text,
+    # so max(text)/min(n_chars) are value-deterministic picks.
+    # Eagerly checkpointed: FIVE downstream actions consume the
+    # representative set (shingle pairs, components' edge checkpoint,
+    # keeper window, gate explode, uniq counts) and each would re-run
+    # the full-corpus md5 groupBy — measured 1.3-4.6 s per recompute
+    # at sf0.1 vs a one-shot executor-local checkpoint of ~|distinct
+    # texts| rows (the relation a production run would materialize as
+    # the dedup output table anyway)
+    ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max("text").alias("text"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_chars").alias("n_chars"),
+    ).localCheckpoint(eager=True)
+    # (A1) near-dup pair tier on the representatives — module-level
+    # helper so the plan lint can inspect its FULL lineage (the eager
+    # checkpoints below truncate what the final explain shows; see
+    # _funnel_pair_tier)
+    pairs = _funnel_pair_tier(ex0, ex0.count(), exact_max_reps)
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -538,7 +538,15 @@ def test_no_query_filters_on_a_higher_order_expression(spark, sf_dir, qs):
         plan = plan_of(fn(spark, sf_dir), "simple")
         for line in plan.splitlines():
             stripped = line.lstrip(" :+-*")
-            if stripped.startswith("Filter ") and "lambdafunction(" in stripped:
+            # isnotnull(size(: the InferFiltersFromConstraints variant
+            # of the same class (round 11) — a synthesized null gate
+            # on an aliased array size inlines the whole array
+            # pipeline scan-side even when the lambda itself is
+            # hidden behind another alias
+            if stripped.startswith("Filter ") and (
+                "lambdafunction(" in stripped
+                or "isnotnull(size(" in stripped
+            ):
                 offenders.append(name)
                 break
     assert not offenders, offenders
@@ -690,3 +698,86 @@ def test_rfm_is_window_free(spark, sf_dir, qs):
     plan = plan_of(qs["rfm_segmentation"](spark, sf_dir), "simple")
     assert "Window" not in plan
     assert "percentile" in plan
+
+
+def test_funnel_pair_tier_keeps_hofs_out_of_filters(spark, sf_dir):
+    """Round-12 static guard for the round-11 regression class
+    (VERDICT r11 #5): a bare null-intolerant comparison over columns
+    whose alias chain reaches the shingle transform lets
+    InferFiltersFromConstraints synthesize
+    isnotnull(size(transform(...))) into scan-side Filters on both
+    pair-join branches (8x on the stage, caught by the bench, not the
+    suite — the final funnel plan hides the stage behind eager
+    checkpoints). This inspects the pair tier's FULL lineage via the
+    module-level _funnel_pair_tier, in BOTH dispatch tiers, and also
+    re-creates the dc9a6ef bare-gate shape to prove the matcher would
+    have caught it."""
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.queries_pkg.compositions import _funnel_pair_tier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max("text").alias("text"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+    def hof_filters(df):
+        hits = []
+        for line in plan_of(df, "simple").splitlines():
+            stripped = line.lstrip(" :+-*")
+            if stripped.startswith("Filter ") and (
+                "lambdafunction(" in stripped
+                or "isnotnull(size(" in stripped
+            ):
+                hits.append(stripped[:160])
+        return hits
+
+    # both tiers of the shipped gate: clean
+    assert hof_filters(_funnel_pair_tier(ex0, 10, 100)) == []
+    assert hof_filters(_funnel_pair_tier(ex0, 100, 10)) == []
+
+    # the dc9a6ef shape (bare integer gate, no coalesce armor) MUST
+    # trip the matcher — guard-of-the-guard: if Spark ever stops
+    # inlining the synthesized isnotnull into a Filter this assert
+    # goes red and the guard needs a new matcher, not deletion
+    ex = ex0.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", r"\s+")) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.split("text", r"\s+"), i),
+                        F.element_at(F.split("text", r"\s+"), i + 1),
+                    ),
+                )
+            )
+        ).cast("long").alias("n_sh"),
+        F.explode(
+            F.array_distinct(F.split("text", r"\s+"))
+        ).alias("shingle"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    bare = shared.filter(
+        F.col("n_shared") * 3 >= F.col("n_a") + F.col("n_b")
+    ).select("id_a", "id_b")
+    assert hof_filters(bare), "matcher no longer trips on the bare gate"

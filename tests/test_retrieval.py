@@ -568,3 +568,44 @@ def test_kernel_property_vs_numpy_model(spark, rows, k, n_probe, exclude):
     # across DIFFERENT mean vectors improbable; compare exactly and
     # let hypothesis shrink any disagreement
     assert got == want
+
+
+def test_ragged_contract_kernel_drops_oracle_raises(spark, tmp_path):
+    # round 12 (VERDICT r11 #6): the ragged-input contract pinned in
+    # the SUITE instead of docstring-only (operators/ann_kernel.py
+    # "Ragged rows carry no comparable geometry — drop"): on a corpus
+    # with a ragged-dim row, the kernel DROPS it (never a neighbor,
+    # no crash) while the DuckDB oracle RAISES (list_dot_product
+    # rejects unequal list lengths) — a deliberate, documented
+    # divergence, so differential fixtures must omit ragged rows.
+    import duckdb
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common", "en", f"s{i % 2}", 8) for i in [0, 3, 9, 101]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (3, [0.9, 0.1], 0),
+            (9, [0.1, 0.2, 0.3], 0),  # ragged: 3 dims in a 2-dim cell
+            (101, [0.6, 0.4], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    emb.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    spec = REGISTRY["ann_multiprobe_topk"]
+    rows = spec.spark(spark, str(tmp_path)).collect()
+    assert rows, "kernel produced nothing on the ragged corpus"
+    assert all(r.neighbor_id != 9 for r in rows), rows
+    assert all(r.query_id != 9 for r in rows), rows
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    with pytest.raises(duckdb.Error, match="(?i)length|NULL"):
+        con.sql(spec.oracle).fetchall()
