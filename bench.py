@@ -87,18 +87,17 @@ HEADLINE = [
 # separate keys so headline_total stays round-over-round comparable.
 # Rotate the picks each round toward whatever is newest/least-timed.
 BENCH_EXTRA = [
-    # round 11: the new end-to-end curation composition gets its first
-    # driver wall time (note ann_lsh_topk is in HEADLINE — its r11
-    # kernel re-shape is tracked there on the comparable series)...
+    # round 12: the four queries whose shape changed this round — the
+    # funnel (volume-gated pair tier), the two water-filling
+    # allocations (floor-scaled rounding + NULLS-LAST tiebreak;
+    # stratified sample also bucket-offset re-ranked), and the PQ
+    # composition (NULL hygiene + persisted-index split, whose
+    # build/query receipt is timed separately below). The r10
+    # retrieval compositions rotate out with two datapoints on record.
     "corpus_curation_pipeline",
-    # ...and the round-10 retrieval compositions keep their slot one
-    # more round (BENCH_r10 recorded their first wall times; one more
-    # driver datapoint pins the trend). The r9 mlops5/graph batch
-    # rotates out with two datapoints on record.
-    "retrieval_hybrid_topk",
-    "rerank_hashed_crossencoder",
-    "ann_multiprobe_topk",
-    "ann_crosssource_topk",
+    "stratified_sample_exact",
+    "budget_water_filling",
+    "ann_ivf_pq_topk",
 ]
 
 
@@ -122,12 +121,18 @@ def main() -> None:
     # same-code spread on the total between driver sessions (round-4
     # adjudication); three brings back-to-back totals within ~5%.
     timings: dict[str, float] = {}
+    # per-repeat readings (VERDICT r11 #7): today's slot oscillation is
+    # ±25%, so the artifact carries the BAND, not just the best point —
+    # readings[i] = the headline total if only repeat i had run
+    reads = [0.0, 0.0, 0.0]
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            reads[i] += dt
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     extra: dict[str, float] = {}
@@ -138,6 +143,40 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
+
+    # round 12: the PQ index build/query split (VERDICT r11 #3) — the
+    # one-time Lloyd train + corpus encode lands as parquet (a
+    # production index build), then the query-only path replays
+    # against it; the two numbers land under separate extra keys so
+    # the amortized query cost is visible next to ann_ivf_pq_topk's
+    # inline (build-included) time
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from dso_import_spark.operators.ann_kernel import (
+        ivf_pq_topk_arrow,
+        pq_index_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") % 101 == 0)
+    idx = tempfile.mkdtemp(prefix="pq_index_")
+    try:
+        t0 = time.perf_counter()
+        pq_index_write(emb, idx)
+        extra["pq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ivf_pq_topk_arrow(
+                qdf, emb.limit(0), topk=5, index_path=idx
+            ).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        extra["ann_ivf_pq_query_only"] = round(best, 3)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     # key order matters operationally: the driver records a bounded
@@ -154,6 +193,7 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "extra_total_sec": round(sum(extra.values()), 3),
+                "readings": [round(r, 3) for r in reads],
                 "sf": _sf_from_dir(SF_DIR),
                 "unit": "sec",
                 "value": total,

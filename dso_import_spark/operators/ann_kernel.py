@@ -470,6 +470,7 @@ def ivf_pq_topk_arrow(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_scale: int = 6,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF+PQ on the broadcast-workload Arrow kernel — the 100 TB
     shape of ``operators/similarity.ivf_pq_topk`` (same routing, same
@@ -509,9 +510,21 @@ def ivf_pq_topk_arrow(
     # a NaN code crashes to_numpy(dtype=int64), where the HOF form it
     # replaced degraded gracefully (round-11 advisory)
     valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
-    corpus = corpus.filter(valid & F.col(label_col).isNotNull())
     queries = queries.filter(valid)
-    cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
+    if index_path is not None:
+        # query-only path (round 12): routing centroids, codebooks and
+        # the coded corpus come from a persisted pq_index_write index —
+        # the corpus argument is not touched (the 26.7 s one-time
+        # train+encode is amortized across query batches, as in
+        # production); every persisted value is an exact parquet type,
+        # so scoring is bit-identical to the inline path
+        books, sub, m, k_codes, round_scale, cents_df, coded = (
+            pq_index_read(spark, index_path)
+        )
+        cents = F.broadcast(cents_df)
+    else:
+        corpus = corpus.filter(valid & F.col(label_col).isNotNull())
+        cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
@@ -535,14 +548,15 @@ def ivf_pq_topk_arrow(
         .filter(F.col("rn") == 1)
         .select("query_id", "qv", "label")
     )
-    z = corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        F.col(label_col).alias("label"),
-        as_double(F.col(vec_col)).alias("ve"),
-    )
-    books, sub, coded = _pq_encode(
-        z, m, k_codes, iters, round_scale, extra_cols=("label",)
-    )
+    if index_path is None:
+        z = corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            as_double(F.col(vec_col)).alias("ve"),
+        )
+        books, sub, coded = _pq_encode(
+            z, m, k_codes, iters, round_scale, extra_cols=("label",)
+        )
     qtabs = _pq_query_tables(routed, books, sub, m, extra_cols=("label",))
     # the bounded workload collect: |Q| rows of m x k_codes doubles,
     # values computed by the SAME Column expressions the join form
@@ -609,3 +623,89 @@ def ivf_pq_topk_arrow(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (round 12, VERDICT r11 #3): split the one-time
+# Lloyd train + corpus encode (the 26.7 s of ann_ivf_pq_topk's 35 s
+# x100 receipt) from query scoring, the way a production ANN service
+# does — codebooks, routing centroids and the coded corpus land as
+# parquet under a warehouse path and any number of query batches replay
+# against them bit-identically.
+# ---------------------------------------------------------------------------
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    m: int = 2,
+    k_codes: int = 4,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 6,
+) -> None:
+    """Train and persist the IVF-PQ index for ``corpus``:
+
+    - ``{path}/centroids.parquet`` — per-label routing centroids
+      (label, centroid array<double>);
+    - ``{path}/codebooks.parquet`` — one row per (subspace j, code c)
+      with the centroid vector and the index meta (m, k_codes, sub,
+      round_scale) denormalized onto every row (m·k_codes rows — meta
+      costs nothing and needs no second file);
+    - ``{path}/coded.parquet`` — the coded corpus
+      (neighbor_id, label, c0..c{m-1}), a few bytes per vector.
+
+    Training/encoding is EXACTLY ``ivf_pq_topk_arrow``'s inline stage
+    (shared ``_pq_encode``, same NULL hygiene), and every persisted
+    value is an exact type (double/int round-trip parquet bit-exactly),
+    so an indexed query replays the inline form bit-identically —
+    pinned by tests/test_pq.py::test_persisted_index_replays_inline.
+    """
+    from dso_import_spark.operators.similarity import _pq_encode
+
+    spark = corpus.sparkSession
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    corpus = corpus.filter(valid & F.col(label_col).isNotNull())
+    cents = centroids_by_label(corpus, label_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    z = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double(F.col(vec_col)).alias("ve"),
+    )
+    books, sub, coded = _pq_encode(
+        z, m, k_codes, iters, round_scale, extra_cols=("label",)
+    )
+    rows = [
+        (j, c, list(books[j][c]), m, k_codes, sub, round_scale)
+        for j in range(m)
+        for c in range(len(books[j]))
+    ]
+    spark.createDataFrame(
+        rows,
+        "j int, c int, cv array<double>, m int, k_codes int, sub int, "
+        "round_scale int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks.parquet"
+    )
+    coded.write.mode("overwrite").parquet(f"{path}/coded.parquet")
+
+
+def pq_index_read(spark, path: str):
+    """Load a ``pq_index_write`` index: returns (books, sub, m,
+    k_codes, round_scale, cents DataFrame, coded DataFrame)."""
+    brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
+    meta = brows[0]
+    m, k_codes, sub, round_scale = (
+        meta["m"], meta["k_codes"], meta["sub"], meta["round_scale"]
+    )
+    books: list[list[list[float]]] = [
+        [None] * k_codes for _ in range(m)
+    ]
+    for r in brows:
+        books[r["j"]][r["c"]] = list(r["cv"])
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    coded = spark.read.parquet(f"{path}/coded.parquet")
+    return books, sub, m, k_codes, round_scale, cents, coded
