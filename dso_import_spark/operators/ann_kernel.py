@@ -517,10 +517,22 @@ def ivf_pq_topk_arrow(
         # the corpus argument is not touched (the 26.7 s one-time
         # train+encode is amortized across query batches, as in
         # production); every persisted value is an exact parquet type,
-        # so scoring is bit-identical to the inline path
+        # so scoring is bit-identical to the inline path.
+        # m/k_codes/round_scale are INDEX-OWNED on this path (iters is
+        # train-only and ignored): a caller-supplied mismatch raises
+        # rather than silently serving the index's quantization
+        # (review pass 1)
+        req = (m, k_codes, round_scale)
         books, sub, m, k_codes, round_scale, cents_df, coded = (
             pq_index_read(spark, index_path)
         )
+        if req != (m, k_codes, round_scale):
+            raise ValueError(
+                f"pq index at {index_path} was built with (m, k_codes, "
+                f"round_scale)={(m, k_codes, round_scale)}, caller "
+                f"requested {req} — rebuild the index or match its "
+                "parameters"
+            )
         cents = F.broadcast(cents_df)
     else:
         corpus = corpus.filter(valid & F.col(label_col).isNotNull())

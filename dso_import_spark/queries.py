@@ -148,7 +148,7 @@ FORCE_REVERIFY: list[str] = []
 # added mid-round go at the HEAD of the FRONT. Recompute with
 # `python -m dso_import_spark.rotation` when rotating.
 ROUND13_QUEUE = [
-    # the three r5-era picks displaced when the round-12 behavior
+    # the four r5-era picks displaced when the round-12 behavior
     # changes took the front's head slots
     "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
     "bpe_regex_token_count",

@@ -472,7 +472,14 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
     re-run the whole upstream pipeline — recursive closure included —
     once per reference (measured 267 s at sf0.01 inlined vs ~8 s
     materialized; the Spark side checkpoints the same relations for
-    the same reason)."""
+    the same reason).
+
+    Known limitation (review pass 1): SQL cannot prune the dead tier —
+    DuckDB computes BOTH pair pipelines and filters afterwards, so the
+    differential is only feasible where the EXACT tier is feasible
+    (sf<=0.1-scale fixtures; the banded tier is certified cross-engine
+    by the gate=1 fixtures, and at scale by the Spark-side
+    exact-vs-banded agreement test + the x100 receipts)."""
     sig_lines = ",\n             ".join(
         _funnel_sig_sql(i) for i in range(_FUNNEL_HASHES)
     )
@@ -1029,6 +1036,11 @@ def corpus_curation_pipeline(
         )
     )
     w_in = Window.partitionBy("lang", "bkt").orderBy("skey", "doc_id")
+    # deliberately null-INTOLERANT stratum join: a NULL-lang stratum
+    # never reaches the output on either engine (the final per-lang
+    # result joins drop it — USING(lang) in the oracle), so eqNullSafe
+    # here would only add cost; contrast stratified_sample_exact,
+    # where NULL strata ARE output rows and the join must be null-safe
     ranked = keyed.join(F.broadcast(boff), ["lang", "bkt"]).select(
         "lang",
         "doc_id",

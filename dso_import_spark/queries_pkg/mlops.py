@@ -275,39 +275,58 @@ def stratified_sample_exact(spark, sf_dir):
         skey.alias("skey"),
         F.shiftright(skey, _SBUCKET_SHIFT).alias("bkt"),
     )
-    tot = keyed.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
+    # one bounded aggregate serves both the offsets and the stratum
+    # totals (review pass 1: a separate tot groupBy was a third full
+    # corpus scan)
+    bstats = keyed.groupBy("lang", "source", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("btot")
     )
     w_off = (
         Window.partitionBy("lang", "source")
         .orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boff = (
-        keyed.groupBy("lang", "source", "bkt")
-        .agg(F.count(F.lit(1)).cast("long").alias("btot"))
-        .select(
-            "lang",
-            "source",
-            "bkt",
-            F.coalesce(F.sum("btot").over(w_off), F.lit(0))
-            .cast("long")
-            .alias("off"),
-        )
+    w_all = Window.partitionBy("lang", "source")
+    boff = bstats.select(
+        "lang",
+        "source",
+        "bkt",
+        F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+        F.sum("btot").over(w_all).cast("long").alias("n_total"),
     )
     w_in = Window.partitionBy("lang", "source", "bkt").orderBy(
         "skey", "doc_id"
     )
-    ranked = (
-        keyed.join(F.broadcast(boff), ["lang", "source", "bkt"])
-        .select(
-            "lang",
-            "source",
-            "doc_id",
-            "n_chars",
-            (F.col("off") + F.row_number().over(w_in)).alias("rn"),
-        )
-        .join(F.broadcast(tot), ["lang", "source"])
+    # NULL-SAFE stratum join (review pass 1, reproduced divergence):
+    # NULL lang/source are strata — DuckDB's PARTITION BY/GROUP BY
+    # keep them, and the pre-round-12 pure-window form did too; a
+    # null-intolerant equi-join here silently dropped every NULL-key
+    # stratum from the sample
+    k, o = keyed.alias("k"), boff.alias("o")
+    ranked = k.join(
+        F.broadcast(o),
+        F.col("k.lang").eqNullSafe(F.col("o.lang"))
+        & F.col("k.source").eqNullSafe(F.col("o.source"))
+        & F.col("k.bkt").eqNullSafe(F.col("o.bkt")),
+    ).select(
+        F.col("k.lang").alias("lang"),
+        F.col("k.source").alias("source"),
+        F.col("k.skey").alias("skey"),
+        F.col("k.bkt").alias("bkt"),
+        F.col("k.doc_id").alias("doc_id"),
+        F.col("k.n_chars").alias("n_chars"),
+        F.col("o.off").alias("off"),
+        F.col("o.n_total").alias("n_total"),
+    )
+    ranked = ranked.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        "n_total",
+        (F.col("off") + F.row_number().over(w_in)).alias("rn"),
     )
     picked = F.col("rn") <= F.ceil(F.col("n_total") * _RATE).cast("long")
     return ranked.groupBy("lang", "source").agg(

@@ -380,3 +380,43 @@ def test_selectivity_estimate_is_within_tolerance(spark, sf_dir):
     ).collect()
     assert r["within_tol"]
     assert 0.0 <= r["est_sel"] <= 1.0 and 0.0 <= r["actual_sel"] <= 1.0
+
+
+def test_stratified_sample_keeps_null_key_strata(spark, tmp_path):
+    # round-12 review pass 1 (reproduced divergence): the bucket-offset
+    # re-shape's stratum join must be NULL-SAFE — NULL lang/source ARE
+    # strata (DuckDB PARTITION BY/GROUP BY keep them, as did the
+    # pre-round-12 pure-window form); a null-intolerant equi-join
+    # silently dropped every NULL-key stratum from the sample.
+    import duckdb
+
+    rows = [
+        (
+            i,
+            f"text {i}",
+            None if i % 3 == 0 else "en",
+            None if i % 2 == 0 else "s1",
+            10 + i,
+        )
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    spec = REGISTRY["stratified_sample_exact"]
+    srows = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(
+        tuple(str(x) for x in r) for r in con.sql(spec.oracle).fetchall()
+    )
+    assert srows == drows, (srows, drows)
+    assert len(srows) == 4  # (NULL,NULL), (NULL,s1), (en,NULL), (en,s1)

@@ -12,8 +12,9 @@ from __future__ import annotations
 from dso_import_spark.queries import REGISTRY, ROUND12_FRONT, ROUND13_QUEUE
 
 FRONT_50 = [
-    # round-12 rotation: the three behavior-changed queries from the
-    # advisory-fix commit first, then the dep-aware stale backlog
+    # round-12 rotation: the four behavior-changed queries first
+    # (three from the advisory-fix commit + the bucket-offset sample
+    # re-shape), then the dep-aware stale backlog
     # oldest-driver-evidence-first (the head of the round-11 staging).
     "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
     "stratified_sample_exact",
