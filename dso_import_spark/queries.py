@@ -90,66 +90,14 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
     retrieval,
 )
 
-# ROUND 12 FRONT BLOCK (applied): zero never-verified rows remain, so
-# the whole front keeps draining the dep-aware stale backlog — the 50
-# staged at the head of last round's ROUND12_QUEUE, confirmed against
-# `python -m dso_import_spark.rotation` this round (131 stale greens;
-# the r4/r5 windows/analytics/ANN-era rows lead, then the r5/r6
-# streaming + dedup blocks). New queries born this round go at the
-# HEAD (cadence rule).
-ROUND12_FRONT = [
-    # (-1) behavior-changed THIS round (r12): the PQ kernel gained the
-    # NULL-hygiene filter (+ matching oracle zall filter), and the two
-    # water-filling allocations moved to engine-mirrored floor-scaled
-    # rounding + NULLS-LAST lang tiebreaks — their r11 greens are
-    # genuinely stale, so they take the head slots
-    "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
-    "stratified_sample_exact",
-    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
-    "group_exact_percentiles", "revenue_share_window",
-    "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
-    "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
-    "ridge_regression_normal_eq", "dp_sensitivity_audit",
-    "selectivity_estimate_cert", "approx_distinct_sketch",
-    "approx_quantile_sketch", "grouping_sets_revenue",
-    "stream_tumbling_hour", "stream_session_windows",
-    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
-    "stream_upsert_state", "dedup_exact_stats", "dedup_prefix_groups",
-    "dedup_ngram_jaccard", "dedup_minhash_banded",
-    "incremental_corpus_dedup", "dedup_substring_spans",
-    "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
-    "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
-    "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
-    "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
-    "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
-    "udaf_geometric_mean", "udtf_sentence_split",
-]
-
-# Highest CORRECTNESS_r{N} round the front block above was chosen
-# against: queries green in rounds <= this were deliberately excluded
-# (unless stale or FORCE_REVERIFY). Bump when rotating
-# (tests/test_rotation.py checks the choice against exactly these
-# rounds, so a *new* round's results landing mid-cycle doesn't
-# retroactively red the suite).
-FRONT_CHOSEN_AGAINST_ROUND = 11
-
-# Deliberate evidence-freshness picks that are neither never-verified
-# nor dep-stale. Empty this round: the dep-aware stale set (131 rows)
-# exceeds the front budget on its own, so every slot goes to genuinely
-# stale evidence — spending one on a fresh-green row would be waste.
-FORCE_REVERIFY: list[str] = []
-
-# ROUND 13 QUEUE (pre-staged): the dep-stale backlog the round-12
-# front could not fit — same oldest-driver-evidence-first order as the
-# round-11 staging (r5 mlops/streaming rows, then the r5/r6 tpch-era
-# block, then the rows re-staled by round-11's own edits, whose r10
-# evidence is the freshest in the queue). Surplus driver budget (or
-# the next rotation) lands here before any fresh green. New queries
-# added mid-round go at the HEAD of the FRONT. Recompute with
-# `python -m dso_import_spark.rotation` when rotating.
-ROUND13_QUEUE = [
-    # the four r5-era picks displaced when the round-12 behavior
-    # changes took the front's head slots
+# ROUND 13 FRONT BLOCK (applied): zero never-verified rows remain, so
+# the whole front keeps draining the dep-aware stale backlog — exactly
+# the head of last round's pre-staged ROUND13_QUEUE, confirmed against
+# `python -m dso_import_spark.rotation` this round (109 stale greens,
+# set-equal to the staged queue: the r5-era mlops/streaming/semdedup
+# rows lead, then the r5/r6 tpch-era block). New queries born this
+# round go at the HEAD (cadence rule).
+ROUND13_FRONT = [
     "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
     "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
@@ -170,7 +118,33 @@ ROUND13_QUEUE = [
     "equi_depth_histogram", "equi_depth_histogram_approx",
     "compaction_bin_packing", "pivot_event_matrix",
     "skyline_pareto_frontier", "theil_sen_trend", "q10_returned_items",
-    "q11_important_balances", "q12_late_shipment_priority",
+    "q11_important_balances",
+]
+
+# Highest CORRECTNESS_r{N} round the front block above was chosen
+# against: queries green in rounds <= this were deliberately excluded
+# (unless stale or FORCE_REVERIFY). Bump when rotating
+# (tests/test_rotation.py checks the choice against exactly these
+# rounds, so a *new* round's results landing mid-cycle doesn't
+# retroactively red the suite).
+FRONT_CHOSEN_AGAINST_ROUND = 12
+
+# Deliberate evidence-freshness picks that are neither never-verified
+# nor dep-stale. Empty this round: the dep-aware stale set (109 rows)
+# exceeds the front budget on its own, so every slot goes to genuinely
+# stale evidence — spending one on a fresh-green row would be waste.
+FORCE_REVERIFY: list[str] = []
+
+# ROUND 14 QUEUE (pre-staged): the dep-stale backlog the round-13
+# front could not fit — same oldest-driver-evidence-first order as the
+# round-12 staging (the r5/r6 tpch-era tail, then the retrieval/ANN
+# certification block, then the rows re-staled by round-12's own
+# edits, whose r8-r11 evidence is the freshest in the queue). Surplus
+# driver budget (or the next rotation) lands here before any fresh
+# green. New queries added mid-round go at the HEAD of the FRONT.
+# Recompute with `python -m dso_import_spark.rotation` when rotating.
+ROUND14_QUEUE = [
+    "q12_late_shipment_priority",
     "q13_customer_order_distribution", "q14_promo_revenue",
     "q16_supplier_part_counts", "q22_idle_customers", "q01_pricing_summary",
     "q03_top_revenue_orders", "q06_forecast_revenue",
@@ -218,4 +192,4 @@ def _apply_front_block(front: list[str], then: list[str] = ()) -> None:
     REGISTRY.update(reordered)
 
 
-_apply_front_block(ROUND12_FRONT, ROUND13_QUEUE)
+_apply_front_block(ROUND13_FRONT, ROUND14_QUEUE)

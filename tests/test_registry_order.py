@@ -1,6 +1,6 @@
 """The external driver verifies registry entries front-to-back within
 a per-round budget (~50). The front block is therefore a deliberate,
-rotated choice (the explicit ROUND12_FRONT reorder in queries.py) — and
+rotated choice (the explicit ROUND13_FRONT reorder in queries.py) — and
 a new @query appended anywhere can no longer silently land inside the
 window, but a front-block edit still must be deliberate. This test
 pins the current front-50: when rotating (or deliberately front-
@@ -9,39 +9,41 @@ loading a new query), update this list in the same commit and say so.
 
 from __future__ import annotations
 
-from dso_import_spark.queries import REGISTRY, ROUND12_FRONT, ROUND13_QUEUE
+from dso_import_spark.queries import REGISTRY, ROUND13_FRONT, ROUND14_QUEUE
 
 FRONT_50 = [
-    # round-12 rotation: the four behavior-changed queries first
-    # (three from the advisory-fix commit + the bucket-offset sample
-    # re-shape), then the dep-aware stale backlog
-    # oldest-driver-evidence-first (the head of the round-11 staging).
-    "ann_ivf_pq_topk", "corpus_curation_pipeline", "budget_water_filling",
-    "stratified_sample_exact",
-    "asof_join_last_signup", "ntile_rank_analytics", "rolling_hour_stats",
-    "group_exact_percentiles", "revenue_share_window",
-    "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
-    "embedding_near_dup", "ivf_kmeans_train", "dq_expectations_report",
-    "ridge_regression_normal_eq", "dp_sensitivity_audit",
-    "selectivity_estimate_cert", "approx_distinct_sketch",
-    "approx_quantile_sketch", "grouping_sets_revenue",
-    "stream_tumbling_hour", "stream_session_windows",
-    "stream_dedup_delivery", "stream_user_totals", "stream_interval_join",
-    "stream_upsert_state", "dedup_exact_stats", "dedup_prefix_groups",
-    "dedup_ngram_jaccard", "dedup_minhash_banded",
-    "incremental_corpus_dedup", "dedup_substring_spans",
-    "calibration_ece_bins", "js_divergence_sources", "pmi_collocations",
-    "purged_timeseries_cv", "ndcg_at_k", "conformal_coverage_cert",
-    "smd_balance_check", "spatial_bbox_join", "shingle_containment_prefix",
-    "wkt_coerce_geometries", "date_parse_variants", "hash_split_train_test",
-    "dedup_cluster_components", "dedup_cluster_canonical", "sql_entry_point",
-    "udaf_geometric_mean", "udtf_sentence_split",
+    # round-13 rotation: zero never-verified rows, so the whole front
+    # drains the dep-aware stale backlog oldest-driver-evidence-first —
+    # exactly the head of the round-12 staging (r5-era mlops/streaming/
+    # semdedup rows, then the r5/r6 tpch-era block). Queries born this
+    # round take the head slots.
+    "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
+    "bpe_regex_token_count",
+    "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
+    "hopping_window_counts", "stream_hopping_hour", "stream_static_enrich",
+    "funnel_conversion", "gapfill_locf_hourly", "semdedup_prune",
+    "semdedup_prune_autok", "cohort_retention", "sliding_distinct_users",
+    "sparse_tfidf_topk", "activity_streaks", "mode_event_type",
+    "value_outliers_mad", "stream_session_dynamic_gap",
+    "decimal_money_totals", "schema_evolution_scan",
+    "partition_overwrite_merge", "cdc_apply_changes",
+    "boilerplate_ngram_mass", "bpe_pair_merge_counts",
+    "length_quantile_filter", "rfm_segmentation", "bitmap_exact_distinct",
+    "seasonal_baseline_residuals", "q02_min_cost_supplier",
+    "q07_volume_shipping", "q08_market_share", "q09_product_type_profit",
+    "q15_top_supplier", "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
+    "q05_nation_revenue", "set_ops_nations", "q17_small_quantity_revenue",
+    "equi_depth_histogram", "equi_depth_histogram_approx",
+    "compaction_bin_packing", "pivot_event_matrix",
+    "skyline_pareto_frontier", "theil_sen_trend", "q10_returned_items",
+    "q11_important_balances",
 ]
 
 
 def test_driver_front_block_is_deliberate():
     assert list(REGISTRY)[:50] == FRONT_50
-    assert ROUND12_FRONT == FRONT_50
+    assert ROUND13_FRONT == FRONT_50
 
 
 def test_front_covers_every_never_verified_query():
@@ -56,22 +58,22 @@ def test_front_covers_every_never_verified_query():
     green = green_queries(max_round=FRONT_CHOSEN_AGAINST_ROUND)
     never = [n for n in REGISTRY if n not in green]
     beyond = [n for n in never if n not in set(FRONT_50)]
-    assert set(beyond) == set(ROUND13_QUEUE[: len(beyond)]), beyond
+    assert set(beyond) == set(ROUND14_QUEUE[: len(beyond)]), beyond
 
 
-def test_round13_queue_is_staged():
+def test_round14_queue_is_staged():
     # every queued name is real, and none is already in the front block
-    assert set(ROUND13_QUEUE) <= set(REGISTRY)
-    assert not set(ROUND13_QUEUE) & set(FRONT_50)
+    assert set(ROUND14_QUEUE) <= set(REGISTRY)
+    assert not set(ROUND14_QUEUE) & set(FRONT_50)
     # the staged surplus sits directly behind the front block so extra
     # driver budget lands on it, never on random import order
-    assert list(REGISTRY)[50:50 + len(ROUND13_QUEUE)] == ROUND13_QUEUE
+    assert list(REGISTRY)[50:50 + len(ROUND14_QUEUE)] == ROUND14_QUEUE
     # front + queue covers the whole dep-stale backlog: together with
     # the front's never-verified coverage, registry order is fully
     # pinned oldest-evidence-first
     from dso_import_spark.rotation import stale_green
 
-    assert set(stale_green()) <= set(ROUND13_QUEUE) | set(FRONT_50)
+    assert set(stale_green()) <= set(ROUND14_QUEUE) | set(FRONT_50)
 
 
 def test_registry_names_appear_in_survey():

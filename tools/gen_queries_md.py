@@ -13,7 +13,7 @@ from dso_import_spark.queries import REGISTRY
 
 HEADER = """# QUERIES — registered query index
 
-Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-12 rotation (ROUND12_FRONT: zero never-verified rows remain since round 10's 286/286 milestone, so the whole front keeps draining the dep-aware stale backlog oldest-driver-evidence-first; queries born this round take the head slots), positions 51+ the pre-staged ROUND13_QUEUE (the rest of the stale backlog, oldest driver evidence first).
+Auto-generated from `dso_import_spark/queries.py` REGISTRY (regenerate with `python tools/gen_queries_md.py`). Every entry is a (Spark callable, DuckDB oracle) pair differentially checked at sf=0.01; `tests/test_queries_vs_duckdb.py` runs all of them, the external driver verifies front-to-back within its per-round budget — positions 1-50 are the round-13 rotation (ROUND13_FRONT: zero never-verified rows remain since round 10's 286/286 milestone, so the whole front keeps draining the dep-aware stale backlog oldest-driver-evidence-first; queries born this round take the head slots), positions 51+ the pre-staged ROUND14_QUEUE (the rest of the stale backlog, oldest driver evidence first).
 
 Total: {n} queries, all with SQL oracles.
 
