@@ -462,14 +462,14 @@ def ivf_pq_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
     topk: int = 5,
-    m: int = 2,
-    k_codes: int = 4,
-    iters: int = 2,
+    m: int | None = None,
+    k_codes: int | None = None,
+    iters: int | None = None,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    round_scale: int = 6,
+    round_scale: int | None = None,
     index_path: str | None = None,
 ) -> DataFrame:
     """IVF+PQ on the broadcast-workload Arrow kernel — the 100 TB
@@ -486,6 +486,14 @@ def ivf_pq_topk_arrow(
     workload: |Q| x m x k_codes doubles) so every looked-up value is
     bit-identical to what the join form would read; only the
     per-candidate lookup+sum+round+top-k moves into the kernel.
+
+    ``m``/``k_codes``/``iters``/``round_scale`` default to ``None``
+    sentinels so the two paths can tell "caller said nothing" from an
+    explicit request: inline they resolve to (2, 4, 2, 6); with
+    ``index_path`` the index owns them — an explicitly supplied
+    ``iters`` raises (training already happened at build time; r12
+    silently ignored it), and an explicit ``m``/``k_codes``/
+    ``round_scale`` must match the index or raise.
     Per-batch partial top-k under the FINAL (adc_dist2 asc,
     neighbor_id asc) order; the coded corpus (few bytes per vector,
     already checkpointed by ``_pq_encode``) streams through
@@ -518,23 +526,43 @@ def ivf_pq_topk_arrow(
         # train+encode is amortized across query batches, as in
         # production); every persisted value is an exact parquet type,
         # so scoring is bit-identical to the inline path.
-        # m/k_codes/round_scale are INDEX-OWNED on this path (iters is
-        # train-only and ignored): a caller-supplied mismatch raises
-        # rather than silently serving the index's quantization
-        # (review pass 1)
+        # m/k_codes/round_scale are INDEX-OWNED on this path and iters
+        # is train-only: an EXPLICITLY supplied value (non-None
+        # sentinel) that the index can't honor raises rather than
+        # being silently ignored/overridden (round-12 advisory: a
+        # caller requesting deeper training got the index's training
+        # with no signal)
+        if iters is not None:
+            raise ValueError(
+                "iters is a training-time parameter; with index_path "
+                "the index was already trained at build time — rebuild "
+                "the index with pq_index_write(iters=...) instead"
+            )
         req = (m, k_codes, round_scale)
         books, sub, m, k_codes, round_scale, cents_df, coded = (
             pq_index_read(spark, index_path)
         )
-        if req != (m, k_codes, round_scale):
+        mismatched = {
+            name: (want, got)
+            for name, want, got in zip(
+                ("m", "k_codes", "round_scale"), req,
+                (m, k_codes, round_scale),
+            )
+            if want is not None and want != got
+        }
+        if mismatched:
             raise ValueError(
                 f"pq index at {index_path} was built with (m, k_codes, "
                 f"round_scale)={(m, k_codes, round_scale)}, caller "
-                f"requested {req} — rebuild the index or match its "
-                "parameters"
+                f"explicitly requested {mismatched} — rebuild the index "
+                "or match its parameters"
             )
         cents = F.broadcast(cents_df)
     else:
+        m = 2 if m is None else m
+        k_codes = 4 if k_codes is None else k_codes
+        iters = 2 if iters is None else iters
+        round_scale = 6 if round_scale is None else round_scale
         corpus = corpus.filter(valid & F.col(label_col).isNotNull())
         cents = F.broadcast(centroids_by_label(corpus, label_col, vec_col))
     q = queries.select(
@@ -667,7 +695,19 @@ def pq_index_write(
       round_scale) denormalized onto every row (m·k_codes rows — meta
       costs nothing and needs no second file);
     - ``{path}/coded.parquet`` — the coded corpus
-      (neighbor_id, label, c0..c{m-1}), a few bytes per vector.
+      (neighbor_id, label, c0..c{m-1}), a few bytes per vector;
+    - ``{path}/meta.parquet`` — the completion marker, written LAST:
+      one row carrying the random ``build_id`` that is also
+      denormalized onto every row of the three data files.
+
+    A build that dies (or a concurrent rebuild that interleaves)
+    between the three data writes leaves either no marker or a marker
+    whose build_id disagrees with at least one file — ``pq_index_read``
+    checks both and raises instead of silently serving a
+    mixed-generation index (round-12 advisory). Every data file is
+    written atomically-enough by mode("overwrite") that it is
+    internally single-generation, so one fingerprint row per file is a
+    sufficient coherence probe.
 
     Training/encoding is EXACTLY ``ivf_pq_topk_arrow``'s inline stage
     (shared ``_pq_encode``, same NULL hygiene), and every persisted
@@ -675,13 +715,18 @@ def pq_index_write(
     so an indexed query replays the inline form bit-identically —
     pinned by tests/test_pq.py::test_persisted_index_replays_inline.
     """
+    import uuid
+
     from dso_import_spark.operators.similarity import _pq_encode
 
     spark = corpus.sparkSession
+    build_id = uuid.uuid4().hex
     valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     corpus = corpus.filter(valid & F.col(label_col).isNotNull())
     cents = centroids_by_label(corpus, label_col, vec_col)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    cents.withColumn("build_id", F.lit(build_id)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids.parquet")
     z = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(label_col).alias("label"),
@@ -691,23 +736,47 @@ def pq_index_write(
         z, m, k_codes, iters, round_scale, extra_cols=("label",)
     )
     rows = [
-        (j, c, list(books[j][c]), m, k_codes, sub, round_scale)
+        (j, c, list(books[j][c]), m, k_codes, sub, round_scale, build_id)
         for j in range(m)
         for c in range(len(books[j]))
     ]
     spark.createDataFrame(
         rows,
         "j int, c int, cv array<double>, m int, k_codes int, sub int, "
-        "round_scale int",
+        "round_scale int, build_id string",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/codebooks.parquet"
     )
-    coded.write.mode("overwrite").parquet(f"{path}/coded.parquet")
+    coded.withColumn("build_id", F.lit(build_id)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/coded.parquet")
+    # marker LAST: its presence asserts all three data files above
+    # finished, its build_id fingerprints which generation they are
+    spark.createDataFrame(
+        [(build_id,)], "build_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
 def pq_index_read(spark, path: str):
     """Load a ``pq_index_write`` index: returns (books, sub, m,
-    k_codes, round_scale, cents DataFrame, coded DataFrame)."""
+    k_codes, round_scale, cents DataFrame, coded DataFrame).
+
+    Raises ``ValueError`` when the index is incomplete (no
+    ``meta.parquet`` completion marker — the build died before
+    finishing) or mixed-generation (a data file's ``build_id``
+    fingerprint disagrees with the marker — the build died MID-rewrite
+    or a concurrent rebuild interleaved)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        marker = spark.read.parquet(f"{path}/meta.parquet").collect()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"pq index at {path} has no completion marker "
+            "(meta.parquet) — the build did not finish; rebuild with "
+            "pq_index_write"
+        ) from exc
+    build_id = marker[0]["build_id"]
     brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
     meta = brows[0]
     m, k_codes, sub, round_scale = (
@@ -720,4 +789,26 @@ def pq_index_read(spark, path: str):
         books[r["j"]][r["c"]] = list(r["cv"])
     cents = spark.read.parquet(f"{path}/centroids.parquet")
     coded = spark.read.parquet(f"{path}/coded.parquet")
-    return books, sub, m, k_codes, round_scale, cents, coded
+    # one fingerprint probe per data file (each file is internally
+    # single-generation; only cross-FILE mixing is possible); an empty
+    # file has no rows to disagree, so it probes as coherent
+    def _probe(df):
+        row = df.select("build_id").first()
+        return row["build_id"] if row is not None else build_id
+
+    probes = {
+        "codebooks": meta["build_id"],
+        "centroids": _probe(cents),
+        "coded": _probe(coded),
+    }
+    stale = {k: v for k, v in probes.items() if v != build_id}
+    if stale:
+        raise ValueError(
+            f"pq index at {path} is mixed-generation: marker build_id "
+            f"{build_id} but {stale} — a build died mid-rewrite or a "
+            "concurrent rebuild interleaved; rebuild with pq_index_write"
+        )
+    return (
+        books, sub, m, k_codes, round_scale,
+        cents.drop("build_id"), coded.drop("build_id"),
+    )

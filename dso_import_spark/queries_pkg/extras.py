@@ -809,11 +809,26 @@ def temperature_mix_weights(spark, sf_dir):
     )
 
 
-def _pq_subspace_cte(j: int, sub: int = 32, k: int = 4) -> str:
+def _pq_subspace_cte(
+    j: int, sub: int = 32, k: int = 4, qall: str | None = None
+) -> str:
     """CTE block replaying one subspace's Lloyd training + encoding
     (operators/similarity.py:pq_topk) — same init / tie-break /
-    boundary-rounding discipline as the ivf_kmeans_train oracle."""
+    boundary-rounding discipline as the ivf_kmeans_train oracle.
+
+    ``qall`` names a separate query-side relation (vec_id, ve) for the
+    distance tables; default keeps the historical shape where query
+    rows are the %101 subset of the CORPUS relation ``zall``. The
+    split matters when the corpus CTE carries corpus-only hygiene (the
+    IVF label filter): the engine routes NULL-label queries fine, so
+    the oracle must not drop them through a shared CTE (r12 advisory).
+    """
     lo, hi = j * sub + 1, (j + 1) * sub
+    qrel = (
+        f"(SELECT vec_id, ve[{lo}:{hi}] AS v FROM {qall})"
+        if qall is not None
+        else f"(SELECT vec_id, v FROM z{j} WHERE vec_id % 101 = 0)"
+    )
     return f"""
     z{j} AS (SELECT vec_id, ve[{lo}:{hi}] AS v FROM zall),
     n{j} AS (SELECT vec_id, v, list_dot_product(v, v) AS na FROM z{j}),
@@ -847,7 +862,7 @@ def _pq_subspace_cte(j: int, sub: int = 32, k: int = 4) -> str:
                       (list_dot_product(q.v, q.v)
                        + list_dot_product(c1_{j}.cv, c1_{j}.cv))
                       - (2 * list_dot_product(q.v, c1_{j}.cv)) AS d
-               FROM (SELECT vec_id, v FROM z{j} WHERE vec_id % 101 = 0) q
+               FROM {qrel} q
                CROSS JOIN c1_{j})"""
 
 
@@ -896,13 +911,16 @@ def ann_pq_topk(spark, sf_dir):
                   FROM embeddings
                   WHERE embedding IS NOT NULL AND len(embedding) > 0
                     AND label IS NOT NULL),
+    qall AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+             FROM embeddings
+             WHERE embedding IS NOT NULL AND len(embedding) > 0
+               AND vec_id % 101 = 0),
     e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
           FROM zall v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
           GROUP BY label, u.pos),
     cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM e
              GROUP BY label),
-    q AS (SELECT vec_id AS query_id, ve AS qv FROM zall
-          WHERE vec_id % 101 = 0),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM qall),
     routed AS (
       SELECT query_id, qv, label FROM (
         SELECT q.query_id, q.qv, cent.label,
@@ -914,8 +932,8 @@ def ann_pq_topk(spark, sf_dir):
                           DESC, cent.label) AS rn
         FROM q CROSS JOIN cent)
       WHERE rn = 1),
-    {_pq_subspace_cte(0)},
-    {_pq_subspace_cte(1)},
+    {_pq_subspace_cte(0, qall="qall")},
+    {_pq_subspace_cte(1, qall="qall")},
     scored AS (
       SELECT r.query_id, e0.vec_id AS neighbor_id,
              round(t0.d + t1.d, 6) AS adc_dist2
@@ -952,10 +970,10 @@ def ann_pq_topk(spark, sf_dir):
     "NULL-label corpus rows up front (round-12: the kernel gained "
     "the same hygiene filter as ivf_topk_arrow — a NULL payload "
     "crashed the |Q|-row collect where the HOF form degraded "
-    "gracefully). Contract note: the oracle's shared zall filter "
-    "also drops NULL-label QUERY rows, which the kernel keeps "
-    "(routing ignores the query's own label) — differential "
-    "fixtures keep query-row labels non-NULL.",
+    "gracefully). Round-13 (r12 advisory): the oracle's query rows "
+    "come from a separate qall CTE WITHOUT the label filter, "
+    "matching the kernel exactly — routing ignores the query's own "
+    "label, so a NULL-label query row is scored, not dropped.",
 )
 def ann_ivf_pq_topk(spark, sf_dir):
     from dso_import_spark.operators.ann_kernel import ivf_pq_topk_arrow
@@ -963,6 +981,93 @@ def ann_ivf_pq_topk(spark, sf_dir):
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 101 == 0)
     return ivf_pq_topk_arrow(queries, emb, topk=5, m=2, k_codes=4)
+
+
+@query(
+    "ann_ivf_pq_indexed_topk",
+    oracle=f"""
+    WITH zall AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL AND len(embedding) > 0
+                    AND label IS NOT NULL),
+    qall AS (SELECT vec_id, embedding::DOUBLE[] AS ve
+             FROM embeddings
+             WHERE embedding IS NOT NULL AND len(embedding) > 0
+               AND vec_id % 101 = 0),
+    e AS (SELECT label, u.pos, avg(ve[u.pos]) AS m
+          FROM zall v, UNNEST(generate_series(1, len(v.ve))) AS u(pos)
+          GROUP BY label, u.pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM e
+             GROUP BY label),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM qall),
+    routed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, cent.centroid) /
+                          (sqrt(list_dot_product(q.qv, q.qv)) *
+                           sqrt(list_dot_product(cent.centroid,
+                                                 cent.centroid)))
+                          DESC, cent.label) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn = 1),
+    {_pq_subspace_cte(0, qall="qall")},
+    {_pq_subspace_cte(1, qall="qall")},
+    scored AS (
+      SELECT r.query_id, e0.vec_id AS neighbor_id,
+             round(t0.d + t1.d, 6) AS adc_dist2
+      FROM routed r
+      JOIN zall c ON c.label = r.label AND c.vec_id <> r.query_id
+      JOIN code0 e0 ON e0.vec_id = c.vec_id
+      JOIN code1 e1 ON e1.vec_id = c.vec_id
+      JOIN tab0 t0 ON t0.code = e0.code AND t0.query_id = r.query_id
+      JOIN tab1 t1 ON t1.code = e1.code AND t1.query_id = r.query_id)
+    SELECT query_id, rank, neighbor_id, adc_dist2
+    FROM (SELECT query_id, neighbor_id, adc_dist2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist2, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="The persisted-index IVF-PQ serving path as a driver-checked "
+    "row (VERDICT r12 #5): pq_index_write trains the Lloyd codebooks, "
+    "routing centroids and coded corpus ONCE into parquet (the "
+    "production build/serve split — build is the 26.7 s of the x100 "
+    "inline receipt, amortized across query batches), then "
+    "ivf_pq_topk_arrow(index_path=) scores queries against the "
+    "persisted index with the corpus argument EMPTY — the scoring DAG "
+    "contains no Lloyd train, only three parquet reads + the "
+    "broadcast-workload numpy-gather kernel. Every persisted value is "
+    "an exact parquet type (double/int), so the indexed path replays "
+    "the inline path bit-identically and the SAME oracle certifies "
+    "both (the oracle replays train+encode+score in SQL; which side "
+    "of the build/serve split the engine ran is invisible to the "
+    "result contract). The index lands under the process temp dir "
+    "keyed by sf_dir and carries the round-13 completion marker + "
+    "build fingerprint, so a torn build raises instead of serving "
+    "mixed generations.",
+)
+def ann_ivf_pq_indexed_topk(spark, sf_dir):
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from dso_import_spark.operators.ann_kernel import (
+        ivf_pq_topk_arrow,
+        pq_index_write,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:12]
+    idx = str(Path(tempfile.gettempdir()) / f"dso_pq_index_{tag}")
+    # idempotent rebuild: the driver runs queries sequentially, so an
+    # existing index from a prior run is simply overwritten (marker
+    # last — a torn overwrite is detected at read, not served)
+    pq_index_write(emb, idx, m=2, k_codes=4)
+    return ivf_pq_topk_arrow(
+        queries, emb.limit(0), topk=5, index_path=idx
+    )
 
 
 @query(

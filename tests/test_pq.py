@@ -178,3 +178,75 @@ def test_persisted_index_replays_inline(spark, sf_dir, tmp_path):
         )
     )
     assert replay == indexed
+
+
+def test_index_param_contract(spark, sf_dir, tmp_path):
+    # round 13 (r12 advisory): on the index_path branch every
+    # explicitly supplied training/quantization param must either be
+    # honored or raise — never be silently ignored. iters is
+    # train-only (always raises with an index); m/k_codes/round_scale
+    # raise only on mismatch (None sentinels mean "use the index's").
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.ann_kernel import (
+        ivf_pq_topk_arrow,
+        pq_index_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    idx = str(tmp_path / "pq_index")
+    pq_index_write(emb, idx)
+    with pytest.raises(ValueError, match="training-time"):
+        ivf_pq_topk_arrow(queries, emb.limit(0), iters=3, index_path=idx)
+    with pytest.raises(ValueError, match="explicitly requested"):
+        ivf_pq_topk_arrow(queries, emb.limit(0), m=4, index_path=idx)
+    with pytest.raises(ValueError, match="explicitly requested"):
+        ivf_pq_topk_arrow(
+            queries, emb.limit(0), round_scale=3, index_path=idx
+        )
+    # matching explicit params are honored, not rejected
+    ok = ivf_pq_topk_arrow(
+        queries, emb.limit(0), m=2, k_codes=4, round_scale=6,
+        index_path=idx,
+    )
+    assert ok.count() > 0
+
+
+def test_index_completion_marker(spark, sf_dir, tmp_path):
+    # round 13 (r12 advisory): a build that dies between the three
+    # data writes must be detected at read time, not served silently.
+    # No marker -> incomplete; marker/file build_id disagreement ->
+    # mixed-generation. Both raise ValueError.
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dso_import_spark.operators.ann_kernel import (
+        ivf_pq_topk_arrow,
+        pq_index_read,
+        pq_index_write,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    idx = str(tmp_path / "pq_index")
+    pq_index_write(emb, idx)
+    # simulate a crash before the marker write
+    shutil.move(f"{idx}/meta.parquet", f"{idx}/meta.hidden")
+    with pytest.raises(ValueError, match="no completion marker"):
+        pq_index_read(spark, idx)
+    shutil.move(f"{idx}/meta.hidden", f"{idx}/meta.parquet")
+    pq_index_read(spark, idx)  # restored -> coherent again
+    # simulate a rebuild that died after rewriting ONE data file:
+    # centroids get a new-generation fingerprint, marker keeps the old
+    cents = spark.read.parquet(f"{idx}/centroids.parquet").withColumn(
+        "build_id", F.lit("deadbeef")
+    )
+    cents.write.mode("overwrite").parquet(f"{idx}/centroids2.parquet")
+    shutil.rmtree(f"{idx}/centroids.parquet")
+    shutil.move(f"{idx}/centroids2.parquet", f"{idx}/centroids.parquet")
+    with pytest.raises(ValueError, match="mixed-generation"):
+        ivf_pq_topk_arrow(queries, emb.limit(0), index_path=idx)

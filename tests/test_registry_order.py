@@ -16,7 +16,10 @@ FRONT_50 = [
     # drains the dep-aware stale backlog oldest-driver-evidence-first —
     # exactly the head of the round-12 staging (r5-era mlops/streaming/
     # semdedup rows, then the r5/r6 tpch-era block). Queries born this
-    # round take the head slots.
+    # round take the head slots: the new persisted-index serving row
+    # and ann_ivf_pq_topk, whose oracle split its query/corpus CTEs
+    # (r12 advisory).
+    "ann_ivf_pq_indexed_topk", "ann_ivf_pq_topk",
     "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
     "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
@@ -36,8 +39,7 @@ FRONT_50 = [
     "q05_nation_revenue", "set_ops_nations", "q17_small_quantity_revenue",
     "equi_depth_histogram", "equi_depth_histogram_approx",
     "compaction_bin_packing", "pivot_event_matrix",
-    "skyline_pareto_frontier", "theil_sen_trend", "q10_returned_items",
-    "q11_important_balances",
+    "skyline_pareto_frontier", "theil_sen_trend",
 ]
 
 
