@@ -179,6 +179,16 @@ ROUND14_QUEUE = [
     "shingle_containment", "minhash_recall_cert", "cluster_aware_split",
     "l_diversity_audit", "woe_feature_binning", "join_cardinality_estimate",
     "dedup_minhash_lsh", "ann_lsh_topk",
+    # re-staled IN round 13 by the persisted-index commit (module
+    # siblings in extras + the similarity family sharing
+    # operators/ann_kernel.py); their r12 evidence is the freshest in
+    # the queue, so they go last — the local hostile gate re-runs them
+    "ann_brute_force_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
+    "embedding_near_dup", "ivf_kmeans_train", "wkt_coerce_geometries",
+    "date_parse_variants", "hash_split_train_test",
+    "dedup_cluster_components", "dedup_cluster_canonical",
+    "sql_entry_point", "udaf_geometric_mean", "udtf_sentence_split",
+    "spatial_bbox_join",
 ]
 
 
