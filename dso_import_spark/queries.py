@@ -99,10 +99,12 @@ from dso_import_spark.queries_pkg import (  # noqa: E402,F401
 # round go at the HEAD (cadence rule).
 ROUND13_FRONT = [
     # (-1) born/behavior-changed THIS round (r13): the persisted-index
-    # serving path gained its own driver row, and ann_ivf_pq_topk's
+    # serving path gained its own driver row; ann_ivf_pq_topk's
     # oracle split its query/corpus CTEs (the r12 advisory — NULL-label
-    # QUERY rows are now scored by both sides, matching the kernel)
-    "ann_ivf_pq_indexed_topk", "ann_ivf_pq_topk",
+    # QUERY rows are now scored by both sides, matching the kernel);
+    # the funnel's pair dispatch gained the max-df predicate
+    # (VERDICT r12 #4) on both engines
+    "ann_ivf_pq_indexed_topk", "ann_ivf_pq_topk", "corpus_curation_pipeline",
     "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
     "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
@@ -122,7 +124,7 @@ ROUND13_FRONT = [
     "q05_nation_revenue", "set_ops_nations", "q17_small_quantity_revenue",
     "equi_depth_histogram", "equi_depth_histogram_approx",
     "compaction_bin_packing", "pivot_event_matrix",
-    "skyline_pareto_frontier", "theil_sen_trend",
+    "skyline_pareto_frontier",
 ]
 
 # Highest CORRECTNESS_r{N} round the front block above was chosen
@@ -149,7 +151,7 @@ FORCE_REVERIFY: list[str] = []
 # Recompute with `python -m dso_import_spark.rotation` when rotating.
 ROUND14_QUEUE = [
     # displaced from the round-13 front by this round's head slots
-    "q10_returned_items", "q11_important_balances",
+    "theil_sen_trend", "q10_returned_items", "q11_important_balances",
     "q12_late_shipment_priority",
     "q13_customer_order_distribution", "q14_promo_revenue",
     "q16_supplier_part_counts", "q22_idle_customers", "q01_pricing_summary",

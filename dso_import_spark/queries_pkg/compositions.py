@@ -444,6 +444,19 @@ _CBUCKET_SHIFT = 42
 # similarity. Both engines dispatch from the same representative
 # count, so the differential covers whichever tier ran.
 _FUNNEL_EXACT_MAX_REPS = 20_000
+# Second dispatch predicate (round 13, VERDICT r12 #4): the rep-count
+# gate bounds how many documents run the exact tier, but the exact
+# tier's cost is Σ_shingle df² — a ≤20k-rep corpus with ONE viral
+# boilerplate shingle (df ≈ n) still pays ~df² join rows (the measured
+# ×10+viral forced-exact receipt: 354 s). A cheap max-df probe (one
+# aggregation over the shingle relation the exact tier would self-join
+# anyway, only computed when the count gate passes) routes such a
+# corpus banded: normal text tops out at df ≈ 14 on the sf0.1
+# representatives, viral boilerplate sits at df ≈ reps (thousands), so
+# 1000 separates the regimes with orders of magnitude of slack on both
+# sides, and caps any exact-tier hot key at ≤ 10⁶ pairs. The oracle
+# replays the SAME two-predicate dispatch from the same count + probe.
+_FUNNEL_EXACT_MAX_DF = 1_000
 _FUNNEL_HASHES = 32
 _FUNNEL_BAND_SIZE = 2
 _FUNNEL_BANDS = _FUNNEL_HASHES // _FUNNEL_BAND_SIZE
@@ -461,10 +474,16 @@ def _funnel_sig_sql(i: int) -> str:
     )
 
 
-def _curation_pipeline_oracle(exact_max_reps: int) -> str:
+def _curation_pipeline_oracle(
+    exact_max_reps: int, exact_max_df: int = _FUNNEL_EXACT_MAX_DF
+) -> str:
     """The end-to-end funnel oracle, parameterized on the pair-tier
-    volume gate so tests can force the banded tier cross-engine
-    (the registered query pins ``_FUNNEL_EXACT_MAX_REPS``).
+    volume gates so tests can force either tier cross-engine (the
+    registered query pins ``_FUNNEL_EXACT_MAX_REPS`` /
+    ``_FUNNEL_EXACT_MAX_DF``). The dispatch is TWO predicates since
+    round 13: rep count ≤ gate AND max shingle document-frequency ≤
+    df gate — a viral boilerplate shingle below the count gate routes
+    banded (VERDICT r12 #4).
 
     Multi-referenced CTEs carry DuckDB's AS MATERIALIZED hint: the
     funnel's handoff relations (edges/kept/gated/ordered/alloc) are
@@ -536,16 +555,20 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
       JOIN ex b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2, 3, 4),
     nreps AS (SELECT count(*) AS n FROM ex0),
+    sdf AS (SELECT coalesce(max(df), 0) AS maxdf FROM (
+      SELECT count(*) AS df FROM ex GROUP BY lang, shingle) t),
     pairs AS MATERIALIZED (
-      -- the 1-row nreps relation joins in rather than appearing as a
-      -- scalar subquery in WHERE: DuckDB re-evaluates an uncorrelated
-      -- scalar subquery per candidate row here (measured 232 s at
-      -- sf0.01), a cross join evaluates it once
-      SELECT id_a, id_b FROM shared CROSS JOIN nreps
-      WHERE 3 * n_shared >= n_a + n_b AND n <= {exact_max_reps}
+      -- the 1-row nreps/sdf relations join in rather than appearing
+      -- as scalar subqueries in WHERE: DuckDB re-evaluates an
+      -- uncorrelated scalar subquery per candidate row here (measured
+      -- 232 s at sf0.01), a cross join evaluates each once
+      SELECT id_a, id_b FROM shared CROSS JOIN nreps CROSS JOIN sdf
+      WHERE 3 * n_shared >= n_a + n_b
+        AND n <= {exact_max_reps} AND maxdf <= {exact_max_df}
       UNION ALL
-      SELECT id_a, id_b FROM bshared CROSS JOIN nreps
-      WHERE 3 * n_shared >= n_a + n_b AND n > {exact_max_reps}),
+      SELECT id_a, id_b FROM bshared CROSS JOIN nreps CROSS JOIN sdf
+      WHERE 3 * n_shared >= n_a + n_b
+        AND (n > {exact_max_reps} OR maxdf > {exact_max_df})),
     edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -652,10 +675,15 @@ def _curation_pipeline_oracle(exact_max_reps: int) -> str:
 """
 
 
-_CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(_FUNNEL_EXACT_MAX_REPS)
+_CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(
+    _FUNNEL_EXACT_MAX_REPS, _FUNNEL_EXACT_MAX_DF
+)
 
 
-def _funnel_pair_tier(ex0, n_reps: int, exact_max_reps: int):
+def _funnel_pair_tier(
+    ex0, n_reps: int, exact_max_reps: int,
+    exact_max_df: int = _FUNNEL_EXACT_MAX_DF,
+):
     """The funnel's volume-gated near-dup pair stage over the
     exact-dedup representative relation ``ex0`` (doc_id, lang, text,
     n_chars): returns the (id_a, id_b) Jaccard >= 0.5 pairs. Module-
@@ -694,10 +722,26 @@ def _funnel_pair_tier(ex0, n_reps: int, exact_max_reps: int):
     )
     # Volume-gated dispatch (round 12): n_reps is one cheap count on
     # the eagerly-checkpointed representative relation — the
-    # connected_components small_graph_edges posture. The oracle
-    # replays the SAME dispatch from the same count, so the
-    # differential certifies whichever tier ran.
-    if n_reps <= exact_max_reps:
+    # connected_components small_graph_edges posture. Round 13 adds
+    # the max-df predicate (VERDICT r12 #4): the count gate bounds
+    # documents, but the exact tier's cost is Σ_shingle df², so one
+    # viral boilerplate shingle (df ≈ n) below the count gate still
+    # paid ~df² join rows. The probe is one aggregation over the
+    # shingle relation the exact tier would self-join anyway, and is
+    # only computed when the count gate passes (above it the dispatch
+    # is banded regardless, so both engines see the same decision
+    # from (count, probe)). The oracle replays the SAME two-predicate
+    # dispatch, so the differential certifies whichever tier ran.
+    use_exact = n_reps <= exact_max_reps
+    if use_exact:
+        max_df = (
+            ex.groupBy("lang", "shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df"))
+            .first()[0]
+        ) or 0
+        use_exact = max_df <= exact_max_df
+    if use_exact:
         # exact tier: every shared shingle self-joins — Σ df² cost,
         # correct and fastest when the exact-hash stage collapsed the
         # corpus to a bounded representative set
@@ -838,22 +882,27 @@ def _funnel_pair_tier(ex0, n_reps: int, exact_max_reps: int):
     "algebra) are exactly what per-stage oracles cannot see. Scale: "
     "the only full-corpus shuffles are the exact-hash groupBy and the "
     "per-lang count; the pair stage runs on distinct-text "
-    "REPRESENTATIVES only and VOLUME-GATES its tier (round 12): "
-    "<= 20k reps run the exact shingle equi-join, above it MinHash-"
-    "banded candidates (16 signature-pair bands, r=2/b=16 — P(miss) "
-    "= (1-j²)^16 = 1.0% at the J=0.5 gate, and a pair band key so a "
-    "hot min-shingle cannot bucket the corpus) feed the identical "
-    "exact "
-    "integer-Jaccard verify on candidates only, so a non-replica-"
-    "dense corpus (reps ~ corpus) never pays the Σ df² self-join; "
-    "the oracle replays the dispatch from the same count. Components "
-    "use "
+    "REPRESENTATIVES only and VOLUME-GATES its tier on TWO "
+    "predicates (round 12 count, round 13 max-df): <= 20k reps AND "
+    "max shingle document-frequency <= 1000 run the exact shingle "
+    "equi-join, otherwise MinHash-banded candidates (16 "
+    "signature-pair bands, r=2/b=16 — P(miss) = (1-j²)^16 = 1.0% at "
+    "the J=0.5 gate, and a pair band key so a hot min-shingle cannot "
+    "bucket the corpus) feed the identical exact integer-Jaccard "
+    "verify on candidates only — so neither a non-replica-dense "
+    "corpus (reps ~ corpus) nor a small corpus with one viral "
+    "boilerplate shingle (df ~ n below the count gate, the Σ df² "
+    "cliff the count alone missed) ever pays the exact self-join; "
+    "the oracle replays the dispatch from the same count + df probe. "
+    "Components use "
     "pointer-jumping localCheckpoint rounds, allocation windows run "
     "over the |languages| relation (bounded state), and the sample "
     "window is stratum-partitioned — no global sort anywhere.",
 )
 def corpus_curation_pipeline(
-    spark, sf_dir, exact_max_reps: int = _FUNNEL_EXACT_MAX_REPS
+    spark, sf_dir,
+    exact_max_reps: int = _FUNNEL_EXACT_MAX_REPS,
+    exact_max_df: int = _FUNNEL_EXACT_MAX_DF,
 ):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -879,7 +928,7 @@ def corpus_curation_pipeline(
     # helper so the plan lint can inspect its FULL lineage (the eager
     # checkpoints below truncate what the final explain shows; see
     # _funnel_pair_tier)
-    pairs = _funnel_pair_tier(ex0, ex0.count(), exact_max_reps)
+    pairs = _funnel_pair_tier(ex0, ex0.count(), exact_max_reps, exact_max_df)
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -342,3 +342,95 @@ def test_curation_pipeline_banded_tier_agrees_with_exact(spark, tmp_path):
         for r in con.sql(_curation_pipeline_oracle(1)).fetchall()
     )
     assert banded == drows, (banded, drows)
+
+
+def test_curation_pipeline_viral_shingle_routes_banded(spark, tmp_path):
+    # round 13 (VERDICT r12 #4): the count gate alone let a ≤20k-rep
+    # corpus with ONE viral boilerplate shingle (df ≈ n) pay ~df² join
+    # rows through the exact tier. The max-df probe must route such a
+    # corpus banded even though the count gate passes — and the oracle
+    # replays the same two-predicate dispatch, so the differential
+    # stays green on the banded path.
+    import duckdb
+
+    from dso_import_spark.queries_pkg.compositions import (
+        _curation_pipeline_oracle,
+        _funnel_pair_tier,
+    )
+    from pyspark.sql import functions as F
+
+    base = [
+        ("the quick brown fox jumps over a lazy dog while the rain "
+         "falls gently onto green hills and many small birds sing "
+         "about warm bright mornings near quiet rivers under clear "
+         "skies with soft wind and fresh air around tall old trees"),
+        ("some other document text with the usual filler words and a "
+         "few more tokens about data systems joining tables quickly "
+         "while scanning large files from remote storage into memory "
+         "buffers before writing results back out to durable disks"),
+        ("third base document mentions the weather and a calendar of "
+         "events including markets festivals concerts lectures and "
+         "workshops held across town during spring summer autumn and "
+         "winter seasons attracting visitors from nearby villages"),
+    ]
+    # every doc gets the SAME unciphered 4-word tail: two shingles
+    # whose df equals the corpus size (the boilerplate cliff)
+    viral = " the story ends here"
+    subs = [("quick", "swift"), ("filler", "common"), ("town", "city")]
+    rows, did = [], 0
+    for b, text in enumerate(base):
+        old, new = subs[b]
+        for v in range(4):
+            t = (text if v == 0 else text.replace(old, f"{new}{v}")) + viral
+            rows.append((did, t, "en" if b < 2 else "nl",
+                         f"s{did % 3}", len(t)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    # dispatch probe: with the df gate below the viral df (8 'en'
+    # docs share the tail) the pair tier must take the banded lineage
+    # (minhash signature columns present), with it above, the exact
+    # lineage (no signatures) — observable in the optimized plan
+    ex0 = docs.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max("text").alias("text"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    plan_banded = _funnel_pair_tier(
+        ex0, 12, 20_000, exact_max_df=5
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan_exact = _funnel_pair_tier(
+        ex0, 12, 20_000, exact_max_df=1_000
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "m31" in plan_banded and "m31" not in plan_exact
+    # end-to-end: the df-routed banded funnel agrees with the oracle
+    # replaying the same (count, max-df) dispatch, and with the
+    # forced-exact funnel (the tiers agree on this fixture — the
+    # banded ~1% miss class needs j right at the threshold)
+    spec = REGISTRY["corpus_curation_pipeline"]
+    auto = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(spark, str(tmp_path), exact_max_df=5).collect()
+    )
+    exact = sorted(
+        tuple(str(x) for x in r)
+        for r in spec.spark(
+            spark, str(tmp_path), exact_max_df=10**9
+        ).collect()
+    )
+    assert auto == exact, (auto, exact)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in con.sql(
+            _curation_pipeline_oracle(20_000, exact_max_df=5)
+        ).fetchall()
+    )
+    assert auto == drows, (auto, drows)

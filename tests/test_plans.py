@@ -734,9 +734,12 @@ def test_funnel_pair_tier_keeps_hofs_out_of_filters(spark, sf_dir):
                 hits.append(stripped[:160])
         return hits
 
-    # both tiers of the shipped gate: clean
+    # all dispatch outcomes of the shipped gate: clean (exact via
+    # both-gates-pass; banded via the count gate; banded via the r13
+    # max-df gate)
     assert hof_filters(_funnel_pair_tier(ex0, 10, 100)) == []
     assert hof_filters(_funnel_pair_tier(ex0, 100, 10)) == []
+    assert hof_filters(_funnel_pair_tier(ex0, 10, 100, 0)) == []
 
     # the dc9a6ef shape (bare integer gate, no coalesce armor) MUST
     # trip the matcher — guard-of-the-guard: if Spark ever stops

@@ -16,10 +16,10 @@ FRONT_50 = [
     # drains the dep-aware stale backlog oldest-driver-evidence-first —
     # exactly the head of the round-12 staging (r5-era mlops/streaming/
     # semdedup rows, then the r5/r6 tpch-era block). Queries born this
-    # round take the head slots: the new persisted-index serving row
-    # and ann_ivf_pq_topk, whose oracle split its query/corpus CTEs
-    # (r12 advisory).
-    "ann_ivf_pq_indexed_topk", "ann_ivf_pq_topk",
+    # round take the head slots: the new persisted-index serving row,
+    # ann_ivf_pq_topk (oracle split its query/corpus CTEs, r12
+    # advisory), and the funnel (max-df dispatch predicate, r12 #4).
+    "ann_ivf_pq_indexed_topk", "ann_ivf_pq_topk", "corpus_curation_pipeline",
     "unpivot_melt_measures", "table_profile", "cms_frequency_estimate",
     "bpe_regex_token_count",
     "vocab_oov_rates", "temperature_mix_weights", "ann_pq_topk",
@@ -39,7 +39,7 @@ FRONT_50 = [
     "q05_nation_revenue", "set_ops_nations", "q17_small_quantity_revenue",
     "equi_depth_histogram", "equi_depth_histogram_approx",
     "compaction_bin_packing", "pivot_event_matrix",
-    "skyline_pareto_frontier", "theil_sen_trend",
+    "skyline_pareto_frontier",
 ]
 
 

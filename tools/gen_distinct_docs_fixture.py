@@ -82,6 +82,21 @@ def main() -> None:
         f"read_parquet('{SRC}/documents.parquet') d, "
         f"read_parquet('{SRC}/embeddings.parquet') e"
     ).fetchone()[0]
+    # r13 (r12 advisory): replica 0's n_chars is PRESERVED from the
+    # source (+ salt length when boilerplate is on) rather than
+    # recomputed as length(text) — the two only agree when the base
+    # fixture keeps n_chars == length(text), so assert that contract
+    # on the source before relying on it for r > 0 rows too
+    bad_nchars = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet') "
+        f"WHERE text IS NOT NULL AND n_chars <> length(text)"
+    ).fetchone()[0]
+    if bad_nchars:
+        raise SystemExit(
+            f"base fixture breaks n_chars == length(text) on "
+            f"{bad_nchars} rows — replica n_chars would not be "
+            "comparable; fix the source fixture first"
+        )
     con.execute(
         rf"""
         COPY (
@@ -103,8 +118,13 @@ def main() -> None:
                  (CASE WHEN reps.r = 0 THEN reps.text ELSE perm.ptext END
                   || '{salt}') AS text,
                  reps.lang, reps.source,
-                 length(CASE WHEN reps.r = 0 THEN reps.text
-                             ELSE perm.ptext END || '{salt}')::BIGINT
+                 -- replica 0 preserves the SOURCE n_chars (+ salt
+                 -- length); asserted equal to length(text) above, so
+                 -- no-salt runs leave replica 0 bit-identical to the
+                 -- base corpus (r12 advisory)
+                 (CASE WHEN reps.r = 0
+                       THEN reps.n_chars + length('{salt}')
+                       ELSE length(perm.ptext || '{salt}') END)::BIGINT
                    AS n_chars
           FROM reps LEFT JOIN perm
             ON perm.doc_id = reps.doc_id AND perm.r = reps.r
