@@ -191,6 +191,9 @@ ROUND14_QUEUE = [
     "dedup_cluster_components", "dedup_cluster_canonical",
     "sql_entry_point", "udaf_geometric_mean", "udtf_sentence_split",
     "spatial_bbox_join",
+    # re-staled IN round 13 by the funnel max-df commit (compositions
+    # module sibling, r12 evidence)
+    "shingle_containment_prefix",
 ]
 
 
