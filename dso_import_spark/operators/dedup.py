@@ -1224,20 +1224,12 @@ def duplicated_span_stats(
         F.col("n") >= n, F.sequence(F.lit(1).cast("long"), F.col("n") - (n - 1))
     ).otherwise(F.array().cast("array<long>"))
     sh_str = F.array_join(F.slice("t", F.col("s"), F.lit(n)), " ")
-    # hash path: hash the token-array slice directly (xxhash64 folds
-    # over elements) — \s+-split tokens cannot contain the separator,
-    # so array equality <=> joined-string equality and every
-    # per-document count is unchanged, while the ~50-byte per-span
-    # string materialization disappears (same move as
-    # decontam_ngram_overlap, r13; string keying keeps the exact
-    # byte-keyed relation)
-    sh_hash = F.xxhash64(F.slice("t", F.col("s"), F.lit(n)))
     shingles = sized.select(
         "doc_id", "t", F.explode(starts).alias("s")
     ).select(
         "doc_id",
         "s",
-        (sh_hash if key_by_hash else sh_str).alias("sh"),
+        (F.xxhash64(sh_str) if key_by_hash else sh_str).alias("sh"),
     )
     dup_sh = (
         shingles.groupBy("sh")

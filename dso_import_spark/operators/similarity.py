@@ -17,16 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dso_import_spark.functions.vectors import (
-    as_double,
-    cosine,
-    cosine_unrolled,
-    dot,
-    dot_sql,
-    dot_unrolled,
-    norm,
-    probe_dims,
-)
+from dso_import_spark.functions.vectors import as_double, cosine, dot, norm
 
 
 def brute_force_topk(
@@ -581,9 +572,7 @@ def _assign(z: DataFrame, cents_: list[list[float]]) -> DataFrame:
     the SQL oracles), matmul kernel above it."""
     if len(cents_) >= _KERNEL_MIN_K:
         return _assign_kernel(z, cents_)
-    d = centroid_dists(
-        cents_, F.col("ve"), F.col("na"), ve_sql="ve", na_sql="na"
-    )
+    d = centroid_dists(cents_, F.col("ve"), F.col("na"))
     return (
         z.withColumn("dists", d)
         .withColumn(
@@ -603,94 +592,14 @@ def _assign(z: DataFrame, cents_: list[list[float]]) -> DataFrame:
     )
 
 
-# Above this k·dims product the unrolled centroid-distance form stays
-# on the transform path: the unrolled plan carries O(k·dims) logic
-# nodes and a duplicated literal matrix (guard + fallback), which past
-# a few thousand nodes costs more in codegen/analysis than the
-# interpreted fold costs to run. k=4 quantizers (256) and PQ codebooks
-# (k_codes·sub = 128) sit far below it; the _KERNEL_MIN_K=64 matmul
-# kernel owns everything near/above it anyway.
-_UNROLL_MAX_NODES = 4096
-
-
-def _sql_double(v: float) -> str:
-    """Exact SQL double literal: repr round-trips the shortest decimal
-    form, the D suffix keeps the parser off the DECIMAL default."""
-    r = repr(float(v))
-    if "inf" in r or "nan" in r:  # never produced by centroid means
-        raise ValueError(f"non-finite centroid component: {r}")
-    return f"{r}D"
-
-
-def centroid_dists(
-    cents_: list[list[float]],
-    ve: Column,
-    na: Column,
-    ve_sql: str | None = None,
-    na_sql: str | None = None,
-) -> Column:
-    """Squared-L2 distances of ``ve`` to every centroid.
-
-    Two bit-identical forms, dispatched on k·dims:
-
-    - unrolled SQL (small k·dims, the quantizer regime — requires the
-      caller to pass ``ve_sql``/``na_sql``, the SQL text of the same
-      two expressions): one literal product chain per centroid —
-      ``(na + |c|²) − 2·Σ ve[i]·c[i]`` with the sum unrolled in the
-      fold's exact left-to-right order — inside ``array(...)``, with a
-      per-row ``size(ve) = dims`` CASE guard falling back to the
-      transform+fold form so ragged/NULL rows keep identical
-      semantics. No higher-order function on the guarded path, so the
-      distance row compiles into whole-stage codegen; the interpreted
-      transform+fold form was the dominant CPU in every k-means
-      assignment / PQ encode pass (r13 profile: 2.5-3 CPU-s per
-      assignment stage at sf0.1). Built as ONE ``F.expr`` parse — a
-      Column-by-Column build costs ~3·k·dims py4j round-trips, ~1 s
-      per construction at k·dims=256 on the r13 box, which regressed
-      the many-small-jobs k-means queries more than interpretation
-      cost them.
-    - transform fold (large k·dims, or no SQL text supplied): the
-      dot-product lambda appears once in the plan regardless of k, so
-      the expression tree stays O(k·dims) literals + O(dims) logic —
-      the difference between k=4 and a realistic k=256 quantizer
-      compiling.
-
-    ``na`` is the caller's precomputed |ve|² (pass ``dot(ve, ve)`` to
-    inline it)."""
-    dims = len(cents_[0]) if cents_ and cents_[0] else 0
-    if (
-        ve_sql is not None
-        and na_sql is not None
-        and 0 < len(cents_) * dims <= _UNROLL_MAX_NODES
-    ):
-        terms = []
-        for cv in cents_:
-            nc = 0.0
-            for v in cv:
-                nc += float(v) * float(v)
-            prods = " + ".join(
-                f"(element_at({ve_sql}, {i + 1}) * {_sql_double(cv[i])})"
-                for i in range(dims)
-            )
-            terms.append(
-                f"(({na_sql} + {_sql_double(nc)}) - (2.0D * ({prods})))"
-            )
-        cents_sql = ", ".join(
-            "array(" + ", ".join(_sql_double(v) for v in cv) + ")"
-            for cv in cents_
-        )
-        norms_sql = ", ".join(
-            _sql_double(sum(float(v) * float(v) for v in cv)) for cv in cents_
-        )
-        folded_sql = (
-            f"transform(array({cents_sql}), (c, i) -> "
-            f"(({na_sql} + element_at(array({norms_sql}), i + 1)) - "
-            f"(2.0D * {dot_sql(ve_sql, 'c')})))"
-        )
-        return F.expr(
-            f"CASE WHEN size({ve_sql}) = {dims} "
-            f"THEN array({', '.join(terms)}) ELSE {folded_sql} END"
-        )
+def centroid_dists(cents_: list[list[float]], ve: Column, na: Column) -> Column:
+    """Squared-L2 distances of ``ve`` to every centroid, as ONE transform
+    over a literal centroid matrix — not k separate fold expressions:
+    the dot-product lambda appears once in the plan regardless of k, so
+    the expression tree (and codegen) is O(k·dims) literals + O(dims)
+    logic instead of O(k·dims) logic — the difference between k=4 and
+    a realistic k=256 quantizer compiling. ``na`` is the caller's
+    precomputed |ve|² (pass ``dot(ve, ve)`` to inline it)."""
     C = F.array(*[F.array(*[F.lit(float(v)) for v in cv]) for cv in cents_])
     norms = []
     for cv in cents_:
@@ -835,11 +744,7 @@ def _pq_encode(
 
     def code_expr(j: int) -> Column:
         sv = F.slice(F.col("ve"), j * sub + 1, sub)
-        sv_sql = f"slice(ve, {j * sub + 1}, {sub})"
-        d = centroid_dists(
-            books[j], sv, dot(sv, sv),
-            ve_sql=sv_sql, na_sql=dot_sql(sv_sql, sv_sql),
-        )
+        d = centroid_dists(books[j], sv, dot(sv, sv))
         return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
     coded = z.select(
@@ -863,11 +768,7 @@ def _pq_query_tables(
     candidate. ``qdf`` is (query_id, [extra...], qv)."""
     def tab(j: int) -> Column:
         sv = F.slice(F.col("qv"), j * sub + 1, sub)
-        sv_sql = f"slice(qv, {j * sub + 1}, {sub})"
-        return centroid_dists(
-            books[j], sv, dot(sv, sv),
-            ve_sql=sv_sql, na_sql=dot_sql(sv_sql, sv_sql),
-        )
+        return centroid_dists(books[j], sv, dot(sv, sv))
 
     return qdf.select(
         "query_id",
@@ -991,21 +892,7 @@ def semantic_dedup(
     b = base.withColumn(
         "bucket", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))
     ).alias("b")
-    # unrolled dot (bit-identical to the fold — see vectors.dot_unrolled):
-    # the sim lands in the SMJ join CONDITION (the threshold filter is
-    # pushed there) and again in the pair projection, so it is evaluated
-    # up to twice per candidate pair; the fold form is CodegenFallback
-    # (interpreted per element) and dominated the pair stage's CPU
-    # (~160 CPU-s at sf0.1, stage 48 of the r13 profile) — the unrolled
-    # chain compiles to straight-line doubles in both places. dims==None
-    # (empty corpus) keeps the generic fold.
-    dims = probe_dims(df, vec_col)
-    pair_dot = (
-        dot_unrolled("a.u", "b.u", dims)
-        if dims
-        else dot(F.col("a.u"), F.col("b.u"))
-    )
-    sim = F.round(pair_dot, round_scale)
+    sim = F.round(dot(F.col("a.u"), F.col("b.u")), round_scale)
     dup = (
         a.join(
             b,

@@ -155,19 +155,11 @@ def decontam_ngram_overlap(spark, sf_dir):
     w = F.split(F.lower(F.col("text")), " ")
     # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
     # explicitly (DuckDB generate_series(1, 0) is empty).
-    # hash the token-array slice DIRECTLY (xxhash64 folds over array
-    # elements): tokens from a single-space split cannot contain the
-    # separator, so array equality <=> joined-string equality and the
-    # distinct-gram classes (hence every count) are unchanged — but the
-    # per-position ~50-byte string materialization (array_join) is
-    # gone. Measured r13: the gram stage burned 71 CPU-s + 12.8 s GC
-    # at sf0.1, dominated by string building; the array hash allocates
-    # nothing per gram.
     grams_arr = F.when(
         F.size(w) >= 8,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 7),
-            lambda i: F.xxhash64(F.slice(w, i, 8)),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 8), " ")),
         ),
     ).otherwise(F.array().cast("array<long>"))
     grams = docs.select("doc_id", F.explode(grams_arr).alias("g"))
