@@ -716,6 +716,7 @@ def pq_index_write(
     pinned by tests/test_pq.py::test_persisted_index_replays_inline.
     """
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     from dso_import_spark.operators.similarity import _pq_encode
 
@@ -724,17 +725,37 @@ def pq_index_write(
     valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     corpus = corpus.filter(valid & F.col(label_col).isNotNull())
     cents = centroids_by_label(corpus, label_col, vec_col)
-    cents.withColumn("build_id", F.lit(build_id)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids.parquet")
+
+    def write_cents() -> None:
+        cents.withColumn("build_id", F.lit(build_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/centroids.parquet")
+
     z = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(label_col).alias("label"),
         as_double(F.col(vec_col)).alias("ve"),
     )
-    books, sub, coded = _pq_encode(
-        z, m, k_codes, iters, round_scale, extra_cols=("label",)
-    )
+    # the routing-centroid write and the codebook train/encode are
+    # independent jobs over the same input: submit them from a 2-thread
+    # pool so the centroid aggregation's tail backfills with training
+    # tasks (guide §2.6 overlap; FIFO scheduling keeps it fair). Either
+    # failure propagates before the completion marker is written, so a
+    # half-written index is still marker-less.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cents_fut = pool.submit(write_cents)
+        # materialize=False: the coded relation is consumed exactly
+        # once — by the parquet write below — so _pq_encode's eager
+        # localCheckpoint would be one full extra encode pass
+        books, sub, coded = _pq_encode(
+            z, m, k_codes, iters, round_scale, extra_cols=("label",),
+            materialize=False,
+        )
+        coded.withColumn("build_id", F.lit(build_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/coded.parquet")
+        z.unpersist()
+        cents_fut.result()
     rows = [
         (j, c, list(books[j][c]), m, k_codes, sub, round_scale, build_id)
         for j in range(m)
@@ -747,9 +768,6 @@ def pq_index_write(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/codebooks.parquet"
     )
-    coded.withColumn("build_id", F.lit(build_id)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/coded.parquet")
     # marker LAST: its presence asserts all three data files above
     # finished, its build_id fingerprints which generation they are
     spark.createDataFrame(
@@ -791,15 +809,22 @@ def pq_index_read(spark, path: str):
     coded = spark.read.parquet(f"{path}/coded.parquet")
     # one fingerprint probe per data file (each file is internally
     # single-generation; only cross-FILE mixing is possible); an empty
-    # file has no rows to disagree, so it probes as coherent
-    def _probe(df):
-        row = df.select("build_id").first()
-        return row["build_id"] if row is not None else build_id
-
+    # file has no rows to disagree, so it probes as coherent. Both
+    # probes run as ONE union job (round 13: two .first() jobs of pure
+    # latency collapsed into one 2-row collect).
+    probe_rows = (
+        cents.select(F.lit("centroids").alias("f"), "build_id")
+        .limit(1)
+        .unionByName(
+            coded.select(F.lit("coded").alias("f"), "build_id").limit(1)
+        )
+        .collect()
+    )
+    probed = {r["f"]: r["build_id"] for r in probe_rows}
     probes = {
         "codebooks": meta["build_id"],
-        "centroids": _probe(cents),
-        "coded": _probe(coded),
+        "centroids": probed.get("centroids", build_id),
+        "coded": probed.get("coded", build_id),
     }
     stale = {k: v for k, v in probes.items() if v != build_id}
     if stale:

@@ -774,6 +774,7 @@ def _pq_encode(
     iters: int,
     round_scale: int,
     extra_cols: tuple[str, ...] = (),
+    materialize: bool = True,
 ) -> tuple[list[list[list[float]]], int, DataFrame]:
     """Shared PQ train+encode stage (pq_topk / ivf_pq_topk).
 
@@ -830,8 +831,19 @@ def _pq_encode(
         F.col("vec_id").alias("neighbor_id"),
         *[F.col(c) for c in extra_cols],
         *[code_expr(j).alias(f"c{j}") for j in range(m)],
-    ).localCheckpoint(eager=True)
-    z.unpersist()
+    )
+    if materialize:
+        # scoring consumers read the coded relation several times —
+        # checkpoint so the few-bytes-per-vector codes, not the
+        # corpus re-encode, feed every downstream plan
+        coded = coded.localCheckpoint(eager=True)
+        z.unpersist()
+    else:
+        # caller persists coded itself exactly once (pq_index_write):
+        # the eager checkpoint would be a full extra encode pass whose
+        # output is read once and dropped. z stays cached for that one
+        # write; the caller unpersists via the returned frame's session
+        pass
     return books, sub, coded
 
 
