@@ -1090,8 +1090,8 @@ def connected_components(
     the DIRECTED edge list (both orientations of each input pair,
     duplicates included — duplicate input pairs shrink the effective
     gate, in the safe direction) holds at most ``2 *
-    small_graph_edges`` rows — one cheap count on the eager
-    checkpoint — the closure is
+    small_graph_edges`` rows — one limit(gate+1) collect on the eager
+    checkpoint doubles as gate probe and edge fetch — the closure is
     computed with a driver union-find instead — the k-means-init
     bounded-collect posture (collected Rows cost ~100+ bytes each,
     so ~tens of MB at the default gate), identical output contract. Above the gate the
@@ -1107,8 +1107,20 @@ def connected_components(
     # both directions counted; small_graph_edges=0 must force the
     # distributed rounds even on an EMPTY pair set (second review
     # pass: `0 <= 2*0` silently took the fast path and made forced
-    # convergence tests vacuous)
-    if small_graph_edges > 0 and edges.count() <= 2 * small_graph_edges:
+    # convergence tests vacuous).
+    # Gate probe and edge fetch are ONE limited collect (round 13):
+    # the old count()-then-collect() pair was two driver jobs over the
+    # same checkpointed relation; limit(gate+1) returns every edge when
+    # the graph is under the gate (any order — union-find is
+    # order-independent) and proves it is over the gate otherwise,
+    # with the same driver-memory bound the fast path's collect always
+    # had (CollectLimit stops fetching at gate+1 rows).
+    small_rows = None
+    if small_graph_edges > 0:
+        probe = edges.limit(2 * small_graph_edges + 1).collect()
+        if len(probe) <= 2 * small_graph_edges:
+            small_rows = probe
+    if small_rows is not None:
         spark = pairs.sparkSession
         parent: dict[int, int] = {}
 
@@ -1126,7 +1138,7 @@ def connected_components(
         # NOT 16 bytes/pair; raise small_graph_edges with that number
         # in mind) plus the parent/node dicts.
         nodes: set[int] = set()
-        for r in edges.collect():
+        for r in small_rows:
             s, d = r["src"], r["dst"]
             nodes.add(s)
             nodes.add(d)
