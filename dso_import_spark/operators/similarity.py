@@ -633,23 +633,31 @@ def train_centroids(
         )
     for _ in range(iters - 1):
         assigned = _assign(z, cents)
+        # collect at (cluster, pos) granularity — k·dims rows, the
+        # same bounded driver traffic — and assemble the per-cluster
+        # vectors driver-side: the old second groupBy(cluster) +
+        # array_sort(collect_list) pass was one extra exchange per
+        # iteration spent re-shaping rows the driver reads anyway
+        # (round 13). Values unchanged: same round(avg) per group.
         new_rows = (
             assigned.select(
                 "cluster", F.posexplode("ve").alias("pos", "x")
             )
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), round_scale).alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
             .collect()
         )
-        new_map = {int(r["cluster"]): list(r["cv"]) for r in new_rows}
-        cents = [new_map.get(c, cents[c]) for c in range(k)]
+        new_map: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            new_map.setdefault(int(r["cluster"]), {})[int(r["pos"])] = r["m"]
+        cents = [
+            (
+                [cell[p] for p in range(len(cents[c]))]
+                if (cell := new_map.get(c)) is not None
+                else cents[c]
+            )
+            for c in range(k)
+        ]
     return cents
 
 
