@@ -761,18 +761,25 @@ def pq_index_write(
         for j in range(m)
         for c in range(len(books[j]))
     ]
+    # ONE-slice parallelize: the default createDataFrame splits even
+    # an m·k_codes-row list into defaultParallelism pickled partitions,
+    # and the single write task then pays one Python-worker round-trip
+    # PER partition — measured 6 s for a 1-row write on 32 cores vs
+    # 0.35 s single-slice (round 13; guide §4: count the boundary
+    # crossings)
     spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "j int, c int, cv array<double>, m int, k_codes int, sub int, "
         "round_scale int, build_id string",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         f"{path}/codebooks.parquet"
     )
     # marker LAST: its presence asserts all three data files above
     # finished, its build_id fingerprints which generation they are
+    # (single-slice parallelize — see the codebooks write above)
     spark.createDataFrame(
-        [(build_id,)], "build_id string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+        spark.sparkContext.parallelize([(build_id,)], 1), "build_id string"
+    ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
 def pq_index_read(spark, path: str):

@@ -384,13 +384,19 @@ def percentile_quantity(spark, sf_dir):
 )
 def range_join_price_bands(spark, sf_dir):
     (part,) = tables(spark, sf_dir, "part")
+    # single-slice parallelize: default createDataFrame splits 4 rows
+    # into defaultParallelism pickled partitions and the broadcast
+    # build pays one Python-worker round-trip per partition (round 13)
     bands = spark.createDataFrame(
-        [
-            ("budget", 0.0, 500.0),
-            ("mid", 500.0, 1200.0),
-            ("high", 1200.0, 1700.0),
-            ("lux", 1700.0, 100000.0),
-        ],
+        spark.sparkContext.parallelize(
+            [
+                ("budget", 0.0, 500.0),
+                ("mid", 500.0, 1200.0),
+                ("high", 1200.0, 1700.0),
+                ("lux", 1700.0, 100000.0),
+            ],
+            1,
+        ),
         "band string, lo double, hi double",
     )
     return (
