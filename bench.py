@@ -164,9 +164,20 @@ def main() -> None:
     qdf = emb.filter(F.col("vec_id") % 101 == 0)
     idx = tempfile.mkdtemp(prefix="pq_index_")
     try:
-        t0 = time.perf_counter()
-        pq_index_write(emb, idx)
-        extra["pq_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        # round 13 (guide §1, and stated here per the driver contract):
+        # pq_index_build_sec was the ONLY single-shot measurement in
+        # this harness — one cold reading carried the full machine
+        # variance (r13 baseline read 15.8 s where settled re-runs sit
+        # 3-4 s). Keep the key's first-build semantics unchanged for
+        # round-over-round continuity and ADD a best-of-3 alongside,
+        # measured like every other key.
+        builds = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pq_index_write(emb, idx)
+            builds.append(time.perf_counter() - t0)
+        extra["pq_index_build_sec"] = round(builds[0], 3)
+        extra["pq_index_build_best3_sec"] = round(min(builds), 3)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -192,7 +203,17 @@ def main() -> None:
                 "metric": "headline_total_sec",
                 "queries": timings,
                 "extra_queries": extra,
-                "extra_total_sec": round(sum(extra.values()), 3),
+                # the best3 build key re-measures the same build that
+                # pq_index_build_sec already counts — exclude it from
+                # the total so extra_total_sec stays round-comparable
+                "extra_total_sec": round(
+                    sum(
+                        v
+                        for k, v in extra.items()
+                        if k != "pq_index_build_best3_sec"
+                    ),
+                    3,
+                ),
                 "readings": [round(r, 3) for r in reads],
                 "sf": _sf_from_dir(SF_DIR),
                 "unit": "sec",
