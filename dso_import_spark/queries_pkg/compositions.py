@@ -683,6 +683,7 @@ _CURATION_PIPELINE_ORACLE = _curation_pipeline_oracle(
 def _funnel_pair_tier(
     ex0, n_reps: int, exact_max_reps: int,
     exact_max_df: int = _FUNNEL_EXACT_MAX_DF,
+    materialize: bool = True,
 ):
     """The funnel's volume-gated near-dup pair stage over the
     exact-dedup representative relation ``ex0`` (doc_id, lang, text,
@@ -695,7 +696,21 @@ def _funnel_pair_tier(
     shingle transform>)) synthesized into scan-side Filters, 8x on
     the stage) was invisible in the final plan for exactly that
     reason (tests/test_plans.py::
-    test_funnel_pair_tier_keeps_hofs_out_of_filters)."""
+    test_funnel_pair_tier_keeps_hofs_out_of_filters).
+
+    ``materialize`` (round 13): when the COUNT gate passes, the
+    exploded shingle relation is eagerly checkpointed before the
+    max-df probe — it is bounded by that same gate (≤ exact_max_reps
+    documents' shingles) and is otherwise recomputed from raw text by
+    the probe, by BOTH sides of the exact self-join, and by the
+    banded verify's two joins on the df-gate-routed path: one
+    tokenize+shingle pass instead of up to three (guide §5
+    "truncate lineage when reused"). Above the count gate nothing is
+    materialized (reps ~ corpus there — unbounded). Tests pass
+    ``materialize=False`` so the HOF-in-Filter lint still inspects
+    the full pre-checkpoint lineage; the checkpoint itself also
+    BLOCKS that regression class in production (constraints cannot
+    propagate through an RDD scan boundary)."""
     from pyspark.sql import functions as F
 
     from dso_import_spark.functions.text import tokens, word_hash32
@@ -734,6 +749,11 @@ def _funnel_pair_tier(
     # dispatch, so the differential certifies whichever tier ran.
     use_exact = n_reps <= exact_max_reps
     if use_exact:
+        if materialize:
+            # bounded by the count gate that just passed (≤
+            # exact_max_reps docs' shingles); reused by the probe,
+            # both exact self-join sides, or the banded verify joins
+            ex = ex.localCheckpoint(eager=True)
         max_df = (
             ex.groupBy("lang", "shingle")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -736,10 +736,20 @@ def test_funnel_pair_tier_keeps_hofs_out_of_filters(spark, sf_dir):
 
     # all dispatch outcomes of the shipped gate: clean (exact via
     # both-gates-pass; banded via the count gate; banded via the r13
-    # max-df gate)
-    assert hof_filters(_funnel_pair_tier(ex0, 10, 100)) == []
-    assert hof_filters(_funnel_pair_tier(ex0, 100, 10)) == []
-    assert hof_filters(_funnel_pair_tier(ex0, 10, 100, 0)) == []
+    # max-df gate). materialize=False keeps the full pre-checkpoint
+    # lineage inspectable (the r13 shingle-relation checkpoint would
+    # otherwise truncate exactly the expressions this lint reads;
+    # in production that same checkpoint also BLOCKS the regression
+    # class — constraints cannot cross an RDD scan boundary)
+    assert hof_filters(
+        _funnel_pair_tier(ex0, 10, 100, materialize=False)
+    ) == []
+    assert hof_filters(
+        _funnel_pair_tier(ex0, 100, 10, materialize=False)
+    ) == []
+    assert hof_filters(
+        _funnel_pair_tier(ex0, 10, 100, 0, materialize=False)
+    ) == []
 
     # the dc9a6ef shape (bare integer gate, no coalesce armor) MUST
     # trip the matcher — guard-of-the-guard: if Spark ever stops
