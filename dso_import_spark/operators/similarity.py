@@ -721,57 +721,57 @@ def _pq_update_books(
     sub: int,
     round_scale: int,
 ) -> list[list[list[float]]]:
-    """One Lloyd update round for ALL m subspace codebooks in ONE
-    Spark job: per-subspace literal-centroid argmin assignment (the
-    exact ``_assign`` expression over ``F.slice``) as m grouping
-    columns, then a single GROUPING SETS ((c0), (c1), ...) aggregation
-    whose measures are the per-dimension ``round(avg(element_at(ve,
-    i)), round_scale)`` — each subspace's rows land in its own
-    grouping, so every per-(cluster, dim) mean is the SAME single
-    Spark avg over the same group the old per-subspace job computed.
-    Deliberately no explode: a generated-row formulation lets the
-    optimizer inline the argmin expression into the per-element
-    projection (the shingle_array_from_tokens re-evaluation hazard —
-    measured 3x slower than the per-subspace jobs it replaced), while
-    the Expand + hash-aggregate evaluates each argmin once per row.
-    Empty clusters keep their previous centroid (driver-side merge,
-    as in ``train_centroids``)."""
-    cl_cols = []
-    for j in range(m):
+    """One Lloyd update round for ALL m subspace codebooks,
+    CONCURRENTLY: each subspace keeps the proven per-subspace job
+    shape (literal-centroid argmin computed once per row BELOW the
+    posexplode — the cluster column crosses the Generate as a plain
+    attribute, so the optimizer cannot inline the argmin into the
+    per-element projection), and the m jobs are submitted from a
+    thread pool so their stages overlap (guide §2.6) instead of
+    running back-to-back. Two single-job formulations were measured
+    and rejected (round 13): posexplode with an ABOVE-generate
+    element_at over the cluster array re-evaluates the argmin per
+    element (3x slower at sf0.1), and a GROUPING SETS pass with
+    dims-many avg(element_at) measures halves the job count but
+    2x-es per-row aggregate cost at x100 (10.9-12.8 s vs 5.2-5.7 s
+    measured on 200k x 64-dim vectors). Empty clusters keep their
+    previous centroid (driver-side merge, as in
+    ``train_centroids``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def upd(j: int) -> list:
         sv = F.slice(F.col("ve"), j * sub + 1, sub)
         d = centroid_dists(books[j], sv, dot(sv, sv))
-        cl_cols.append(
+        assigned = z.select(
             (F.array_position(d, F.array_min(d)) - 1)
             .cast("long")
-            .alias(f"c{j}")
+            .alias("cluster"),
+            sv.alias("sve"),
         )
-    keyed = z.select(*cl_cols, "ve")
-    dims = m * sub
-    rows = (
-        keyed.groupingSets(
-            [[f"c{j}"] for j in range(m)],
-            *[F.col(f"c{j}") for j in range(m)],
+        return (
+            assigned.select("cluster", F.posexplode("sve").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), round_scale).alias("m"))
+            .collect()
         )
-        .agg(
-            *[
-                F.round(
-                    F.avg(F.element_at(F.col("ve"), i + 1)), round_scale
-                ).alias(f"d{i}")
-                for i in range(dims)
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        per_sub = list(pool.map(upd, range(m)))
+    out: list[list[list[float]]] = []
+    for j, rows in enumerate(per_sub):
+        upd_map: dict[int, dict[int, float]] = {}
+        for r in rows:
+            upd_map.setdefault(int(r["cluster"]), {})[int(r["pos"])] = r["m"]
+        out.append(
+            [
+                (
+                    [cell[p] for p in range(sub)]
+                    if (cell := upd_map.get(c)) is not None
+                    else books[j][c]
+                )
+                for c in range(len(books[j]))
             ]
         )
-        .collect()
-    )
-    out = [[books[j][c] for c in range(len(books[j]))] for j in range(m)]
-    for r in rows:
-        # exactly one c{j} is non-NULL per grouping-set row (cluster
-        # ids are never NULL upstream: valid vectors only reach here)
-        for j in range(m):
-            if r[f"c{j}"] is not None:
-                out[j][int(r[f"c{j}"])] = [
-                    r[f"d{j * sub + i}"] for i in range(sub)
-                ]
-                break
     return out
 
 
@@ -795,16 +795,15 @@ def _pq_encode(
     vector codes instead of re-scanning and re-encoding the corpus
     (the same reason production PQ persists codes next to the ids).
 
-    Training is batched ACROSS subspaces (round 13, guide §1.2/§2.4:
-    fewer passes): the k_codes smallest-id FULL vectors hold every
-    subspace's Lloyd init (slicing the collected doubles driver-side
+    Training is batched ACROSS subspaces (round 13, guide §1.2/§2.6):
+    the k_codes smallest-id FULL vectors hold every subspace's Lloyd
+    init in ONE collect (slicing the collected doubles driver-side
     yields the identical values the old per-subspace ``orderBy().
-    limit(k)`` collects read), and each Lloyd update round is ONE
-    combined GROUPING SETS aggregation pass over ``z``
-    (``_pq_update_books``) instead of one job per subspace — 2 driver
-    jobs total
-    (init + update at iters=2) where the per-subspace loop paid
-    1 probe + 2·m. Per-subspace centroid values are unchanged: the
+    limit(k)`` collects read — this also covers the old dims probe),
+    and each Lloyd update round submits the m per-subspace update
+    jobs CONCURRENTLY (``_pq_update_books``) so their stages overlap
+    instead of running back-to-back — the old loop paid 1 probe +
+    2·m serial jobs. Per-subspace centroid values are unchanged: the
     assignment expression is the same literal-centroid
     ``centroid_dists`` tree over the same ``F.slice``, and the update
     is the same ``round(avg(x), round_scale)`` over the same groups
