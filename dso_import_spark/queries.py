@@ -194,6 +194,83 @@ ROUND14_QUEUE = [
     # re-staled IN round 13 by the funnel max-df commit (compositions
     # module sibling, r12 evidence)
     "shingle_containment_prefix",
+    # re-staled IN round 13 by the optimization pass (dep-aware
+    # checker working as designed): shared-module edits only —
+    # operators/similarity.py (batched PQ training, trainer update
+    # shuffle), operators/dedup.py (components limit-probe),
+    # operators/ann_kernel.py (index write/read), queries_pkg/
+    # compositions.py (shingle checkpoint), queries_pkg/core.py
+    # (band-table slicing). No query's RESULTS changed (every
+    # touched family re-verified against the oracle at sf0.001/
+    # sf0.01 this round); evidence here is r8-r12, freshest in the
+    # queue, so they go last.
+    "dedup_exact_stats",
+    "dedup_prefix_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_banded",
+    "incremental_corpus_dedup",
+    "dedup_substring_spans",
+    "stratified_sample_lang",
+    "seq_packing_bins",
+    "decontam_ngram_overlap",
+    "corpus_pipeline_stats",
+    "lm_bigram_quality",
+    "source_overlap_matrix",
+    "quality_classifier_score",
+    "priority_sample_topk",
+    "dsir_importance_scores",
+    "diversity_distinct_ngrams",
+    "bloom_join_prune",
+    "basket_pair_affinity",
+    "record_linkage_fuzzy",
+    "pagerank_shipments",
+    "incremental_agg_refresh",
+    "feature_scale_normalize",
+    "notin_null_semantics",
+    "ewma_fixed_lags",
+    "drift_psi_periods",
+    "benford_first_digit",
+    "triangle_count_parts",
+    "dedup_prefix_filter_pairs",
+    "capped_running_balance",
+    "incremental_distinct_sketch",
+    "attribution_first_last_touch",
+    "exact_quota_sample",
+    "twap_time_weighted",
+    "ohlc_hourly_bars",
+    "table_content_checksum",
+    "event_path_trigrams",
+    "ab_test_welch_t",
+    "revenue_gini",
+    "dq_expectations_report",
+    "hard_negative_mining",
+    "drift_ks_statistic",
+    "cuped_variance_reduction",
+    "did_difference_in_differences",
+    "srm_sample_ratio_check",
+    "winsorized_variant_means",
+    "spatial_knn_radius",
+    "weekly_growth_rates",
+    "arrival_anomaly_days",
+    "funnel_time_to_convert",
+    "abc_pareto_classes",
+    "event_transition_matrix",
+    "rendezvous_sharding",
+    "session_duration_stats",
+    "daily_retention_d1_d7",
+    "char_entropy_quality",
+    "gopher_quality_gate",
+    "ngram_novelty_decay",
+    "word_zipf_slope",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "k_anonymity_audit",
+    "join_key_skew_profile",
+    "embedding_covariance",
+    "stratified_sample_exact",
+    "ridge_regression_normal_eq",
+    "dp_sensitivity_audit",
+    "selectivity_estimate_cert",
 ]
 
 
