@@ -794,14 +794,40 @@ def pq_index_read(spark, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        marker = spark.read.parquet(f"{path}/meta.parquet").collect()
+        meta_df = spark.read.parquet(f"{path}/meta.parquet")
     except AnalysisException as exc:
         raise ValueError(
             f"pq index at {path} has no completion marker "
             "(meta.parquet) — the build did not finish; rebuild with "
             "pq_index_write"
         ) from exc
-    build_id = marker[0]["build_id"]
+    cents = spark.read.parquet(f"{path}/centroids.parquet")
+    coded = spark.read.parquet(f"{path}/coded.parquet")
+    # the marker read and one fingerprint probe per data file (each
+    # file is internally single-generation; only cross-FILE mixing is
+    # possible; an empty file has no rows to disagree, so it probes as
+    # coherent) all run as ONE union job — round 13: three single-row
+    # jobs of pure latency collapsed into one 3-row collect. The
+    # codebooks collect stays separate (it reads every row).
+    probe_rows = (
+        meta_df.select(F.lit("meta").alias("f"), "build_id")
+        .unionByName(
+            cents.select(F.lit("centroids").alias("f"), "build_id")
+            .limit(1)
+        )
+        .unionByName(
+            coded.select(F.lit("coded").alias("f"), "build_id").limit(1)
+        )
+        .collect()
+    )
+    probed = {r["f"]: r["build_id"] for r in probe_rows}
+    if "meta" not in probed:
+        raise ValueError(
+            f"pq index at {path} has an empty completion marker "
+            "(meta.parquet holds no build_id row) — the build did not "
+            "finish; rebuild with pq_index_write"
+        )
+    build_id = probed["meta"]
     brows = spark.read.parquet(f"{path}/codebooks.parquet").collect()
     meta = brows[0]
     m, k_codes, sub, round_scale = (
@@ -812,22 +838,6 @@ def pq_index_read(spark, path: str):
     ]
     for r in brows:
         books[r["j"]][r["c"]] = list(r["cv"])
-    cents = spark.read.parquet(f"{path}/centroids.parquet")
-    coded = spark.read.parquet(f"{path}/coded.parquet")
-    # one fingerprint probe per data file (each file is internally
-    # single-generation; only cross-FILE mixing is possible); an empty
-    # file has no rows to disagree, so it probes as coherent. Both
-    # probes run as ONE union job (round 13: two .first() jobs of pure
-    # latency collapsed into one 2-row collect).
-    probe_rows = (
-        cents.select(F.lit("centroids").alias("f"), "build_id")
-        .limit(1)
-        .unionByName(
-            coded.select(F.lit("coded").alias("f"), "build_id").limit(1)
-        )
-        .collect()
-    )
-    probed = {r["f"]: r["build_id"] for r in probe_rows}
     probes = {
         "codebooks": meta["build_id"],
         "centroids": probed.get("centroids", build_id),
