@@ -639,17 +639,25 @@ def train_centroids(
         # array_sort(collect_list) pass was one extra exchange per
         # iteration spent re-shaping rows the driver reads anyway
         # (round 13). Values unchanged: same round(avg) per group.
-        new_rows = (
+        # The driver transfer is toPandas (Arrow, guide §6), not
+        # collect(): at corpus-clustering k the k·dims rows arrive as
+        # three flat Arrow arrays instead of k·dims pickled Row
+        # objects (round 14 — interleaved A/B at k=400×64: Arrow
+        # never worse at either scale, best reading in both variant
+        # orderings; doubles cross Arrow bit-exactly, so the
+        # assembled centroids are identical — parity asserted in the
+        # same A/B and by the trainer oracles).
+        pdf = (
             assigned.select(
                 "cluster", F.posexplode("ve").alias("pos", "x")
             )
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), round_scale).alias("m"))
-            .collect()
+            .toPandas()
         )
         new_map: dict[int, dict[int, float]] = {}
-        for r in new_rows:
-            new_map.setdefault(int(r["cluster"]), {})[int(r["pos"])] = r["m"]
+        for cl, pos, mval in zip(pdf["cluster"], pdf["pos"], pdf["m"]):
+            new_map.setdefault(int(cl), {})[int(pos)] = float(mval)
         cents = [
             (
                 [cell[p] for p in range(len(cents[c]))]
