@@ -569,6 +569,14 @@ def ivf_pq_topk_arrow(
         F.col(query_id).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     )
+    # Routing stays the broadcast-join + window form even on the
+    # index path where the centroids are driver-side metadata: a
+    # literal-argmax routing (label/centroid matrix as literals, no
+    # join, no window exchange) was built and interleaved-A/B'd in
+    # round 14 — it cut the serve path 5 jobs → 3 but COST ~0.8 s per
+    # invocation (best 1.81 s vs 1.00 s, 6 interleaved repeats): the
+    # O(labels·dims) literal tree pays analysis + codegen on every
+    # query batch, the r13 unrolled-fold lesson again. Reverted.
     routed = (
         q.crossJoin(cents)
         .select(
@@ -751,10 +759,16 @@ def pq_index_write(
             z, m, k_codes, iters, round_scale, extra_cols=("label",),
             materialize=False,
         )
-        coded.withColumn("build_id", F.lit(build_id)).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/coded.parquet")
-        z.unpersist()
+        try:
+            coded.withColumn("build_id", F.lit(build_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/coded.parquet")
+        finally:
+            # materialize=False leaves z cached for exactly this write;
+            # unpersist even when the write fails (r13 advisory: a
+            # failed build otherwise leaks the cached corpus projection
+            # for the session lifetime)
+            z.unpersist()
         cents_fut.result()
     rows = [
         (j, c, list(books[j][c]), m, k_codes, sub, round_scale, build_id)
@@ -782,6 +796,20 @@ def pq_index_write(
     ).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
+def _parquet_parts(path: str):
+    """part-files of one Spark-written parquet directory, or None when
+    the driver cannot enumerate them locally (non-local path)."""
+    from pathlib import Path
+
+    try:
+        p = Path(path)
+        if not p.is_dir():
+            return None
+        return sorted(p.glob("part-*.parquet"))
+    except OSError:
+        return None
+
+
 def pq_index_read(spark, path: str):
     """Load a ``pq_index_write`` index: returns (books, sub, m,
     k_codes, round_scale, cents DataFrame, coded DataFrame).
@@ -790,7 +818,116 @@ def pq_index_read(spark, path: str):
     ``meta.parquet`` completion marker — the build died before
     finishing) or mixed-generation (a data file's ``build_id``
     fingerprint disagrees with the marker — the build died MID-rewrite
-    or a concurrent rebuild interleaved)."""
+    or a concurrent rebuild interleaved).
+
+    The marker, the per-file fingerprint probes, and the codebooks are
+    kilobyte-scale METADATA — a production ANN service reads them into
+    process memory at startup, not through cluster jobs. Round 14
+    (guide §1.2/§5): on a locally readable index every one of them is
+    read driver-side from the parquet footers/row-groups (pyarrow),
+    and the two distributed relations (cents, coded) get their footer
+    schemas passed explicitly — the serve path pays ZERO Spark jobs
+    until the query itself runs, where r13 paid 8 (4 schema-inference
+    jobs + a 3-job probe union + the codebooks collect, ~0.5 s of
+    serial driver latency per query batch). Non-local paths fall back
+    to the r13 Spark-job implementation below — same probes, same
+    errors."""
+    local = _pq_index_read_local(spark, path)
+    if local is not None:
+        return local
+    return _pq_index_read_spark(spark, path)
+
+
+def _pq_index_read_local(spark, path: str):
+    """Driver-side (pyarrow) index load; None when the path is not
+    locally readable so the caller falls back to Spark jobs. The
+    coherence protocol is identical to _pq_index_read_spark: marker
+    present and non-empty, every data file's build_id fingerprint
+    equal to the marker's."""
+    try:
+        import pyarrow.parquet as pq_
+        from pyspark.sql.pandas.types import from_arrow_schema
+    except ImportError:
+        return None
+
+    meta_parts = _parquet_parts(f"{path}/meta.parquet")
+    if meta_parts is None:
+        return None
+    if not meta_parts:
+        # directory missing or empty — same condition the Spark path
+        # maps to "no completion marker"
+        raise ValueError(
+            f"pq index at {path} has no completion marker "
+            "(meta.parquet) — the build did not finish; rebuild with "
+            "pq_index_write"
+        )
+    parts = {
+        name: _parquet_parts(f"{path}/{name}.parquet")
+        for name in ("centroids", "coded", "codebooks")
+    }
+    if any(not p for p in parts.values()):
+        # a data file is unreadable/absent — let the Spark path produce
+        # its native error for exact behavioral parity
+        return None
+
+    def first_build_id(files) -> str | None:
+        for f in files:
+            pf = pq_.ParquetFile(f)
+            if pf.metadata.num_rows:
+                return str(
+                    pf.read_row_group(0, columns=["build_id"])
+                    .column(0)[0]
+                    .as_py()
+                )
+        return None  # rows exist in no part — nothing to disagree
+
+    build_id = first_build_id(meta_parts)
+    if build_id is None:
+        raise ValueError(
+            f"pq index at {path} has an empty completion marker "
+            "(meta.parquet holds no build_id row) — the build did not "
+            "finish; rebuild with pq_index_write"
+        )
+    books_tab = pq_.read_table(parts["codebooks"])
+    meta = books_tab.slice(0, 1).to_pylist()[0]
+    m, k_codes, sub, round_scale = (
+        meta["m"], meta["k_codes"], meta["sub"], meta["round_scale"]
+    )
+    books: list[list[list[float]]] = [
+        [None] * k_codes for _ in range(m)
+    ]
+    for r in books_tab.to_pylist():
+        books[r["j"]][r["c"]] = [float(v) for v in r["cv"]]
+    probes = {
+        "codebooks": meta["build_id"],
+        "centroids": first_build_id(parts["centroids"]) or build_id,
+        "coded": first_build_id(parts["coded"]) or build_id,
+    }
+    stale = {k: v for k, v in probes.items() if v != build_id}
+    if stale:
+        raise ValueError(
+            f"pq index at {path} is mixed-generation: marker build_id "
+            f"{build_id} but {stale} — a build died mid-rewrite or a "
+            "concurrent rebuild interleaved; rebuild with pq_index_write"
+        )
+
+    def read_with_schema(name: str):
+        schema = from_arrow_schema(
+            pq_.ParquetFile(parts[name][0]).schema_arrow
+        )
+        return spark.read.schema(schema).parquet(f"{path}/{name}.parquet")
+
+    return (
+        books, sub, m, k_codes, round_scale,
+        read_with_schema("centroids").drop("build_id"),
+        read_with_schema("coded").drop("build_id"),
+    )
+
+
+def _pq_index_read_spark(spark, path: str):
+    """Cluster-side index load (r13 form) — the fallback for paths the
+    driver cannot enumerate (object stores); one 3-row probe union job
+    plus the codebooks collect."""
     from pyspark.errors import AnalysisException
 
     try:
