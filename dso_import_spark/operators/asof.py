@@ -59,13 +59,31 @@ def asof_tolerance_join(
     bucket. Same one-shuffle-per-side plan shape; at 100 TB, pre-bucket
     both tables on the key so the shuffle disappears entirely.
 
-    ``n_buckets`` defaults to 4× the cluster's default parallelism —
-    enough tasks to saturate and rebalance, few enough that each bucket
-    amortizes its Python round-trip. The bucket count never changes the
-    result, only the work granularity.
+    ``n_buckets`` defaults to INPUT VOLUME over ~1 MiB of Catalyst-
+    estimated bytes per bucket (round 14, guide §4 batch sizing; was
+    4× default parallelism). Sizing buckets by core count anti-scaled:
+    the r13 driver artifact ran this query 2.7× FASTER on 8 cores than
+    32 because 128 tiny buckets pay 128 fixed Arrow/pandas round-trips
+    (~8 ms each, measured). The bucket-count sweep on this data: sf0.1
+    (40k rows, 1.6 MB est) optimum 4-8 buckets [0.44-0.46 s vs 1.77 s
+    at 128]; ×100 (4M rows, 90 MB est) optimum 32-128 [1.6-1.9 s vs
+    3.9 s at 8, 4.5 s at 2048] — both optima sit at ~0.25-3 MB per
+    bucket, so 1 MiB tracks the basin at every measured scale and
+    grows task count linearly with data, not cluster width. When the
+    size estimate is unavailable the old wide default is the safe
+    posture. The bucket count never changes the result, only the work
+    granularity.
     """
     if n_buckets is None:
-        n_buckets = 4 * left.sparkSession.sparkContext.defaultParallelism
+        from dso_import_spark.operators.similarity import _est_bytes
+
+        est = _est_bytes(
+            left.select(id_col, key, ts_col)
+        ) + _est_bytes(right.select(id_col, key, ts_col))
+        if est >= 1 << 61:  # estimate unavailable — size unknown
+            n_buckets = 4 * left.sparkSession.sparkContext.defaultParallelism
+        else:
+            n_buckets = max(1, -(-est // (1 << 20)))
     # xxhash64 is TYPE-sensitive (xxhash64(7 as int) != xxhash64(7 as
     # bigint)): if the two key columns differ in type, the same user
     # lands in different buckets and matches are silently lost — fail
