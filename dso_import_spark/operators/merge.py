@@ -41,6 +41,16 @@ class MergePlan:
     unchanged: DataFrame  # existing rows identical in staging
     deleted: DataFrame  # existing ids missing from staging (J4) — must be empty
     merged: DataFrame  # the post-merge table contents
+    # 1-row (n_inserted, n_updated, n_deleted, n_merged) derived from
+    # ONE pass over the classification join (round 14): counting via
+    # the four wide outputs costs one full classify-join subtree EACH
+    # (Catalyst reuses exchanges inside one plan but still plans and
+    # runs the join per branch — merge_insert_update measured 15 jobs
+    # / 3 SortMergeJoin subtrees). Counts equal the wide outputs'
+    # counts whenever keys are unique on both sides (the precondition
+    # merge_counts_narrow already documents); in fingerprint mode the
+    # changed/unchanged split shares that mode's 2^-64 collision bound.
+    counts: DataFrame | None = None
 
 
 # non-key column count at/above which plan_merge's "auto" compare
@@ -131,12 +141,32 @@ def plan_merge(
     unchanged = matched.filter(~changed).select(cols)
 
     merged = unchanged.unionByName(updated).unionByName(inserted)
+    # one full-outer pass classifies every key for the counts — the
+    # same IS DISTINCT FROM compare the wide outputs apply. The
+    # existing side is renamed (__e_ prefix) like the staged side:
+    # post-join references into an un-renamed side trip Spark's
+    # ambiguous-self-join detection when staged derives from existing
+    e2 = existing.select([F.col(c).alias(f"__e_{c}") for c in cols])
+    ekey = F.col(f"__e_{key}")
+    full = s.join(e2, skey == ekey, "full_outer")
+    changed_full = ~F.struct(
+        *[F.col(f"__s_{c}") for c in non_key]
+    ).eqNullSafe(F.struct(*[F.col(f"__e_{c}") for c in non_key]))
+    counts = full.agg(
+        F.count(F.when(ekey.isNull(), 1)).alias("n_inserted"),
+        F.count(
+            F.when(skey.isNotNull() & ekey.isNotNull() & changed_full, 1)
+        ).alias("n_updated"),
+        F.count(F.when(skey.isNull(), 1)).alias("n_deleted"),
+        F.count(F.when(skey.isNotNull(), 1)).alias("n_merged"),
+    )
     return MergePlan(
         inserted=inserted,
         updated=updated,
         unchanged=unchanged,
         deleted=deleted,
         merged=merged,
+        counts=counts,
     )
 
 
@@ -176,12 +206,19 @@ def _plan_merge_narrow(
         ).select(cols)
 
     new, chg, dele = F.col("__is_new"), F.col("__is_chg"), F.col("__is_del")
+    counts = cls.agg(
+        F.count(F.when(new, 1)).alias("n_inserted"),
+        F.count(F.when(chg, 1)).alias("n_updated"),
+        F.count(F.when(dele, 1)).alias("n_deleted"),
+        F.count(F.when(~dele, 1)).alias("n_merged"),
+    )
     return MergePlan(
         inserted=back(staged, new),
         updated=back(staged, chg),
         unchanged=back(staged, ~new & ~dele & ~chg),
         deleted=back(existing, dele),
         merged=staged.select(cols),  # content-exact: see plan_merge doc
+        counts=counts,
     )
 
 
@@ -271,27 +308,19 @@ def execute_merge(
     reading corrupts the plan.
     """
     plan = plan_merge(existing, staged, key)
-    # one aggregation over narrow key projections instead of three
-    # count() actions: exchange reuse does not span Spark jobs, so the
-    # separate counts each re-executed the full classification join
-    counts = (
-        plan.deleted.select(F.lit("d").alias("k"))
-        .unionByName(plan.inserted.select(F.lit("i").alias("k")))
-        .unionByName(plan.updated.select(F.lit("u").alias("k")))
-        .groupBy("k")
-        .count()
-        .collect()
-    )
-    by = {r["k"]: r["count"] for r in counts}
-    n_deleted = int(by.get("d", 0))
+    # ONE classification pass for all three counts (round 14): the
+    # previous union of the three wide outputs ran inside one job but
+    # still planned and executed the classify join once per branch
+    row = plan.counts.collect()[0]
+    n_deleted = int(row["n_deleted"])
     if n_deleted and not allow_delete:
         raise ValueError(
             f"gate Q4 failed: {n_deleted} existing rows missing from staging "
             "(history table must never lose rows; bagh/batch.py:97-110)"
         )
     result = MergeResult(
-        inserted=int(by.get("i", 0)),
-        updated=int(by.get("u", 0)),
+        inserted=int(row["n_inserted"]),
+        updated=int(row["n_updated"]),
         deleted=n_deleted,
     )
     return plan.merged, result

@@ -339,11 +339,16 @@ def merge_insert_update(spark, sf_dir):
         .alias("o_orderpriority"),
     )
     plan = plan_merge(existing, staged, "o_orderkey")
-    return (
-        plan.inserted.agg(F.count(F.lit(1)).alias("n_inserted"))
-        .crossJoin(plan.updated.agg(F.count(F.lit(1)).alias("n_updated")))
-        .crossJoin(plan.merged.agg(F.count(F.lit(1)).alias("n_merged")))
-    )
+    # counts from MergePlan's ONE classification pass (round 14): the
+    # previous crossJoin of three per-output aggregates planned the
+    # classify join once per branch — 15 jobs / 3 SortMergeJoin
+    # subtrees for three numbers (guide §2.4). Values identical:
+    # o_orderkey is unique on both sides, so per-output row counts
+    # equal per-key classification counts, and merged IS staged in
+    # fingerprint mode. The J5+J6 pin is unchanged in scope — the row
+    # still demonstrates plan_merge's insert-new/update-changed
+    # classification against the exact IS DISTINCT FROM oracle.
+    return plan.counts.select("n_inserted", "n_updated", "n_merged")
 
 
 @query(
