@@ -613,6 +613,19 @@ def test_asof_cogroup_shuffles_each_side_exactly_once(spark, sf_dir, qs):
     assert plan.count("EqualTo(event_type,") == 2  # pushed to parquet
 
 
+def test_funnel_conversion_shuffles_once(spark, sf_dir, qs):
+    """The ordered funnel is three stacked whole-partition window
+    minima plus a per-user dedup, all on the user_id partitioning:
+    exactly ONE hash exchange (round 14 — the previous three keyed
+    aggregations + joins paid 8 jobs for the same result). A second
+    exchange means a window or the dedup stopped reusing the
+    partitioning."""
+    plan = plan_of(qs["funnel_conversion"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 3
+    assert "Join" not in plan
+
+
 def test_substring_span_dedup_consumes_dup_positions_once(spark, sf_dir, qs):
     """Spark does not share subplans: per-doc stats and coverage must
     come from ONE aggregation over the duplicated-position stream, or
