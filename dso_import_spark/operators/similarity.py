@@ -488,14 +488,17 @@ def kmeans_assignments(
 
 
 # Below this input size, semantic_dedup skips the base-relation
-# localCheckpoint: eager materialization costs ~0.3 s of fixed overhead
-# that triple recompute undercuts on small corpora. Measured both arms
-# at every scale (SCALING.md "checkpoint gate"): 2k vectors 2.8 s
-# without vs 3.0 s with; 20k vectors 22.9 s WITH vs 31+ s without;
-# 200k vectors 101 s WITH vs 123 s without — so the crossover sits
-# between the 0.8 MB and 5.2 MB parquet estimates and 2 MB (~8k × 64
-# float32) keeps every measured cell on its winning arm.
-_CHECKPOINT_MIN_INPUT_BYTES = 2 * 1024 * 1024
+# localCheckpoint: eager materialization costs fixed overhead that
+# triple recompute undercuts on tiny corpora. Both arms re-measured in
+# round 14 (SCALING.md "checkpoint gate", round-14 row), interleaved
+# same-session A/Bs with construction inside the timed region: 2k
+# vectors / 0.8 MB est — checkpoint WINS (best 3.63 s stable vs
+# 4.22 s with 2x noise spikes; the r5 grid's opposite sf0.1 cell did
+# not reproduce), 500 vectors / 0.19 MB — within noise either way
+# (2.47 vs 2.75 best, overlapping vectors). 512 KiB keeps every
+# re-measured cell on its winning arm: sf0.1 and everything larger
+# checkpoints, only corpora too small for the arms to differ skip it.
+_CHECKPOINT_MIN_INPUT_BYTES = 512 * 1024
 
 
 def _est_bytes(df: DataFrame) -> int:
@@ -980,12 +983,14 @@ def semantic_dedup(
     # materialize the |corpus|-row (id, unit vec, cluster) relation
     # once (README "truncate lineage when reused") — but only above a
     # volume where triple recompute costs more than the eager
-    # materialization: at sf0.1 (2k vectors) the checkpoint is pure
-    # overhead (measured 3.0 s vs 2.75 s without), at ×100 (200k
-    # vectors) it is a measured win (SCALING.md "checkpoint gate").
-    # Gate on Catalyst's size estimate of the INPUT relation (no job,
-    # unlike a count; a 100 TB scan must never pay a count() here);
-    # estimate unavailable → checkpoint (safe at scale).
+    # materialization (see _CHECKPOINT_MIN_INPUT_BYTES for the
+    # round-14 re-measured grid; a repartition("cluster") shuffle-
+    # reuse third arm was also measured and rejected — it collapses
+    # the pair join onto k partitions, defeating the salting:
+    # 6.8-8.9 s vs 0.9 s at sf0.1). Gate on Catalyst's size estimate
+    # of the INPUT relation (no job, unlike a count; a 100 TB scan
+    # must never pay a count() here); estimate unavailable →
+    # checkpoint (safe at scale).
     if _est_bytes(df) >= _CHECKPOINT_MIN_INPUT_BYTES:
         base = base.localCheckpoint(eager=True)
     n_salts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
