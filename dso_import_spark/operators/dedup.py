@@ -1098,23 +1098,40 @@ def connected_components(
     distributed rounds run as before; pass ``small_graph_edges=0`` to
     force them (the property/convergence tests do).
     """
+    # both orientations from ONE pass over the pair relation (round
+    # 14): the previous select(a,b) UNION select(b,a) planned the pair
+    # subtree twice — the self-join exchange was reused but the
+    # post-exchange aggregate ran once per branch; exploding a 2-array
+    # of structs emits both directed edges from a single subtree. The
+    # projected fields cross the Generate as plain attributes (the
+    # repo's Generate-inlining hazard does not apply).
     edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    edges = edges.localCheckpoint(eager=True)  # tiny after banding; reused per round
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # both directions counted; small_graph_edges=0 must force the
     # distributed rounds even on an EMPTY pair set (second review
     # pass: `0 <= 2*0` silently took the fast path and made forced
     # convergence tests vacuous).
     # Gate probe and edge fetch are ONE limited collect (round 13):
-    # the old count()-then-collect() pair was two driver jobs over the
-    # same checkpointed relation; limit(gate+1) returns every edge when
-    # the graph is under the gate (any order — union-find is
-    # order-independent) and proves it is over the gate otherwise,
-    # with the same driver-memory bound the fast path's collect always
-    # had (CollectLimit stops fetching at gate+1 rows).
+    # limit(gate+1) returns every edge when the graph is under the
+    # gate (any order — union-find is order-independent) and proves it
+    # is over the gate otherwise, with the same driver-memory bound
+    # the fast path's collect always had (CollectLimit stops fetching
+    # at gate+1 rows). The probe runs on the UNcheckpointed plan
+    # (round 14): the fast path consumes edges exactly once, so the
+    # eager checkpoint was a wasted cache-materialization pass there;
+    # the over-gate path (which DOES reuse edges every round)
+    # checkpoints below, paying one recompute of the probe's work on
+    # that rare branch.
     small_rows = None
     if small_graph_edges > 0:
         probe = edges.limit(2 * small_graph_edges + 1).collect()
@@ -1162,6 +1179,7 @@ def connected_components(
             spark.sparkContext.parallelize(rows, n_slices),
             "id long, cluster_id long",
         )
+    edges = edges.localCheckpoint(eager=True)  # reused every round below
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "lbl", F.col("id")
     )

@@ -968,11 +968,16 @@ def corpus_curation_pipeline(
     # (B) Gopher gate on the keepers (single-space split — the gate's
     # pinned convention; the shingle stage uses \s+ tokens() — both
     # mirrored verbatim in the oracle)
-    wrd = kept.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    pw = wrd.groupBy("doc_id", "w").agg(
+    # lang rides the aggregation keys (constant per doc_id) so the
+    # gate needs no join back into kept — round 14: one broadcast
+    # build + join fewer, values identical
+    wrd = kept.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    pw = wrd.groupBy("doc_id", "lang", "w").agg(
         F.count("*").cast("double").alias("c")
     )
-    pdq = pw.groupBy("doc_id").agg(
+    pdq = pw.groupBy("doc_id", "lang").agg(
         F.sum("c").alias("n_words"),
         (F.sum(F.col("c") * F.length("w")) / F.sum("c")).alias("mean_wlen"),
         F.sum(
@@ -996,9 +1001,7 @@ def corpus_curation_pipeline(
     # picked agg) — checkpoint the tiny (doc_id, lang, n_words)
     # relation instead of re-running the explode + double groupBy
     gated = (
-        pdq.filter(passes)
-        .join(kept.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "n_words")
+        pdq.filter(passes).select("doc_id", "lang", "n_words")
     ).localCheckpoint(eager=True)
     # (C) water-filling over the gated per-lang capacity (the
     # budget_water_filling algebra: exact BIGINT cumulative sums,
@@ -1119,25 +1122,42 @@ def corpus_curation_pipeline(
     picked = ranked.join(F.broadcast(alloc), "lang").filter(
         F.col("rn") <= F.ceil(F.col("w") * F.col("rate"))
     )
-    samp = picked.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sampled"),
-        F.sum("n_words").cast("long").alias("sampled_tokens"),
-        F.sum("doc_id").cast("long").alias("sampled_id_sum"),
+    # the four per-lang stage aggregates (input, exact-unique,
+    # canonical, sampled) ride ONE tagged union + one exchange + one
+    # broadcast join (round 14, guide §2.4) instead of four separate
+    # aggregation pipelines each with its own exchange and broadcast
+    # build: exec-phase job census 24 → 18 with row-identical output
+    # (counts/sums over the same relations; the n_words/doc_id sums
+    # are whole-number-exact so summation order cannot differ; a lang
+    # reaches the old inner joins iff it is gated — then it appears in
+    # every stage relation, so the single inner join keeps the same
+    # rows). The sampled measures are whole-number doubles/longs —
+    # same casts as before.
+    zn = F.lit(None).cast("double")
+    zd = F.lit(None).cast("long")
+    st = lambda df, i, nw, did: df.select(  # noqa: E731
+        "lang", F.lit(i).alias("st"), nw.alias("nw"), did.alias("did")
     )
-    base = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_input")
+    stages = (
+        st(docs, 0, zn, zd)
+        .unionByName(st(ex0, 1, zn, zd))
+        .unionByName(st(kept, 2, zn, zd))
+        .unionByName(st(picked, 3, F.col("n_words"), F.col("doc_id")))
     )
-    uniq = ex0.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_unique")
-    )
-    canon = kept.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_canonical")
+    piv = stages.groupBy("lang").agg(
+        F.count(F.when(F.col("st") == 0, 1)).alias("n_input"),
+        F.count(F.when(F.col("st") == 1, 1)).alias("n_exact_unique"),
+        F.count(F.when(F.col("st") == 2, 1)).alias("n_canonical"),
+        F.count(F.when(F.col("st") == 3, 1)).alias("n_sampled"),
+        F.sum(F.when(F.col("st") == 3, F.col("nw")))
+        .cast("long")
+        .alias("sampled_tokens"),
+        F.sum(F.when(F.col("st") == 3, F.col("did")))
+        .cast("long")
+        .alias("sampled_id_sum"),
     )
     return (
-        alloc.join(F.broadcast(base), "lang")
-        .join(F.broadcast(uniq), "lang")
-        .join(F.broadcast(canon), "lang")
-        .join(F.broadcast(samp), "lang")
+        alloc.join(F.broadcast(piv), "lang")
         .select(
             "lang",
             "n_input",
