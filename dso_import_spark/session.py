@@ -22,6 +22,30 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Deployment profiles (round 14, guide §2.2/§6): scan-split and shuffle
+# advisory sizing belong to the DEPLOYMENT, not the engine — the local
+# bench wants Spark's defaults (tiny fixtures; bigger splits would just
+# collapse scan parallelism and skew the driver's core-count scaling
+# measurement), a real cluster wants large sequential splits and
+# 100 MB-1 GB post-AQE partitions. Select with SPARK_GRAFT_PROFILE;
+# explicit user conf (extra_conf) still overrides profile values.
+#
+# "cluster" values and rationale: 512m scan splits cut the map-task
+# count feeding every shuffle ~4x vs the 128m default (guide §2.2 —
+# M*R shuffle-block growth is quadratic, fewer/larger blocks fetch
+# better), 256m advisory partitions put post-coalesce reduce work in
+# the guide §9 recommended band instead of the 64m default, and zstd
+# shuffle compression trades a little CPU for a markedly better ratio
+# on 10-100 Gbit networks (guide §2.3 — measure both on your fabric).
+_PROFILES: dict[str, dict[str, str]] = {
+    "local": {},
+    "cluster": {
+        "spark.sql.files.maxPartitionBytes": "512m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+        "spark.io.compression.codec": "zstd",
+    },
+}
+
 
 def get_spark(
     app_name: str = "dso_import_spark",
@@ -59,6 +83,14 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
+    profile = os.environ.get("SPARK_GRAFT_PROFILE", "local")
+    if profile not in _PROFILES:
+        raise ValueError(
+            f"unknown SPARK_GRAFT_PROFILE {profile!r}; "
+            f"expected one of {sorted(_PROFILES)}"
+        )
+    for k, v in _PROFILES[profile].items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
