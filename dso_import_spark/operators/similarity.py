@@ -739,7 +739,16 @@ def _pq_update_books(
     attribute, so the optimizer cannot inline the argmin into the
     per-element projection), and the m jobs are submitted from a
     thread pool so their stages overlap (guide §2.6) instead of
-    running back-to-back. Two single-job formulations were measured
+    running back-to-back. NOTE (r13 advisory): this update round
+    always uses the literal-expression argmin, NOT the ``_assign``
+    dispatch — so the "same expression" equivalence to the old
+    train_centroids-based loop holds for k_codes < _KERNEL_MIN_K
+    (every registered PQ configuration; defaults are k_codes=4). At
+    k_codes >= _KERNEL_MIN_K the old loop would have routed through
+    the matmul kernel, whose summation order differs by ulps — the
+    encode step already used the literal path at every k, so training
+    here is at least self-consistent with encoding.
+    Two single-job formulations were measured
     and rejected (round 13): posexplode with an ABOVE-generate
     element_at over the cluster array re-evaluates the argmin per
     element (3x slower at sf0.1), and a GROUPING SETS pass with

@@ -764,6 +764,17 @@ def test_funnel_pair_tier_keeps_hofs_out_of_filters(spark, sf_dir):
         _funnel_pair_tier(ex0, 10, 100, 0, materialize=False)
     ) == []
 
+    # companion assertion on the SHIPPED materialize=True exact tier
+    # (r13 advisory): the production protection against the scan-side
+    # HOF regression is the eager shingle checkpoint itself
+    # (constraints cannot cross an RDD scan boundary) — pin that the
+    # exact-tier plan actually contains that boundary, so silently
+    # removing the checkpoint re-exposes this lint instead of passing
+    # on the materialize=False proxy alone
+    shipped = _funnel_pair_tier(ex0, 10, 100)
+    assert "ExistingRDD" in plan_of(shipped, "simple")
+    assert hof_filters(shipped) == []
+
     # the dc9a6ef shape (bare integer gate, no coalesce armor) MUST
     # trip the matcher — guard-of-the-guard: if Spark ever stops
     # inlining the synthesized isnotnull into a Filter this assert
